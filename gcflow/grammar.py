@@ -573,34 +573,40 @@ def _app_stopped_event(ctx: Ctx, pos: int):
 _DIGITS = frozenset("0123456789")
 
 
-def parse_log(text: str, types: Optional[tuple] = None) -> list:
-    """``Parser.parseLog`` (Parser.scala:119-122): tolerant whole-log scan
-    ``(GcLine | IgnoredLine).rep`` with optional event-type filter."""
+def parse_log_spans(text: str) -> list:
+    """``Parser.parseLog`` scan returning ``(event, start_offset)`` pairs —
+    the offset locates the event's starting line (turn) for provenance."""
     ctx = Ctx(text)
-    events = []
+    out = []
     pos = 0
     n = len(text)
     while pos < n:
         if text[pos] in _DIGITS:  # GcLine must start with a digit
             r = gc_line(ctx, pos)
             if r is not None:
-                events.append(r[0])
+                out.append((r[0], pos))
                 pos = r[1]
                 continue
         idx = text.find("\n", pos)
         if idx == -1:
             break
         pos = idx + 1
+    return out
+
+
+def parse_log(text: str, types: Optional[tuple] = None) -> list:
+    """``Parser.parseLog`` (Parser.scala:119-122): tolerant whole-log scan
+    ``(GcLine | IgnoredLine).rep`` with optional event-type filter."""
+    events = [e for e, _ in parse_log_spans(text)]
     if types is not None:
         events = [e for e in events if isinstance(e, types)]
     return events
 
 
-def parse_with_heap_stats(text: str) -> list:
-    """``Parser.parseWithHeapStats`` (Parser.scala:124-132):
-    ``(DetailedEvent | AppStoppedEvent | IgnoredLine).rep``."""
+def parse_with_heap_stats_spans(text: str) -> list:
+    """``Parser.parseWithHeapStats`` scan returning (event, start_offset)."""
     ctx = Ctx(text)
-    events = []
+    out = []
     pos = 0
     n = len(text)
     while pos < n:
@@ -611,14 +617,20 @@ def parse_with_heap_stats(text: str) -> list:
         elif c in _DIGITS:
             r = _app_stopped_event(ctx, pos)
         if r is not None:
-            events.append(r[0])
+            out.append((r[0], pos))
             pos = r[1]
             continue
         idx = text.find("\n", pos)
         if idx == -1:
             break
         pos = idx + 1
-    return events
+    return out
+
+
+def parse_with_heap_stats(text: str) -> list:
+    """``Parser.parseWithHeapStats`` (Parser.scala:124-132):
+    ``(DetailedEvent | AppStoppedEvent | IgnoredLine).rep``."""
+    return [e for e, _ in parse_with_heap_stats_spans(text)]
 
 
 SKIP_LINE = "skip"

@@ -17,6 +17,11 @@ def fixture_text(name: str) -> str:
 def ray_session():
     """One Ray session for the whole pytest run (per driver contract)."""
     import ray
+    from ray.data import DataContext
+
+    # list<struct> columns (generations/regions) must not be coerced to
+    # tensor extensions when converting small results to pandas
+    DataContext.get_current().enable_tensor_extension_casting = False
 
     if not ray.is_initialized():
         ray.init(
