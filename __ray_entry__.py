@@ -1,44 +1,62 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module, then:
+- ``entry()`` — smoke check (flagship pipeline on sf0.001),
+- ``queries()[name](sf_dir)`` vs ``oracle_sql()[name]`` via DuckDB at
+  sf=0.01 (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init`` / ``ray.shutdown`` here or anywhere downstream.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ray.data import DataContext
+
+# list<struct> event columns must not be coerced to tensor extensions
+DataContext.get_current().enable_tensor_extension_casting = False
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship parse→enrich→route pipeline on sf0.001 (events-derived
+    transcripts corpus); returns the wide event Dataset."""
+    from gcflow import pipeline as pl
+    from gcflow import transcripts as tr
+
+    path = tr.materialize_transcripts("/root/testdata/sf0.001")
+    ds = pl.read_transcripts(path)
+    return pl.parse_events(ds, mode="basic", enrich=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gcflow.queries import GC_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(GC_QUERIES)
+    try:
+        from gcflow.ops.registry import OPS_QUERIES
+
+        out.update(OPS_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gcflow.queries import GC_ORACLES
+
+    out: dict[str, str] = {}
+    out.update(GC_ORACLES)
+    try:
+        from gcflow.ops.registry import OPS_ORACLES
+
+        out.update(OPS_ORACLES)
+    except ImportError:
+        pass
+    return out
