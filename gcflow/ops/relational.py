@@ -1,0 +1,214 @@
+"""Wide relational operators over the TPC-H-ish tables — demonstrates the
+engine's groupby / broadcast-join / sort / distinct paths with partial
+(in-batch) aggregation before the small final shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def q_rel_q1(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate: partial per-batch pyarrow group_by
+    → tiny final groupby over (returnflag, linestatus) partials."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # exact integer fixed-point: prices have 2 decimals, discounts 2,
+        # disc_price 4 — int64 sums are bit-exact vs the SQL oracle (float
+        # sums differ across engines by summation order)
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_e2 = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        dp_e4 = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    10000.0,
+                )
+            ),
+            pa.int64(),
+        )
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_c": price_c,
+                "dp_e4": dp_e4,
+                "disc_e2": disc_e2,
+            }
+        )
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty", "sum"),
+                ("price_c", "sum"),
+                ("dp_e4", "sum"),
+                ("disc_e2", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sq", "sp", "sd", "sdisc", "cnt"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(*[Sum(c, alias_name=c) for c in ["sq", "sp", "sd", "sdisc", "cnt"]])
+        .to_pandas()
+    )
+    out = pa.Table.from_pydict(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["sq"].astype("int64"),
+            "sum_base_price_cents": agg["sp"].astype("int64"),
+            "sum_disc_price_e4": agg["sd"].astype("int64"),
+            "sum_disc_e2": agg["sdisc"].astype("int64"),
+            "n": agg["cnt"].astype("int64"),
+        }
+    )
+    return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_rel_nation_revenue(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via broadcast small side (ray.put once,
+    dict lookup per batch — no shuffle join)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"]
+    lookup_ref = ray.put(cust_to_nation.to_dict())
+
+    class AttachNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k) for k in t["o_custkey"].to_pylist()]
+            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+            t2 = pa.table(
+                {"n_name": pa.array(names, type=pa.string()), "cents": cents}
+            )
+            g = t2.group_by(["n_name"]).aggregate([("cents", "sum"), ([], "count_all")])
+            return g.rename_columns(["n_name", "sp", "cnt"])
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = (
+        orders.map_batches(
+            AttachNation,
+            fn_constructor_args=(lookup_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("n_name")
+        .aggregate(Sum("sp", alias_name="sp"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = pa.Table.from_pydict(
+        {
+            "n_name": agg["n_name"],
+            "n_orders": agg["cnt"].astype("int64"),
+            "total_price_cents": agg["sp"].astype("int64"),
+        }
+    )
+    return out.sort_by([("n_name", "ascending")])
+
+
+def q_rel_topk_orders(sf_dir: str):
+    """Distributed top-k: sort + limit with a total tie-break."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_rel_distinct_segments(sf_dir: str):
+    """Distinct values (set op): in-batch dedup partial → global unique."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.Table.from_pydict({"c_mktsegment": pa.array(vals, type=pa.string())})
+
+
+def q_rel_order_status(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+            }
+        )
+        g = t2.group_by(["o_orderstatus"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderstatus", "sp", "cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("sp", alias_name="sp"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = pa.Table.from_pydict(
+        {
+            "o_orderstatus": agg["o_orderstatus"],
+            "n": agg["cnt"].astype("int64"),
+            "total_price_cents": agg["sp"].astype("int64"),
+        }
+    )
+    return out.sort_by([("o_orderstatus", "ascending")])
+
+
+RELATIONAL_QUERIES = {
+    "rel_q1": q_rel_q1,
+    "rel_nation_revenue": q_rel_nation_revenue,
+    "rel_topk_orders": q_rel_topk_orders,
+    "rel_distinct_segments": q_rel_distinct_segments,
+    "rel_order_status": q_rel_order_status,
+}
+
+RELATIONAL_ORACLES = {
+    "rel_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_e2,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "rel_nation_revenue": """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+""",
+    "rel_topk_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+    "rel_distinct_segments": """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1
+""",
+    "rel_order_status": """
+SELECT o_orderstatus, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+}

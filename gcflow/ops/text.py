@@ -1,0 +1,141 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All per-row work is vectorized (pyarrow.compute kernels) except the
+cryptographic fingerprint, which is a cheap per-row digest inside
+``map_batches`` (stateless tasks).  Each op has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+# stopword list for the language-ID heuristic (mirrored in SQL)
+STOPWORDS = ("the", "a", "of", "and", "to")
+LANG_THRESHOLD = 0.05
+
+
+def _docs(sf_dir: str, columns) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def q_doc_token_count(sf_dir: str):
+    """Whitespace token count: n_tokens = #space-separated fields."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring: char-class counts + alpha ratio (round 6)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+        n_space = pc.cast(pc.count_substring(text, " "), pa.int64())
+        # no rounding: both engines compute the identical single float64
+        # division of identical ints (rounding would add half-even vs
+        # half-away tie hazards)
+        ratio = pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(n_chars, pa.float64()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": n_chars,
+                "n_alpha": n_alpha,
+                "n_space": n_space,
+                "alpha_ratio": ratio,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_lang_id(sf_dir: str):
+    """Language-ID heuristic: stopword-token ratio ≥ threshold → 'en'.
+
+    (The synthetic ``lang`` column is random w.r.t. text, so this is an
+    honest heuristic op, not label recovery; the oracle recomputes the
+    same deterministic function.)"""
+    # \b-delimited regex count == split-token membership count for the
+    # clean space-separated corpus (oracle uses list_filter on tokens)
+    stop_re = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+    def f(t: pa.Table) -> pa.Table:
+        n_stop = pc.count_substring_regex(t["text"], stop_re)
+        n_tok = pc.add(pc.count_substring(t["text"], " "), 1)
+        ratio = pc.divide(
+            pc.cast(n_stop, pa.float64()), pc.cast(n_tok, pa.float64())
+        )
+        pred = pc.if_else(
+            pc.greater_equal(ratio, LANG_THRESHOLD),
+            pa.scalar("en"),
+            pa.scalar("unk"),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "stop_ratio": ratio,
+                "pred_lang": pred,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Content fingerprint (md5 digest per document)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fp, type=pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+_STOP_SQL = "', '".join(STOPWORDS)
+
+TEXT_QUERIES = {
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+TEXT_ORACLES = {
+    "doc_token_count": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+""",
+    "doc_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio
+FROM documents
+""",
+    "doc_lang_id": f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ('{_STOP_SQL}'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ratio
+  FROM documents
+)
+SELECT doc_id, ratio AS stop_ratio,
+       CASE WHEN ratio >= {LANG_THRESHOLD} THEN 'en' ELSE 'unk' END AS pred_lang
+FROM s
+""",
+    "doc_fingerprint": """
+SELECT doc_id, md5(text) AS fp FROM documents
+""",
+}

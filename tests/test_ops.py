@@ -1,0 +1,67 @@
+"""Extra checks for ops without SQL oracles (approximate / stubbed), plus
+recall properties of the approximate paths vs their exact baselines."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_finds_planted_exact_dups(ray_session):
+    from gcflow.ops.dedup import q_doc_simhash
+
+    t = q_doc_simhash(SF).to_pandas()
+    # planted exact copies (doc_id % 10 == 7 → +2_000_000) must appear at
+    # hamming distance 0
+    exact = t[(t.doc_b - t.doc_a == 2_000_000) & (t.hamming == 0)]
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    assert len(exact) == int((ids % 10 == 7).sum())
+
+
+def test_lsh_search_recall_vs_bruteforce(ray_session):
+    from gcflow.ops.similarity import q_emb_ann_topk, q_emb_lsh_search
+
+    exact = q_emb_ann_topk(SF).to_pandas()
+    approx = q_emb_lsh_search(SF).to_pandas()
+    recall = []
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recall.append(len(e & a) / len(e))
+    # hyperplane-LSH with hamming-2 probing: deterministic given the fixed
+    # seed; just assert it finds a meaningful fraction without scanning all
+    assert np.mean(recall) >= 0.3
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    from gcflow.ops.multimodal import DecodeStage, decode_documents
+
+    ds = decode_documents(SF, concurrency=(1, 2), batch_size=32)
+    df = ds.to_pandas()
+    assert len(df) == 500
+    d0 = df.iloc[0]["decoded"]
+    assert set(d0.keys()) == {"width", "height", "n_frames"}
+    assert 16 <= d0["width"] <= 271
+    # deterministic: same payload → same fake decode
+    import pyarrow as pa
+
+    stage = DecodeStage(fake=True)
+    batch = pa.table({"payload": pa.array([b"xyz"], type=pa.binary())})
+    a = stage(batch)["decoded"][0].as_py()
+    b = stage(batch)["decoded"][0].as_py()
+    assert a == b
+    # the real-decode path is stubbed in this environment
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)
+
+
+def test_minhash_agreement_tracks_jaccard():
+    from gcflow.ops.dedup import _minhash_signature
+
+    A = {f"sh{i}" for i in range(200)}
+    B = {f"sh{i}" for i in range(40, 240)}
+    ja = len(A & B) / len(A | B)
+    agree = (_minhash_signature(A) == _minhash_signature(B)).mean()
+    assert abs(agree - ja) < 0.15
