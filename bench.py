@@ -1,0 +1,146 @@
+"""Benchmark harness: headline parse→enrich→route→aggregate pipeline +
+representative operator queries over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": r}
+
+--scaling: runs the headline job in two fresh processes (num_cpus=8 and
+32) on the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the N→4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# replicate the events-derived corpus so the bench input is meaningfully
+# large (sf0.1: 100k events × 9/8 lines × R)
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+
+
+def _scaling_main():
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": t8,
+                "sec_32": t32,
+                "turns_per_sec_8": out[8]["turns_per_sec"],
+                "turns_per_sec_32": out[32]["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": out[32]["sf"],
+                "turns": out[32]["turns"],
+            }
+        )
+    )
+
+
+def main():
+    os.environ.setdefault("PYTHONPATH", REPO)
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+    ctx.enable_progress_bars = False
+
+    from gcflow import pipeline as pl
+    from gcflow import transcripts as tr
+
+    # untimed: materialize the corpus + warm up the session (worker pool,
+    # page cache) with a small pipeline run, so the timed section measures
+    # steady-state compute + shuffle, not spin-up
+    path = tr.materialize_transcripts(SF_DIR, replicate=REPLICATE)
+    warm_path = tr.materialize_transcripts("/root/testdata/sf0.001")
+    shutil.rmtree("/tmp/gcflow_warm_out", ignore_errors=True)
+    pl.run_pipeline(warm_path, out_dir="/tmp/gcflow_warm_out", mode="basic")
+    import pyarrow.parquet as pq
+
+    turns = pq.read_metadata(path).num_rows
+
+    queries: dict = {}
+
+    # headline: full parse→enrich→route→aggregate with partitioned sinks
+    out_dir = "/tmp/gcflow_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    pl.run_pipeline(path, out_dir=out_dir, mode="basic")
+    headline = time.perf_counter() - t0
+    queries["gc_pipeline"] = round(headline, 3)
+
+    # representative operator benchmarks (each timed separately)
+    from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
+    from gcflow.ops.relational import q_rel_q1
+    from gcflow.ops.similarity import q_emb_ann_topk
+
+    for name, fn in [
+        ("rel_q1", q_rel_q1),
+        ("doc_exact_dedup", q_doc_exact_dedup),
+        ("doc_minhash_lsh", q_doc_minhash_lsh),
+        ("emb_ann_topk", q_emb_ann_topk),
+    ]:
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas") and not isinstance(res, __import__("pyarrow").Table):
+            res.to_pandas()  # consume lazily-built Datasets
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "parse→enrich→route→aggregate throughput",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "num_cpus": NUM_CPUS,
+                "turns": int(turns),
+                "turns_per_sec": round(turns / headline, 1),
+                "replicate": REPLICATE,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling_main()
+    else:
+        main()

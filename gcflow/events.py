@@ -82,22 +82,42 @@ def format_datetime(epoch_ms: int, offset_min: int) -> str:
     return dt.strftime("%Y-%m-%d %H:%M:%S.") + f"{epoch_ms % 1000:03d}"
 
 
-@dataclass(slots=True)
 class SizeDelta:
-    """start/end/capacity kept as suffixed strings, converted lazily —
-    mirrors SizeDelta (BasicGCEvent.scala:80-84)."""
+    """start/end/capacity kept as suffixed strings, converted lazily with
+    caching — mirrors SizeDelta (BasicGCEvent.scala:80-84).  (A hot-path
+    class: conversions are cached because rates/exports re-read them.)"""
 
-    start: str
-    end: str
-    capacity: str
+    __slots__ = ("start", "end", "capacity", "_sb", "_eb")
+
+    def __init__(self, start: str, end: str, capacity: str):
+        self.start = start
+        self.end = end
+        self.capacity = capacity
+        self._sb = None
+        self._eb = None
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, SizeDelta)
+            and self.start == other.start
+            and self.end == other.end
+            and self.capacity == other.capacity
+        )
+
+    def __repr__(self):
+        return f"SizeDelta({self.start!r}, {self.end!r}, {self.capacity!r})"
 
     @property
     def start_bytes(self) -> int:
-        return to_bytes(self.start)
+        if self._sb is None:
+            self._sb = to_bytes(self.start)
+        return self._sb
 
     @property
     def end_bytes(self) -> int:
-        return to_bytes(self.end)
+        if self._eb is None:
+            self._eb = to_bytes(self.end)
+        return self._eb
 
     @property
     def reclaimed_bytes(self) -> int:

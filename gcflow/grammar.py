@@ -316,8 +316,90 @@ def _total_app_stopped(ctx: Ctx, pos: int):
     return (float(m.group(1)), float(m.group(2))), m.end()
 
 
+# ------------------------------------------------------- fast path (perf)
+#
+# One compiled regex per dominant single-line event shape.  Each pattern is
+# strictly narrower than the full grammar (it only matches inputs the
+# descent would parse to the exact same event, consuming the same span);
+# any non-match falls through to the full descent, so failure watermarks
+# and tolerant-scan semantics are unchanged.
+
+_TS_PAT = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}"
+_GEN_PAT = (
+    r"(?:\d+\.\d+: )?\[[a-zA-Z0-9 \-]+: \d+[KM]->\d+[KM]\(\d+[KM]\)"
+    r"(?:, \d+\.\d+ secs)?\]"
+)
+_FAST_BASIC = re.compile(
+    # (?!CMS): a CMS-prefixed cause routes to the CMS branch in the full
+    # grammar (Parser.scala:56-57) — never fast-match it as Basic
+    rf"(?:({_TS_PAT}): )?(\d+\.\d+): \[((?:Full )?GC) (?:\((?!CMS)([a-zA-Z ]*)\) *)?"
+    rf"((?:{_GEN_PAT}(?:, | |))*)"
+    rf"(\d+[KM])->(\d+[KM])\((\d+[KM])\)"
+    rf"((?:(?:, | |){_GEN_PAT})*)"
+    rf", (\d+\.\d+) secs\]"
+)
+_FAST_GEN = re.compile(
+    r"\[([a-zA-Z0-9 \-]+): (\d+[KM])->(\d+[KM])\((\d+[KM])\)(?:, \d+\.\d+ secs)?\]"
+)
+_FAST_APP = re.compile(
+    rf"(?:({_TS_PAT}): )?(\d+\.\d+): Total time for which application threads"
+    rf" were stopped: (\d+\.\d+) seconds, Stopping threads took: (\d+\.\d+)"
+    rf" seconds\n?"
+)
+_FAST_CMS = re.compile(
+    rf"(?:({_TS_PAT}): )?(\d+\.\d+): \[(CMS[a-zA-Z\-]*)"
+    rf"(?:\]|: [^\n]*? real=(\d+\.\d+) secs\])"
+)
+
+
+def _fast_ts(group: Optional[str]):
+    if group is None:
+        return None
+    ctx = Ctx(group)
+    r = _timestamp(ctx, 0)
+    return r[0]
+
+
+def _fast_gc_line(ctx: Ctx, pos: int):
+    m = _FAST_BASIC.match(ctx.s, pos)
+    if m:
+        ts, age, gtype, cause, pre, hb, ha, hc, post, pause = m.groups()
+        gens = [
+            GenerationDelta(g[0], SizeDelta(g[1], g[2], g[3]))
+            for g in _FAST_GEN.findall(pre) + _FAST_GEN.findall(post)
+        ]
+        return (
+            BasicGCEvent(
+                _fast_ts(ts), float(age), gtype, cause,
+                SizeDelta(hb, ha, hc), gens, float(pause),
+            ),
+            m.end(),
+        )
+    m = _FAST_CMS.match(ctx.s, pos)
+    if m:
+        ts, age, gtype, pause = m.groups()
+        return (
+            CmsGcEvent(
+                _fast_ts(ts), float(age), gtype, None,
+                float(pause) if pause is not None else 0.0,
+            ),
+            m.end(),
+        )
+    m = _FAST_APP.match(ctx.s, pos)
+    if m:
+        ts, age, stopped, to_stop = m.groups()
+        return (
+            AppPausedEvent(_fast_ts(ts), float(age), float(stopped), float(to_stop)),
+            m.end(),
+        )
+    return None
+
+
 def gc_line(ctx: Ctx, pos: int):
     """GcLine (Parser.scala:66-73): [ts: ] age: (collection | app-stopped)."""
+    r = _fast_gc_line(ctx, pos)
+    if r is not None:
+        return r
     p = pos
     time = None
     r = _timestamp(ctx, p)

@@ -22,6 +22,7 @@ Stages:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import pyarrow as pa
@@ -29,7 +30,13 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .stitch import MODE_BASIC, MODE_HEAP_STATS, stitch_group
+from .stitch import (
+    DEFAULT_NUM_BUCKETS,
+    MODE_BASIC,
+    MODE_HEAP_STATS,
+    hash_buckets,
+    stitch_bucket,
+)
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -67,12 +74,35 @@ def parse_events(
     mode: str = MODE_BASIC,
     prefilter: bool = True,
     enrich: bool = True,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
 ) -> rd.Dataset:
-    """transcripts Dataset → wide event-row Dataset (lazy)."""
-    if prefilter:
-        ds = ds.map_batches(_prefilter_batch, batch_format="pyarrow", zero_copy_batch=True)
-    events = ds.groupby("conv_id").map_groups(
-        lambda g: stitch_group(g, mode), batch_format="pyarrow"
+    """transcripts Dataset → wide event-row Dataset (lazy).
+
+    The stitch shuffle is an explicit hash partition: ``bucket =
+    hash64(conv_id) % num_buckets`` added vectorized pre-shuffle, then ONE
+    ``map_groups`` call per bucket sweeps all its conversations (per-conv
+    group calls pay ~1ms of machinery each — ruinous at 10^5+ convs).
+    ``ts`` is dropped before the shuffle (events re-derive time from the
+    parsed text; no reason to ship it)."""
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if prefilter:
+            batch = batch.filter(prefilter_mask(batch["text"]))
+        bucket = hash_buckets(batch["conv_id"].to_pylist(), num_buckets)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "role": batch["role"],
+                "text": batch["text"],
+                "tool": batch["tool"],
+                "bucket": pa.array(bucket, type=pa.int32()),
+            }
+        )
+
+    ds = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    events = ds.groupby("bucket").map_groups(
+        lambda g: stitch_bucket(g, mode), batch_format="pyarrow"
     )
     if enrich:
         from .enrich import EnrichStage
@@ -103,6 +133,37 @@ def sink_counts(events: rd.Dataset) -> "pa.Table":
     )
 
 
+class SinkWriter:
+    """Fused fan-out sink + partial-count stage: each task writes its
+    batch's rows to ``out_dir/sink=<name>/part-*.parquet`` directly (one
+    pyarrow write per sink per batch) and emits only tiny (sink,
+    event_type, n) partial-count rows downstream.  One pass over the
+    events — no hive-partition shim, no read-back for the aggregate."""
+
+    def __init__(self, out_dir: str):
+        import uuid
+
+        self.out_dir = out_dir
+        self.uid = uuid.uuid4().hex[:12]
+        self.part = 0
+        for s in ("basic", "cms", "app_stopped", "detailed", "error"):
+            os.makedirs(os.path.join(out_dir, f"sink={s}"), exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        sinks = batch["sink"].to_numpy(zero_copy_only=False)
+        for s in set(sinks.tolist()):
+            sub = batch.filter(pa.array(sinks == s))
+            path = os.path.join(
+                self.out_dir, f"sink={s}", f"part-{self.uid}-{self.part:05d}.parquet"
+            )
+            self.part += 1
+            pq.write_table(sub.drop_columns(["sink"]), path)
+        g = batch.group_by(["sink", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["sink", "event_type", "n_partial"])
+
+
 def run_pipeline(
     transcripts_path: str,
     out_dir: Optional[str] = None,
@@ -112,15 +173,26 @@ def run_pipeline(
 ) -> dict:
     """Full parse→enrich→route→aggregate job; returns metrics.
 
-    Output layout: ``out_dir/sink=<name>/*.parquet`` (single-pass fan-out
-    via hive partitioning) — per-event-type Parquet sinks (SURVEY.md S6
-    mapping)."""
+    Output layout: ``out_dir/sink=<name>/part-*.parquet`` — per-event-type
+    Parquet fan-out sinks (SURVEY.md S6 mapping) written in the same pass
+    that feeds the streaming per-sink aggregate."""
     ds = read_transcripts(transcripts_path)
     events = parse_events(ds, mode=mode, prefilter=prefilter, enrich=enrich)
     if out_dir is not None:
-        events.write_parquet(out_dir, partition_cols=["sink"])
-        events = rd.read_parquet(out_dir)
-    counts = sink_counts(events)
+        partials = events.map_batches(
+            SinkWriter,
+            fn_constructor_args=(out_dir,),
+            batch_format="pyarrow",
+            batch_size=32768,
+            concurrency=(1, 16),
+        )
+        out = partials.groupby(["sink", "event_type"]).sum("n_partial")
+        t = pa.Table.from_pandas(out.to_pandas())
+        counts = t.rename_columns(["sink", "event_type", "n"]).sort_by(
+            [("sink", "ascending"), ("event_type", "ascending")]
+        )
+    else:
+        counts = sink_counts(events)
     return {
         "sink_counts": counts,
         "events_total": int(pc.sum(counts["n"]).as_py() or 0),

@@ -90,74 +90,121 @@ def route_sink(event) -> str:
     return SINK_BASIC
 
 
-def rated_events_to_table(
-    conv_id: str, rated: list, turn_idxs: list, roles: list, tools: list
-) -> pa.Table:
-    """Convert one conversation's rate-scanned events to an Arrow table.
+class EventColumns:
+    """Column accumulator for event rows — one instance per stitch bucket,
+    shared across all its conversations (amortizes Arrow array building)."""
 
-    ``turn_idxs/roles/tools`` are per-event provenance (starting turn).
-    """
-    n = len(rated)
-    cols = {name: [None] * n for name in EVENT_SCHEMA.names}
-    for i, ewr in enumerate(rated):
+    __slots__ = ("cols", "n")
+
+    def __init__(self):
+        self.cols = {name: [] for name in EVENT_SCHEMA.names}
+        self.n = 0
+
+    def _pad(self, filled: set) -> None:
+        for name in EVENT_SCHEMA.names:
+            if name not in filled:
+                self.cols[name].append(None)
+
+    def append_event(
+        self, conv_id: str, seq: int, turn_idx: int, role, tool, ewr: "ev.EventWithRates"
+    ) -> None:
+        c = self.cols
         base = ewr.base
         inner = base.e if isinstance(base, ev.DetailedGCEvent) else base
-        cols["conv_id"][i] = conv_id
-        cols["event_seq"][i] = i
-        cols["turn_idx"][i] = turn_idxs[i]
-        cols["role"][i] = roles[i]
-        cols["tool"][i] = tools[i]
-        cols["sink"][i] = route_sink(base)
-        cols["event_type"][i] = base.gc_type
+        c["conv_id"].append(conv_id)
+        c["event_seq"].append(seq)
+        c["turn_idx"].append(turn_idx)
+        c["role"].append(role)
+        c["tool"].append(tool)
+        c["sink"].append(route_sink(base))
+        c["event_type"].append(base.gc_type)
         t = base.time
         if t is not None:
-            cols["ts"][i] = t[0]
-            cols["tz_offset_min"][i] = t[1]
-        cols["jvm_age_seconds"][i] = base.jvm_age_seconds
-        cols["allocated_bytes"][i] = ewr.bytes_allocated_since_last_event
-        cols["interval_ms"][i] = ewr.millis_since_last_event
-        cols["alloc_rate"][i] = ewr.heap_allocation_rate()
-        cols["promotion_rate"][i] = ewr.promotion_rate()
+            c["ts"].append(t[0])
+            c["tz_offset_min"].append(t[1])
+        else:
+            c["ts"].append(None)
+            c["tz_offset_min"].append(None)
+        c["jvm_age_seconds"].append(base.jvm_age_seconds)
+        c["allocated_bytes"].append(ewr.bytes_allocated_since_last_event)
+        c["interval_ms"].append(ewr.millis_since_last_event)
+        c["alloc_rate"].append(ewr.heap_allocation_rate())
+        c["promotion_rate"].append(ewr.promotion_rate())
         if isinstance(inner, ev.AppPausedEvent):
-            cols["stopped_seconds"][i] = inner.stopped_seconds
-            cols["seconds_to_stop"][i] = inner.seconds_to_stop
-            continue
-        cols["gc_cause"][i] = inner.gc_cause
-        cols["pause_seconds"][i] = inner.pause_seconds
+            c["stopped_seconds"].append(inner.stopped_seconds)
+            c["seconds_to_stop"].append(inner.seconds_to_stop)
+            for name in (
+                "gc_cause", "pause_seconds", "heap_before_bytes", "heap_after_bytes",
+                "heap_capacity_bytes", "heap_reclaimed_bytes", "generations",
+                "regions", "tenuring_desired_bytes", "tenuring_new_threshold",
+                "promoted_bytes",
+            ):
+                c[name].append(None)
+            return
+        c["stopped_seconds"].append(None)
+        c["seconds_to_stop"].append(None)
+        c["gc_cause"].append(inner.gc_cause)
+        c["pause_seconds"].append(inner.pause_seconds)
         if isinstance(inner, ev.BasicGCEvent):
             d = inner.heap_delta
-            cols["heap_before_bytes"][i] = d.start_bytes
-            cols["heap_after_bytes"][i] = d.end_bytes
-            cols["heap_capacity_bytes"][i] = ev.to_bytes(d.capacity)
-            cols["heap_reclaimed_bytes"][i] = d.reclaimed_bytes
-            cols["generations"][i] = [
-                {
-                    "name": g.name,
-                    "before_bytes": g.delta.start_bytes,
-                    "after_bytes": g.delta.end_bytes,
-                    "capacity_bytes": ev.to_bytes(g.delta.capacity),
-                }
-                for g in inner.generation_deltas
-            ]
-            cols["promoted_bytes"][i] = inner.promoted_bytes()
+            c["heap_before_bytes"].append(d.start_bytes)
+            c["heap_after_bytes"].append(d.end_bytes)
+            c["heap_capacity_bytes"].append(ev.to_bytes(d.capacity))
+            c["heap_reclaimed_bytes"].append(d.reclaimed_bytes)
+            c["generations"].append(
+                [
+                    {
+                        "name": g.name,
+                        "before_bytes": g.delta.start_bytes,
+                        "after_bytes": g.delta.end_bytes,
+                        "capacity_bytes": ev.to_bytes(g.delta.capacity),
+                    }
+                    for g in inner.generation_deltas
+                ]
+            )
+            c["promoted_bytes"].append(inner.promoted_bytes())
             if inner.tenuring is not None:
-                cols["tenuring_desired_bytes"][i] = int(
-                    inner.tenuring.desired_survivor_size
-                )
-                cols["tenuring_new_threshold"][i] = int(inner.tenuring.new_threshold)
+                c["tenuring_desired_bytes"].append(int(inner.tenuring.desired_survivor_size))
+                c["tenuring_new_threshold"].append(int(inner.tenuring.new_threshold))
+            else:
+                c["tenuring_desired_bytes"].append(None)
+                c["tenuring_new_threshold"].append(None)
+        else:  # CmsGcEvent
+            for name in (
+                "heap_before_bytes", "heap_after_bytes", "heap_capacity_bytes",
+                "heap_reclaimed_bytes", "generations", "tenuring_desired_bytes",
+                "tenuring_new_threshold", "promoted_bytes",
+            ):
+                c[name].append(None)
         if isinstance(base, ev.DetailedGCEvent):
-            cols["regions"][i] = [
-                {
-                    "name": r.name,
-                    "before": ev.to_bytes(r.start),
-                    "after": ev.to_bytes(r.end),
-                    "capacity_before": ev.to_bytes(r.start_capacity),
-                    "capacity_after": ev.to_bytes(r.end_capacity),
-                }
-                for r in base.regions
-            ]
-    arrays = [pa.array(cols[f.name], type=f.type) for f in EVENT_SCHEMA]
-    return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
+            c["regions"].append(
+                [
+                    {
+                        "name": r.name,
+                        "before": ev.to_bytes(r.start),
+                        "after": ev.to_bytes(r.end),
+                        "capacity_before": ev.to_bytes(r.start_capacity),
+                        "capacity_after": ev.to_bytes(r.end_capacity),
+                    }
+                    for r in base.regions
+                ]
+            )
+        else:
+            c["regions"].append(None)
+
+    def append_error(self, conv_id: str, turn_idx: int, message: str) -> None:
+        filled = {"conv_id", "event_seq", "turn_idx", "sink", "event_type", "gc_cause"}
+        self.cols["conv_id"].append(conv_id)
+        self.cols["event_seq"].append(0)
+        self.cols["turn_idx"].append(turn_idx)
+        self.cols["sink"].append(SINK_ERROR)
+        self.cols["event_type"].append("ParseError")
+        self.cols["gc_cause"].append(message[:200])
+        self._pad(filled)
+
+    def to_table(self) -> pa.Table:
+        arrays = [pa.array(self.cols[f.name], type=f.type) for f in EVENT_SCHEMA]
+        return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
 
 
 def empty_events_table() -> pa.Table:

@@ -1,0 +1,98 @@
+"""Sink parity (TSV/graphite goldens from Arrow rows) + checkpoint/resume."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import fixture_text
+
+from gcflow import pipeline as pl
+from gcflow import sinks
+from gcflow import transcripts as tr
+from gcflow.events import export_to_seq, rate_scan
+from gcflow.grammar import parse_log
+
+
+@pytest.fixture(scope="module")
+def fragment_events(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(tr.fixture_transcripts(names=["fragment.txt"]))
+    return pl.parse_events(ds, mode="basic", enrich=False)
+
+
+def test_arrow_export_matches_event_export(ray_session):
+    """The Arrow-row export (sink layer) must equal the event-object export
+    for every event of the conformance corpus, rates included."""
+    import ray.data as rd
+
+    for fixture in ["basic-java8-gc.log", "fragment.txt", "details-java7-gc.log"]:
+        events = rate_scan(parse_log(fixture_text(fixture)))
+        want = ["\t".join(v for _, v in export_to_seq(e)) for e in events]
+        ds = rd.from_arrow(tr.fixture_transcripts(names=[fixture]))
+        rows = (
+            pl.parse_events(ds, mode="basic", enrich=False)
+            .to_pandas()
+            .sort_values("event_seq")
+        )
+        got = [
+            "\t".join(v for _, v in sinks.arrow_export_seq(row))
+            for row in rows.to_dict("records")
+        ]
+        assert got == want, fixture
+
+
+def test_graphite_golden(fragment_events):
+    """OutputFormatTest.scala:9-29 golden: first fragment event, graphite
+    long format, datetime excluded."""
+    lines = sinks.graphite_lines(fragment_events, with_rates=False, limit=None)
+    first_event_lines = lines[:14]
+    assert first_event_lines == [
+        "gc.age 524176.359 1449722814",
+        "gc.type GC 1449722814",
+        "gc.pause 0.18402 1449722814",
+        "gc.heapBefore 3748762624 1449722814",
+        "gc.heapAfter 2875555840 1449722814",
+        "gc.heapReclaimed 873206784 1449722814",
+        "gc.heapMax 4046913536 1449722814",
+        "gc.PSYoungGenBefore 1096065024 1449722814",
+        "gc.PSYoungGenAfter 78150656 1449722814",
+        "gc.PSYoungGenReclaimed 1017914368 1449722814",
+        "gc.PSYoungGenMax 1183580160 1449722814",
+        "gc.promoted 144707584 1449722814",
+        "gc.desiredSurvivorSize 248053760 1449722814",
+        "gc.newThreshold 1 1449722814",
+    ]
+
+
+def test_tsv_sink(fragment_events, tmp_path):
+    path = str(tmp_path / "out.tsv")
+    sinks.write_tsv(fragment_events, path, with_rates=False)
+    lines = open(path).read().rstrip("\n").split("\n")
+    # header from FIRST event (schema-on-first-row), then one row per event
+    assert lines[0].split("\t")[:4] == ["datetime", "age", "type", "pause"]
+    assert len(lines) == 3
+    assert lines[1].split("\t")[1] == "524176.359"
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from gcflow import checkpoint as cp
+
+    # split the fixture corpus into 4 input files
+    table = tr.fixture_transcripts()
+    files = []
+    for i in range(4):
+        f = str(tmp_path / f"in_{i}.parquet")
+        pq.write_table(table.slice(i * 150, 150), f)
+        files.append(f)
+    out = str(tmp_path / "out")
+    r1 = cp.run_checkpointed(files, out, num_shards=4, enrich=False)
+    assert len(r1["ran"]) == 4 and r1["skipped"] == []
+    # resume: everything skipped
+    r2 = cp.run_checkpointed(files, out, num_shards=4, enrich=False)
+    assert r2["ran"] == [] and len(r2["skipped"]) == 4
+    # drop one lineage record → only that shard reruns
+    os.remove(os.path.join(cp.lineage_dir(out), "2.json"))
+    r3 = cp.run_checkpointed(files, out, num_shards=4, enrich=False)
+    assert r3["ran"] == [2] and len(r3["skipped"]) == 3
