@@ -25,6 +25,8 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -34,8 +36,12 @@ from .stitch import (
     DEFAULT_NUM_BUCKETS,
     MODE_BASIC,
     MODE_HEAP_STATS,
+    RESIDUE_SINK,
+    apply_rates_bucket,
     hash_buckets,
     stitch_bucket,
+    stitch_residue_runs,
+    stitch_salted_chunk,
 )
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -63,7 +69,31 @@ def _prefilter_batch(batch: pa.Table) -> pa.Table:
     return batch.filter(prefilter_mask(batch["text"]))
 
 
+def _ncpu() -> int:
+    import ray
+
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _tune_context() -> None:
+    """Shuffle/exchange tuning: push-based sort shuffle cuts the all-to-all
+    barrier cost ~30% for the stitch groupby (measured in BASELINE.md)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+
 def read_transcripts(path, override_num_blocks: Optional[int] = None) -> rd.Dataset:
+    """Column-pruned transcript read.  Blocks are sized to ~2 per CPU —
+    tiny blocks (the 1-file default split to ~1.5MB each) make the stitch
+    exchange overhead-dominated."""
+    if override_num_blocks is None:
+        override_num_blocks = 2 * _ncpu()
     return rd.read_parquet(
         path, columns=TRANSCRIPT_COLUMNS, override_num_blocks=override_num_blocks
     )
@@ -100,6 +130,7 @@ def parse_events(
             }
         )
 
+    _tune_context()
     ds = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
     events = ds.groupby("bucket").map_groups(
         lambda g: stitch_bucket(g, mode), batch_format="pyarrow"
@@ -111,7 +142,98 @@ def parse_events(
             EnrichStage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
+            concurrency=max(2, _ncpu() // 4),
+        )
+    return events
+
+
+def parse_events_salted(
+    ds: rd.Dataset,
+    mode: str = MODE_BASIC,
+    prefilter: bool = True,
+    enrich: bool = True,
+    salt_turns: int = 100_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> rd.Dataset:
+    """Skew-aware salted variant of :func:`parse_events` (see the salting
+    design note in gcflow/stitch.py).  Equivalent output to the unsalted
+    path (asserted in tests); use when single conversations can exceed
+    ``salt_turns`` turns — the per-chunk stage A bounds any one task's work
+    by the chunk size instead of the largest conversation."""
+    _tune_context()
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if prefilter:
+            batch = batch.filter(prefilter_mask(batch["text"]))
+        conv = batch["conv_id"].to_pylist()
+        salt = (
+            batch["turn_idx"].to_numpy(zero_copy_only=False) // salt_turns
+        ).astype(np.int64)
+        h = pd.util.hash_array(np.asarray(conv, dtype=object))
+        bucket = ((h + salt.astype(np.uint64) * np.uint64(0x9E3779B9)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "role": batch["role"],
+                "text": batch["text"],
+                "tool": batch["tool"],
+                "salt": pa.array(salt, type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int32()),
+            }
+        )
+
+    staged = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    stage_a = staged.groupby("bucket").map_groups(
+        lambda g: stitch_salted_chunk(g, mode, salt_turns), batch_format="pyarrow"
+    )
+
+    events_a = stage_a.map_batches(
+        lambda t: t.filter(pc.not_equal(t["sink"], RESIDUE_SINK)).drop_columns(["res_text"]),
+        batch_format="pyarrow",
+    )
+    residues = stage_a.map_batches(
+        lambda t: t.filter(pc.equal(t["sink"], RESIDUE_SINK)),
+        batch_format="pyarrow",
+    )
+
+    def residue_bucket(t: pa.Table) -> pa.Table:
+        # residues bucket by conv only — run chaining needs the whole
+        # conversation's residues together (they are tiny: boundary slices)
+        return t.append_column(
+            "rbucket",
+            pa.array(hash_buckets(t["conv_id"].to_pylist(), num_buckets), type=pa.int32()),
+        )
+
+    events_b = (
+        residues.map_batches(residue_bucket, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(lambda g: stitch_residue_runs(g, mode), batch_format="pyarrow")
+    )
+
+    def conv_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cbucket",
+            pa.array(hash_buckets(t["conv_id"].to_pylist(), num_buckets), type=pa.int32()),
+        )
+
+    events = (
+        events_a.union(events_b)
+        .map_batches(conv_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(
+            lambda g: apply_rates_bucket(g.drop_columns(["cbucket"])),
+            batch_format="pyarrow",
+        )
+    )
+    if enrich:
+        from .enrich import EnrichStage
+
+        events = events.map_batches(
+            EnrichStage,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=max(2, _ncpu() // 4),
         )
     return events
 
@@ -184,7 +306,7 @@ def run_pipeline(
             fn_constructor_args=(out_dir,),
             batch_format="pyarrow",
             batch_size=32768,
-            concurrency=(1, 16),
+            concurrency=max(2, _ncpu() // 4),
         )
         out = partials.groupby(["sink", "event_type"]).sum("n_partial")
         t = pa.Table.from_pandas(out.to_pandas())

@@ -118,3 +118,328 @@ def stitch_bucket(group: pa.Table, mode: str = MODE_BASIC) -> pa.Table:
 def stitch_group(group: pa.Table, mode: str = MODE_BASIC) -> pa.Table:
     """Single-conversation variant (kept for tests / small inputs)."""
     return stitch_bucket(group, mode)
+
+
+# ----------------------------------------------------- skew-aware salting
+#
+# A single enormous conversation would serialize one bucket.  The salted
+# path splits every conversation into chunks of ``salt_turns`` turns keyed
+# (conv_id, salt = turn_idx // salt_turns) and parses each chunk locally,
+# EXCEPT the lines around chunk boundaries, which are re-stitched per
+# conversation in a (tiny) second shuffle:
+#
+#   stage A (bucket of (conv, salt)):  parse [first_safe, last_safe) of the
+#       chunk; lines before the first safe-start and from the last
+#       safe-start onward become *residue* rows;
+#   stage B (bucket of (conv, boundary)): tail-of-chunk-k ++ head-of-
+#       chunk-k+1 are adjacent line runs — parse each run independently;
+#   stage C (bucket of conv): vectorized rate scan over ALL events of the
+#       conversation in turn order (rates need the global per-conv event
+#       sequence; events ≪ lines so this shuffle is small).
+#
+# A *safe start* is a line no event can cross: in basic mode any
+# digit-initial line (no multi-line construct has a digit-initial interior
+# line); in heap-stats mode a '{' line (blocks don't nest; every
+# DetailedEvent starts at '{').  Cutting the line stream at safe starts
+# and parsing segments independently therefore yields exactly the
+# whole-stream events.  (Known deviation, as in the reference: a truncated
+# CMS line whose " real=" scan crosses lines could straddle a cut — the
+# reference's own grammar mis-handles that shape, ParserTest.scala:420-426.)
+
+RESIDUE_SINK = "__residue"
+
+
+def _safe_starts(texts: list, mode: str) -> list:
+    if mode == MODE_HEAP_STATS:
+        return [i for i, t in enumerate(texts) if t.startswith("{")]
+    return [i for i, t in enumerate(texts) if t[:1].isdigit()]
+
+
+def parse_segment(
+    cols: EventColumns,
+    conv_id: str,
+    texts: list,
+    turn_idx,
+    roles: list,
+    tools: list,
+    mode: str,
+) -> None:
+    """Parse one contiguous line run, emitting events with rate fields
+    zeroed (stage C overwrites them)."""
+    text = "\n".join(texts) + "\n"
+    offsets = [0]
+    acc = 0
+    for t in texts:
+        acc += len(t) + 1
+        offsets.append(acc)
+    try:
+        if mode == MODE_HEAP_STATS:
+            spans = grammar.parse_with_heap_stats_spans(text)
+        else:
+            spans = grammar.parse_log_spans(text)
+    except grammar.GrammarCrash as e:
+        cols.append_error(conv_id, int(turn_idx[0]), str(e))
+        return
+    for i, (event, pos) in enumerate(spans):
+        line = bisect_right(offsets, pos) - 1
+        cols.append_event(
+            conv_id,
+            i,
+            int(turn_idx[line]),
+            roles[line],
+            tools[line],
+            ev.EventWithRates(event, 0, 0),
+        )
+
+
+def stitch_salted_chunk(group: pa.Table, mode: str, salt_turns: int) -> pa.Table:
+    """Stage A: parse chunk interiors, emit residue rows for boundaries.
+
+    Output schema: EVENT_SCHEMA + res_text (residue rows use
+    sink=RESIDUE_SINK, event_seq = boundary id, gc_cause = raw text is in
+    res_text; role/tool/turn_idx preserved)."""
+    df = pd.DataFrame(
+        {
+            "conv_id": group["conv_id"].to_pylist(),
+            "salt": group["salt"].to_numpy(zero_copy_only=False),
+            "turn_idx": group["turn_idx"].to_numpy(zero_copy_only=False),
+            "text": group["text"].to_pylist(),
+            "role": group["role"].to_pylist(),
+            "tool": group["tool"].to_pylist(),
+        }
+    ).sort_values(["conv_id", "salt", "turn_idx"], kind="stable")
+
+    conv = df["conv_id"].to_numpy()
+    salt = df["salt"].to_numpy()
+    key_change = np.flatnonzero((conv[1:] != conv[:-1]) | (salt[1:] != salt[:-1])) + 1
+    starts = np.concatenate(([0], key_change))
+    ends = np.concatenate((key_change, [len(conv)]))
+
+    turn = df["turn_idx"].to_numpy()
+    texts = df["text"].to_list()
+    roles = df["role"].to_list()
+    tools = df["tool"].to_list()
+
+    cols = EventColumns()
+    res = {
+        k: []
+        for k in ("conv_id", "salt", "kind", "turn_idx", "role", "tool", "res_text")
+    }
+
+    def emit_residue(cid, chunk_salt, kind, lo, hi):
+        for j in range(lo, hi):
+            res["conv_id"].append(cid)
+            res["salt"].append(chunk_salt)
+            res["kind"].append(kind)
+            res["turn_idx"].append(int(turn[j]))
+            res["role"].append(roles[j])
+            res["tool"].append(tools[j])
+            res["res_text"].append(texts[j])
+
+    for s, e in zip(starts, ends):
+        cid = conv[s]
+        chunk_salt = int(salt[s])
+        seg_texts = texts[s:e]
+        safe = _safe_starts(seg_texts, mode)
+        if not safe:
+            # no safe start at all: the whole chunk is one residue run —
+            # 'full' (extends both boundaries) unless it's the first chunk,
+            # which can only extend rightward ('tail')
+            emit_residue(cid, chunk_salt, "full" if chunk_salt != 0 else "tail", s, e)
+            continue
+        s0 = 0 if chunk_salt == 0 else safe[0]
+        s_last = safe[-1]
+        if s_last < s0:  # unreachable (safe non-empty, s0 <= safe[0])
+            s_last = s0
+        if chunk_salt != 0 and s0 > 0:
+            emit_residue(cid, chunk_salt, "head", s, s + s0)
+        emit_residue(cid, chunk_salt, "tail", s + s_last, e)
+        parse_segment(
+            cols, cid, seg_texts[s0:s_last], turn[s + s0 : s + s_last],
+            roles[s + s0 : s + s_last], tools[s + s0 : s + s_last], mode,
+        )
+
+    events = cols.to_table()
+    n_ev = len(events)
+    n_res = len(res["conv_id"])
+    res_text_col = pa.array([None] * n_ev + res["res_text"], type=pa.string())
+    if n_res:
+        # residue rows ride the event schema: sink=RESIDUE_SINK,
+        # event_seq=salt, event_type=kind (head|tail|full)
+        res_cols = EventColumns()
+        for i in range(n_res):
+            res_cols.append_error(res["conv_id"][i], res["turn_idx"][i], "")
+        res_tab = res_cols.to_table()
+
+        def set_col(tab, name, arr, typ):
+            return tab.set_column(
+                tab.schema.get_field_index(name), name, pa.array(arr, type=typ)
+            )
+
+        res_tab = set_col(res_tab, "sink", [RESIDUE_SINK] * n_res, pa.string())
+        res_tab = set_col(res_tab, "event_seq", res["salt"], pa.int32())
+        res_tab = set_col(res_tab, "event_type", res["kind"], pa.string())
+        res_tab = set_col(res_tab, "role", res["role"], pa.string())
+        res_tab = set_col(res_tab, "tool", res["tool"], pa.string())
+        out = pa.concat_tables([events, res_tab])
+    else:
+        out = events
+    return out.append_column("res_text", res_text_col)
+
+
+def stitch_residue_runs(group: pa.Table, mode: str) -> pa.Table:
+    """Stage B: reassemble boundary runs per conversation.
+
+    Residue rows carry (salt, kind).  Within a conversation (sorted by
+    turn_idx), a *run* is a maximal chain
+    ``tail(k) ∘ full(k+1) ∘ … ∘ full(m-1) ∘ head(m)`` — a segment of kind
+    head/full continues the previous run iff that run's last segment was
+    tail/full of the immediately preceding salt chunk (adjacent by
+    construction: tails extend to their chunk's end, heads start at their
+    chunk's start).  Each run is a contiguous line slice of the original
+    conversation and is parsed independently."""
+    df = pd.DataFrame(
+        {
+            "conv_id": group["conv_id"].to_pylist(),
+            "salt": group["event_seq"].to_numpy(zero_copy_only=False),
+            "kind": group["event_type"].to_pylist(),
+            "turn_idx": group["turn_idx"].to_numpy(zero_copy_only=False),
+            "text": group["res_text"].to_pylist(),
+            "role": group["role"].to_pylist(),
+            "tool": group["tool"].to_pylist(),
+        }
+    ).sort_values(["conv_id", "turn_idx"], kind="stable")
+    conv = df["conv_id"].to_numpy()
+    salt = df["salt"].to_numpy()
+    kind = df["kind"].to_numpy()
+    # segment = same (conv, salt, kind) contiguous block
+    seg_change = np.flatnonzero(
+        (conv[1:] != conv[:-1]) | (salt[1:] != salt[:-1]) | (kind[1:] != kind[:-1])
+    ) + 1
+    seg_starts = np.concatenate(([0], seg_change))
+    seg_ends = np.concatenate((seg_change, [len(conv)]))
+
+    turn = df["turn_idx"].to_numpy()
+    texts = df["text"].to_list()
+    roles = df["role"].to_list()
+    tools = df["tool"].to_list()
+    cols = EventColumns()
+
+    run: list = []  # list of (start, end) slices forming the current run
+    prev = None  # (conv, salt, kind) of previous segment
+
+    def flush():
+        if not run:
+            return
+        idxs = [j for s, e in run for j in range(s, e)]
+        parse_segment(
+            cols,
+            conv[run[0][0]],
+            [texts[j] for j in idxs],
+            turn[idxs],
+            [roles[j] for j in idxs],
+            [tools[j] for j in idxs],
+            mode,
+        )
+
+    for s, e in zip(seg_starts, seg_ends):
+        key = (conv[s], int(salt[s]), kind[s])
+        chains = (
+            prev is not None
+            and prev[0] == key[0]
+            and prev[1] == key[1] - 1
+            and prev[2] in ("tail", "full")
+            and key[2] in ("head", "full")
+        )
+        if not chains:
+            flush()
+            run = []
+        run.append((s, e))
+        prev = key
+    flush()
+    return cols.to_table()
+
+
+def _segment_firsts(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask: first element of each equal-key run (keys sorted)."""
+    first = np.empty(len(keys), dtype=bool)
+    if len(keys):
+        first[0] = True
+        first[1:] = keys[1:] != keys[:-1]
+    return first
+
+
+def _jdiv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Java long division (truncate toward zero)."""
+    q = np.zeros(len(a), dtype=np.int64)
+    nz = b != 0
+    q[nz] = np.sign(a[nz]) * np.sign(b[nz]) * (np.abs(a[nz]) // np.abs(b[nz]))
+    return q
+
+
+def apply_rates_bucket(group: pa.Table) -> pa.Table:
+    """Stage C: vectorized per-conversation rate scan over event rows
+    (RateCalculator.scala:5-43 semantics), ordered by turn_idx.  Assumes
+    one event start per turn (one physical line per turn); nested columns
+    pass through untouched (no pandas round-trip)."""
+    conv_obj = np.asarray(group["conv_id"].to_pylist(), dtype=object)
+    turn = group["turn_idx"].to_numpy(zero_copy_only=False)
+    order = np.asarray(
+        pd.DataFrame({"c": conv_obj, "t": turn})
+        .sort_values(["c", "t"], kind="stable")
+        .index
+    )
+    t = group.take(pa.array(order))
+    n = len(t)
+    conv = conv_obj[order]
+
+    age_ms = np.floor(t["jvm_age_seconds"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+    is_app = np.asarray(t["sink"].to_pylist(), dtype=object) == "app_stopped"
+    hb = t["heap_before_bytes"].to_numpy(zero_copy_only=False)
+    ha = t["heap_after_bytes"].to_numpy(zero_copy_only=False)
+    has_heap = ~pd.isna(hb)
+    promoted = t["promoted_bytes"].to_numpy(zero_copy_only=False)
+
+    sub = ~is_app
+    conv_sub = conv[sub]
+    first = _segment_firsts(conv_sub)
+    ha_sub = np.nan_to_num(ha[sub])
+    heap_sub = has_heap[sub]
+    hb_sub = np.nan_to_num(hb[sub])
+    age_sub = age_ms[sub]
+    prev_ha = np.roll(ha_sub, 1)
+    prev_heap = np.roll(heap_sub, 1)
+    prev_age = np.roll(age_sub, 1)
+
+    allocated = np.where(
+        first,
+        np.where(heap_sub, hb_sub, 0),
+        np.where(heap_sub & prev_heap, hb_sub - prev_ha, 0),
+    ).astype(np.int64)
+    elapsed = np.where(first, age_sub, age_sub - prev_age).astype(np.int64)
+    alloc_rate = _jdiv(allocated, elapsed)
+    prom_sub = promoted[sub]
+    prom_rate = np.zeros(len(allocated), dtype=np.int64)
+    mask = (~pd.isna(prom_sub)) & (elapsed != 0)
+    prom_rate[mask] = _jdiv(np.nan_to_num(prom_sub)[mask].astype(np.int64), elapsed[mask])
+
+    def scatter(vals):
+        out = np.zeros(n, dtype=np.int64)
+        out[sub] = vals
+        return out
+
+    firsts_all = _segment_firsts(conv)
+    seg_start = np.maximum.accumulate(np.where(firsts_all, np.arange(n), 0))
+    seq = (np.arange(n) - seg_start).astype(np.int32)
+
+    def set_col(tab, name, arr, typ):
+        return tab.set_column(
+            tab.schema.get_field_index(name), name, pa.array(arr, type=typ)
+        )
+
+    t = set_col(t, "event_seq", seq, pa.int32())
+    t = set_col(t, "allocated_bytes", scatter(allocated), pa.int64())
+    t = set_col(t, "interval_ms", scatter(elapsed), pa.int64())
+    t = set_col(t, "alloc_rate", scatter(alloc_rate), pa.int64())
+    t = set_col(t, "promotion_rate", scatter(prom_rate), pa.int64())
+    return t
