@@ -31,8 +31,14 @@ REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
 
 
 def _scaling_main():
+    # N and 4N parallelism levels; default 8→32.  On this 32-physical-core
+    # host the 32-CPU level shares cores with raylet/driver/object-store —
+    # GRAFT_SCALE_LO/HI=4/16 measures the same criterion without that
+    # saturation artifact (both pairs reported in BASELINE.md).
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     out = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -46,18 +52,19 @@ def _scaling_main():
             check=True,
         )
         out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
             {
-                "sec_8": t8,
-                "sec_32": t32,
-                "turns_per_sec_8": out[8]["turns_per_sec"],
-                "turns_per_sec_32": out[32]["turns_per_sec"],
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"turns_per_sec_{lo}": out[lo]["turns_per_sec"],
+                f"turns_per_sec_{hi}": out[hi]["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
-                "sf": out[32]["sf"],
-                "turns": out[32]["turns"],
+                "sf": out[hi]["sf"],
+                "turns": out[hi]["turns"],
+                "cpus": [lo, hi],
             }
         )
     )
@@ -97,7 +104,7 @@ def main():
     queries: dict = {}
 
     # headline: full parse→enrich→route→aggregate with partitioned sinks
-    out_dir = "/tmp/gcflow_bench_out"
+    out_dir = os.environ.get("GCFLOW_BENCH_OUT", "/tmp/gcflow_bench_out")
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     pl.run_pipeline(path, out_dir=out_dir, mode="basic")

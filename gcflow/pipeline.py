@@ -78,6 +78,14 @@ def _ncpu() -> int:
         return 8
 
 
+def _pool_size() -> int:
+    """Actor-pool size for the enrich/sink stages: at most 1/8 of the
+    CPUs per pool — two pools that together reserve every CPU starve the
+    upstream task operators and deadlock the streaming pipeline (observed
+    at num_cpus=4 with 2+2 actors)."""
+    return max(1, _ncpu() // 8)
+
+
 def _tune_context() -> None:
     """Shuffle/exchange tuning: push-based sort shuffle cuts the all-to-all
     barrier cost ~30% for the stitch groupby (measured in BASELINE.md)."""
@@ -142,7 +150,7 @@ def parse_events(
             EnrichStage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=max(2, _ncpu() // 4),
+            concurrency=_pool_size(),
         )
     return events
 
@@ -233,7 +241,7 @@ def parse_events_salted(
             EnrichStage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=max(2, _ncpu() // 4),
+            concurrency=_pool_size(),
         )
     return events
 
@@ -306,7 +314,7 @@ def run_pipeline(
             fn_constructor_args=(out_dir,),
             batch_format="pyarrow",
             batch_size=32768,
-            concurrency=max(2, _ncpu() // 4),
+            concurrency=_pool_size(),
         )
         out = partials.groupby(["sink", "event_type"]).sum("n_partial")
         t = pa.Table.from_pandas(out.to_pandas())

@@ -163,8 +163,35 @@ def q_gc_tenuring(sf_dir: str):
     return events.map_batches(pick, batch_format="pyarrow")
 
 
+def q_gc_heap_stats_sinks(sf_dir: str):
+    """Heap-stats-mode pipeline over the conformance corpus (fixture
+    transcripts are sf-independent): per-conversation routed counts.
+    Non-SQL-expressible (multi-line {}-block stitching) → rows-only check;
+    the exact expectations are asserted in tests/test_pipeline.py."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(tr.fixture_transcripts())
+    events = pl.parse_events(ds, mode="heap", enrich=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id", "sink"]).aggregate([([], "count_all")])
+        return g.rename_columns(["conv_id", "sink", "np"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "sink"])
+        .aggregate(Sum("np", alias_name="n"))
+        .to_pandas()
+        .sort_values(["conv_id", "sink"])
+        .reset_index(drop=True)
+    )
+
+
 GC_QUERIES = {
     "gc_transcripts": q_gc_transcripts,
+    "gc_heap_stats_sinks": q_gc_heap_stats_sinks,
     "gc_sink_counts": q_gc_sink_counts,
     "gc_heap_agg": q_gc_heap_agg,
     "gc_rates": q_gc_rates,

@@ -99,7 +99,7 @@ def main(argv=None) -> int:
             fn_constructor_args=(args.out,),
             batch_format="pyarrow",
             batch_size=32768,
-            concurrency=max(2, pl._ncpu() // 4),
+            concurrency=pl._pool_size(),
         )
         agg = partials.groupby(["sink", "event_type"]).sum("n_partial").to_pandas()
         counts = {
