@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # replicate the events-derived corpus so the bench input is meaningfully
 # large (sf0.1: 100k events × 9/8 lines × R)
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
 
 
 def _scaling_main():
@@ -104,7 +104,7 @@ def main():
     queries: dict = {}
 
     # headline: full parse→enrich→route→aggregate with partitioned sinks
-    out_dir = os.environ.get("GCFLOW_BENCH_OUT", "/tmp/gcflow_bench_out")
+    out_dir = os.environ.get("GCFLOW_BENCH_OUT", "/dev/shm/gcflow_bench_out")
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     pl.run_pipeline(path, out_dir=out_dir, mode="basic")

@@ -34,13 +34,16 @@ import ray.data as rd
 
 from .stitch import (
     DEFAULT_NUM_BUCKETS,
+    MARKER_SINK,
     MODE_BASIC,
     MODE_HEAP_STATS,
     RESIDUE_SINK,
     apply_rates_bucket,
     hash_buckets,
     stitch_bucket,
+    stitch_marker_runs,
     stitch_residue_runs,
+    stitch_runlocal_block,
     stitch_salted_chunk,
 )
 
@@ -79,11 +82,21 @@ def _ncpu() -> int:
 
 
 def _pool_size() -> int:
-    """Actor-pool size for the enrich/sink stages: at most 1/8 of the
-    CPUs per pool — two pools that together reserve every CPU starve the
-    upstream task operators and deadlock the streaming pipeline (observed
-    at num_cpus=4 with 2+2 actors)."""
-    return max(1, _ncpu() // 8)
+    """Sink-writer actor-pool size: 1/4 of the CPUs, but together with the
+    enrich pool it must always leave CPUs for upstream task operators —
+    pools that reserve every CPU starve them and deadlock the streaming
+    executor (observed at num_cpus=4 with 2+2 actors)."""
+    n = _ncpu()
+    return max(1, min(n // 4, (n - 2) // 2))
+
+
+def _enrich_pool_size() -> int:
+    """Enrich actor-pool size.  Ray fuses the preceding stitch map_groups
+    INTO this actor pool, so this also bounds stitch parallelism; measured
+    at 10M turns/32 CPUs, n/4 actors beat both a small (n/8) pool and a
+    near-all-CPUs pool (actor spin-up + oversubscription with the sink
+    pool cost more than the extra slots bought)."""
+    return _pool_size()
 
 
 def _tune_context() -> None:
@@ -124,10 +137,15 @@ def parse_events(
     parsed text; no reason to ship it)."""
 
     def classify(batch: pa.Table) -> pa.Table:
+        """Prefilter + bucket, then PACK: group the batch by bucket and
+        emit one list-packed row per bucket (≤ num_buckets rows per input
+        block instead of ~100k).  The shuffle moves the same bytes but
+        ~500× fewer rows — row-granular sort/exchange overhead was
+        throttling the stitch stage to a fraction of the CPUs."""
         if prefilter:
             batch = batch.filter(prefilter_mask(batch["text"]))
         bucket = hash_buckets(batch["conv_id"].to_pylist(), num_buckets)
-        return pa.table(
+        flat = pa.table(
             {
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
@@ -137,12 +155,22 @@ def parse_events(
                 "bucket": pa.array(bucket, type=pa.int32()),
             }
         )
+        return flat.group_by(["bucket"]).aggregate(
+            [(c, "list") for c in ("conv_id", "turn_idx", "role", "text", "tool")]
+        ).rename_columns(["bucket", "conv_id", "turn_idx", "role", "text", "tool"])
+
+    def unpack_and_stitch(group: pa.Table) -> pa.Table:
+        flat = pa.table(
+            {
+                c: pc.list_flatten(group[c])
+                for c in ("conv_id", "turn_idx", "role", "text", "tool")
+            }
+        )
+        return stitch_bucket(flat, mode)
 
     _tune_context()
     ds = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
-    events = ds.groupby("bucket").map_groups(
-        lambda g: stitch_bucket(g, mode), batch_format="pyarrow"
-    )
+    events = ds.groupby("bucket").map_groups(unpack_and_stitch, batch_format="pyarrow")
     if enrich:
         from .enrich import EnrichStage
 
@@ -150,7 +178,7 @@ def parse_events(
             EnrichStage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=_pool_size(),
+            concurrency=_enrich_pool_size(),
         )
     return events
 
@@ -241,7 +269,127 @@ def parse_events_salted(
             EnrichStage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=_pool_size(),
+            concurrency=_enrich_pool_size(),
+        )
+    return events
+
+
+def _pack_by_bucket(batch: pa.Table, bucket_col: str) -> pa.Table:
+    """Serialize each bucket's sub-table to one Arrow-IPC blob row: the
+    shuffle then moves ≤ num_buckets rows per block instead of millions —
+    row-granular sort overhead was the dominant exchange cost.  (Works for
+    nested columns, unlike pyarrow list-aggregation packing.)"""
+    buckets = batch[bucket_col].to_numpy(zero_copy_only=False)
+    out_b, out_blob = [], []
+    for b in np.unique(buckets):
+        sub = batch.filter(pa.array(buckets == b)).drop_columns([bucket_col])
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sub.schema) as w:
+            w.write_table(sub)
+        out_b.append(int(b))
+        out_blob.append(sink.getvalue().to_pybytes())
+    return pa.table(
+        {
+            bucket_col: pa.array(out_b, type=pa.int32()),
+            "blob": pa.array(out_blob, type=pa.binary()),
+        }
+    )
+
+
+def _unpack_blobs(group: pa.Table) -> pa.Table:
+    tables = [
+        pa.ipc.open_stream(b).read_all() for b in group["blob"].to_pylist()
+    ]
+    return pa.concat_tables(tables)
+
+
+def parse_events_runlocal(
+    ds: rd.Dataset,
+    mode: str = MODE_BASIC,
+    prefilter: bool = True,
+    enrich: bool = True,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> rd.Dataset:
+    """Shuffle-light variant (see the run-local design note in
+    gcflow/stitch.py): parses each input block in place, shuffles only
+    boundary residues + markers (tiny) and the numeric event rows (for
+    the per-conversation rate pass).
+
+    CONTRACT: the input must be conversation-ordered (sorted by conv_id,
+    turn_idx) so each block is a contiguous slice — the realistic layout
+    for logs landed in order.  For unordered inputs use
+    :func:`parse_events` (full shuffle) or :func:`parse_events_salted`.
+
+    When to use: wins when events ≪ lines (heap-at-GC-heavy logs, ~25
+    lines/event — the avoided text shuffle dwarfs the event shuffle);
+    measured SLOWER than the packed classic shuffle on line-dense corpora
+    (~1.3 lines/event: 41s vs 20s at 10M turns/32 CPUs) because the wide
+    event rows then outweigh the text.  See BASELINE.md."""
+    _tune_context()
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if prefilter:
+            batch = batch.filter(prefilter_mask(batch["text"]))
+        return batch.drop_columns(["ts"])
+
+    staged = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    stage_a = staged.map_batches(
+        lambda t: stitch_runlocal_block(t, mode), batch_format="pyarrow"
+    )
+
+    events_a = stage_a.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.not_equal(t["sink"], RESIDUE_SINK),
+                pc.not_equal(t["sink"], MARKER_SINK),
+            )
+        ).drop_columns(["res_text"]),
+        batch_format="pyarrow",
+    )
+    residues = stage_a.map_batches(
+        lambda t: t.filter(
+            pc.or_(
+                pc.equal(t["sink"], RESIDUE_SINK), pc.equal(t["sink"], MARKER_SINK)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def conv_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cbucket",
+            pa.array(hash_buckets(t["conv_id"].to_pylist(), num_buckets), type=pa.int32()),
+        )
+
+    events_b = (
+        residues.map_batches(conv_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(
+            lambda g: stitch_marker_runs(g.drop_columns(["cbucket"]), mode),
+            batch_format="pyarrow",
+        )
+    )
+
+    events = (
+        events_a.union(events_b)
+        .map_batches(
+            lambda t: _pack_by_bucket(conv_bucket(t), "cbucket"),
+            batch_format="pyarrow",
+        )
+        .groupby("cbucket")
+        .map_groups(
+            lambda g: apply_rates_bucket(_unpack_blobs(g)),
+            batch_format="pyarrow",
+        )
+    )
+    if enrich:
+        from .enrich import EnrichStage
+
+        events = events.map_batches(
+            EnrichStage,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=_enrich_pool_size(),
         )
     return events
 

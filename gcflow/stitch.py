@@ -360,6 +360,159 @@ def stitch_residue_runs(group: pa.Table, mode: str) -> pa.Table:
     return cols.to_table()
 
 
+# ----------------------------------------------- run-local (shuffle-light)
+#
+# When the input is conversation-ordered (sorted by conv_id, turn_idx —
+# the realistic layout for logs landed in arrival order), shuffling every
+# text row just to co-locate conversations is wasted movement.  The
+# run-local mode parses each INPUT BLOCK in place (no text shuffle at
+# all): within a block, each conversation fragment parses its safe
+# interior and emits boundary residues plus one *marker* row per parsed
+# interior.  Stage B groups residues+markers per conversation (tiny):
+# sorted by turn, maximal residue sequences WITHOUT an intervening marker
+# are contiguous line runs (markers stand for the already-parsed spans
+# between them) and are parsed independently.  Stage C is the same
+# vectorized per-conversation rate pass as the salted path — the only
+# sizable shuffle left is numeric event rows.
+#
+# CONTRACT: input blocks must be contiguous slices of a (conv_id,
+# turn_idx)-sorted stream.  A block that holds a conversation's lines
+# with *gaps* (other blocks holding interleaved turns) would parse a
+# non-contiguous interior as if adjacent — use parse_events (full
+# shuffle) or parse_events_salted for unordered inputs.
+
+MARKER_SINK = "__marker"
+
+
+def stitch_runlocal_block(batch: pa.Table, mode: str) -> pa.Table:
+    """Stage A (run-local): parse one input block in place."""
+    df = pd.DataFrame(
+        {
+            "conv_id": batch["conv_id"].to_pylist(),
+            "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
+            "text": batch["text"].to_pylist(),
+            "role": batch["role"].to_pylist(),
+            "tool": batch["tool"].to_pylist(),
+        }
+    ).sort_values(["conv_id", "turn_idx"], kind="stable")
+    conv = df["conv_id"].to_numpy()
+    change = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(conv)]))
+    turn = df["turn_idx"].to_numpy()
+    texts = df["text"].to_list()
+    roles = df["role"].to_list()
+    tools = df["tool"].to_list()
+
+    cols = EventColumns()
+    res = {k: [] for k in ("conv_id", "turn_idx", "role", "tool", "res_text", "is_marker")}
+
+    def emit_res(lo, hi):
+        for j in range(lo, hi):
+            res["conv_id"].append(conv[j])
+            res["turn_idx"].append(int(turn[j]))
+            res["role"].append(roles[j])
+            res["tool"].append(tools[j])
+            res["res_text"].append(texts[j])
+            res["is_marker"].append(False)
+
+    for s, e in zip(starts, ends):
+        seg_texts = texts[s:e]
+        safe = _safe_starts(seg_texts, mode)
+        if not safe or safe[-1] == safe[0]:
+            emit_res(s, e)  # nothing safely parseable in place
+            continue
+        s0, s_last = safe[0], safe[-1]
+        emit_res(s, s + s0)
+        emit_res(s + s_last, e)
+        # marker: "the span starting at turn[s+s0] was parsed in place"
+        res["conv_id"].append(conv[s])
+        res["turn_idx"].append(int(turn[s + s0]))
+        res["role"].append(None)
+        res["tool"].append(None)
+        res["res_text"].append(None)
+        res["is_marker"].append(True)
+        parse_segment(
+            cols, conv[s], seg_texts[s0:s_last], turn[s + s0 : s + s_last],
+            roles[s + s0 : s + s_last], tools[s + s0 : s + s_last], mode,
+        )
+
+    events = cols.to_table()
+    n_ev = len(events)
+    n_res = len(res["conv_id"])
+    res_text_col = pa.array([None] * n_ev + res["res_text"], type=pa.string())
+    if n_res:
+        res_cols = EventColumns()
+        for i in range(n_res):
+            res_cols.append_error(res["conv_id"][i], res["turn_idx"][i], "")
+        res_tab = res_cols.to_table()
+
+        def set_col(tab, name, arr, typ):
+            return tab.set_column(
+                tab.schema.get_field_index(name), name, pa.array(arr, type=typ)
+            )
+
+        res_tab = set_col(
+            res_tab, "sink",
+            [MARKER_SINK if m else RESIDUE_SINK for m in res["is_marker"]],
+            pa.string(),
+        )
+        res_tab = set_col(res_tab, "role", res["role"], pa.string())
+        res_tab = set_col(res_tab, "tool", res["tool"], pa.string())
+        res_tab = set_col(res_tab, "event_type", [""] * n_res, pa.string())
+        out = pa.concat_tables([events, res_tab])
+    else:
+        out = events
+    return out.append_column("res_text", res_text_col)
+
+
+def stitch_marker_runs(group: pa.Table, mode: str) -> pa.Table:
+    """Stage B (run-local): per conversation, sorted by turn, a maximal
+    sequence of residue rows with no marker between them is one contiguous
+    line run — parse each run independently."""
+    df = pd.DataFrame(
+        {
+            "conv_id": group["conv_id"].to_pylist(),
+            "turn_idx": group["turn_idx"].to_numpy(zero_copy_only=False),
+            "marker": np.asarray(group["sink"].to_pylist(), dtype=object) == MARKER_SINK,
+            "text": group["res_text"].to_pylist(),
+            "role": group["role"].to_pylist(),
+            "tool": group["tool"].to_pylist(),
+        }
+    ).sort_values(["conv_id", "turn_idx"], kind="stable")
+    conv = df["conv_id"].to_numpy()
+    marker = df["marker"].to_numpy()
+    turn = df["turn_idx"].to_numpy()
+    texts = df["text"].to_list()
+    roles = df["role"].to_list()
+    tools = df["tool"].to_list()
+
+    cols = EventColumns()
+    run: list = []
+    run_conv = None
+
+    def flush():
+        if not run:
+            return
+        parse_segment(
+            cols, run_conv, [texts[j] for j in run], turn[run],
+            [roles[j] for j in run], [tools[j] for j in run], mode,
+        )
+
+    for i in range(len(conv)):
+        if marker[i] or (run_conv is not None and conv[i] != run_conv):
+            flush()
+            run = []
+            run_conv = None
+            if marker[i]:
+                continue
+        if run_conv is None:
+            run_conv = conv[i]
+        run.append(i)
+    flush()
+    return cols.to_table()
+
+
 def _segment_firsts(keys: np.ndarray) -> np.ndarray:
     """Boolean mask: first element of each equal-key run (keys sorted)."""
     first = np.empty(len(keys), dtype=bool)

@@ -243,6 +243,9 @@ def transcripts_from_events(
         )
         reps.append(rep[["conv_id", "turn_idx", "role", "text", "tool", "ts"]])
     final = pd.concat(reps, ignore_index=True)
+    # write conversation-ordered (the realistic log layout, and the
+    # contract of the run-local shuffle-light mode); orderless for oracles
+    final = final.sort_values(["conv_id", "turn_idx"], kind="stable")
     return pa.Table.from_pandas(final, schema=TRANSCRIPT_SCHEMA, preserve_index=False)
 
 
