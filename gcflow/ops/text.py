@@ -25,12 +25,39 @@ def _docs(sf_dir: str, columns) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+SUBTOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def q_doc_token_count(sf_dir: str):
-    """Whitespace token count: n_tokens = #space-separated fields."""
+    """Token counting: whitespace tokens + a BPE-ish regex sub-token count
+    (alpha runs / digit runs / single symbols)."""
 
     def f(t: pa.Table) -> pa.Table:
         n = pc.add(pc.count_substring(t["text"], " "), 1)
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+        n_sub = pc.count_substring_regex(t["text"], SUBTOKEN_RE)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(n, pa.int64()),
+                "n_subtokens": pc.cast(n_sub, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic content-hash sampling (~10%): keep docs whose md5 hex
+    starts below 0x1a — reproducible across engines and runs, unlike
+    seeded RNG sampling (the scale-correct way to sample a distributed
+    corpus consistently)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(s.encode()).hexdigest()[:2] < "1a"
+            for s in t["text"].to_pylist()
+        ]
+        return t.select(["doc_id"]).filter(pa.array(keep))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
@@ -106,6 +133,7 @@ _STOP_SQL = "', '".join(STOPWORDS)
 
 TEXT_QUERIES = {
     "doc_token_count": q_doc_token_count,
+    "doc_sample": q_doc_sample,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -113,7 +141,12 @@ TEXT_QUERIES = {
 
 TEXT_ORACLES = {
     "doc_token_count": """
-SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens
+FROM documents
+""",
+    "doc_sample": """
+SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) < '1a'
 """,
     "doc_quality": """
 SELECT doc_id,

@@ -442,12 +442,29 @@ class SinkWriter:
         return g.rename_columns(["sink", "event_type", "n_partial"])
 
 
+def prefilter_stats(transcripts_path) -> dict:
+    """Dropped-row accounting for the prefilter (no silent caps): one
+    cheap column-pruned pass counting kept vs total turns."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        kept = int(pc.sum(pc.cast(prefilter_mask(batch["text"]), pa.int64())).as_py() or 0)
+        return pa.table({"n": [len(batch)], "kept": [kept]})
+
+    t = (
+        rd.read_parquet(transcripts_path, columns=["text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {"turns_in": int(t["n"].sum()), "turns_kept": int(t["kept"].sum())}
+
+
 def run_pipeline(
     transcripts_path: str,
     out_dir: Optional[str] = None,
     mode: str = MODE_BASIC,
     prefilter: bool = True,
     enrich: bool = True,
+    stats: bool = False,
 ) -> dict:
     """Full parse→enrich→route→aggregate job; returns metrics.
 
@@ -471,7 +488,10 @@ def run_pipeline(
         )
     else:
         counts = sink_counts(events)
-    return {
+    metrics = {
         "sink_counts": counts,
         "events_total": int(pc.sum(counts["n"]).as_py() or 0),
     }
+    if stats:
+        metrics.update(prefilter_stats(transcripts_path))
+    return metrics
