@@ -83,9 +83,25 @@ def _stitch_one(
         )
 
 
-def stitch_bucket(group: pa.Table, mode: str = MODE_BASIC) -> pa.Table:
-    """Bucket group function: all turns of `hash(conv)%NB == b` →
-    event rows for every conversation in the bucket."""
+def stitch_bucket(group: pa.Table, mode: str = MODE_BASIC, impl: str = "py") -> pa.Table:
+    """Bucket group function: all turns of `hash(conv)%NB == b` → event
+    rows for every conversation in the bucket.
+
+    ``impl="vec"`` (basic mode only) uses the extract_regex fast path
+    (gcflow/stitch_vec.py, proven equal in tests): it wins on
+    single-line-dominated logs (the realistic GC-log shape) but loses on
+    the bench corpus where a third of all lines belong to multi-line
+    tenuring events (measured 290k vs 339k turns/s at 10M/32 CPUs), so
+    the python sweep stays the default."""
+    if impl == "vec" and mode == MODE_BASIC:
+        from .stitch_vec import stitch_bucket_vec
+
+        return stitch_bucket_vec(group)
+    return stitch_bucket_py(group, mode)
+
+
+def stitch_bucket_py(group: pa.Table, mode: str = MODE_BASIC) -> pa.Table:
+    """Pure-python bucket sweep (the reference-exact path for all modes)."""
     df = pd.DataFrame(
         {
             "conv_id": group["conv_id"].to_pylist(),

@@ -1,0 +1,335 @@
+"""Vectorized stitch for basic mode: C-speed regex extraction for the
+dominant single-line event shapes, python descent only for residual
+segments.
+
+``pc.extract_regex`` (RE2) runs the fast-path patterns over the whole
+line array at once; lines they match become event rows via Arrow/numpy
+column ops with no per-line Python.  The minority of lines they don't
+match (multi-line constructs, junk, odd shapes) form maximal consecutive
+runs per conversation, parsed by the exact recursive-descent grammar.
+Rates + event_seq come from the shared vectorized per-conversation pass
+(stitch.apply_rates_bucket).
+
+Equivalence argument (basic mode):
+- no multi-line construct has a fast-matching interior line (tenuring /
+  generation continuations start with 'D', '-', ' ', ':', '['),
+- a fast line is a complete event; the grammar never extends an event
+  into a following line except via the tenuring rules (slow lines) and
+  the cross-line CMS " real=" scan — the reference's own broken shape
+  (ParserTest.scala:420-426), excluded here exactly as in the salted and
+  run-local paths,
+- a trailing-``rest`` guard rejects lines where the grammar would parse a
+  SECOND event after the first on the same line (rest starting with a
+  digit) — those fall to the descent.
+Heap-stats mode keeps the pure python stitcher ({}-block interiors can't
+be judged line-locally).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import events as ev
+from . import grammar
+from .schema import EVENT_SCHEMA, EventColumns
+
+_TS = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}"
+_GEN = (
+    r"(?:\d+\.\d+: )?\[[a-zA-Z0-9 \-]+: \d+[KM]->\d+[KM]\(\d+[KM]\)"
+    r"(?:, \d+\.\d+ secs)?\]"
+)
+V_BASIC = (
+    rf"^(?:(?P<ts>{_TS}): )?(?P<age>\d+\.\d+): \[(?P<gt>(?:Full )?GC) "
+    rf"(?P<causewrap>\((?P<cause>[a-zA-Z ]*)\) *)?"
+    rf"(?P<pre>(?:{_GEN}(?:, | |))*)"
+    rf"(?P<hb>\d+)(?P<hbs>[KM])->(?P<ha>\d+)(?P<has>[KM])\((?P<hc>\d+)(?P<hcs>[KM])\)"
+    rf"(?P<post>(?:(?:, | |){_GEN})*)"
+    rf", (?P<pause>\d+\.\d+) secs\](?P<rest>.*)$"
+)
+V_CMS = (
+    rf"^(?:(?P<ts>{_TS}): )?(?P<age>\d+\.\d+): \[(?P<gt>CMS[a-zA-Z\-]*)"
+    rf"(?:(?P<close>\])|: [^\n]*? real=(?P<pause>\d+\.\d+) secs\])(?P<rest>.*)$"
+)
+V_APP = (
+    rf"^(?:(?P<ts>{_TS}): )?(?P<age>\d+\.\d+): Total time for which application"
+    rf" threads were stopped: (?P<stop>\d+\.\d+) seconds, Stopping threads took:"
+    rf" (?P<tts>\d+\.\d+) seconds(?P<rest>.*)$"
+)
+
+_GEN_RE = re.compile(
+    r"\[([a-zA-Z0-9 \-]+): (\d+[KM])->(\d+[KM])\((\d+[KM])\)(?:, \d+\.\d+ secs)?\]"
+)
+
+
+def _as_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    return col
+
+
+def _field(struct: pa.StructArray, name: str) -> pa.Array:
+    return struct.field(name)
+
+
+def _guard(struct: pa.StructArray) -> pa.ChunkedArray:
+    """Valid match AND the line's remainder can't start another event
+    (grammar would emit two events from one line — send to descent)."""
+    valid = pc.is_valid(struct)
+    rest_first = pc.utf8_slice_codeunits(pc.fill_null(_field(struct, "rest"), ""), 0, 1)
+    rest_ok = pc.invert(pc.match_substring_regex(rest_first, r"^[0-9]$"))
+    return pc.and_(valid, rest_ok)
+
+
+def _bytes_col(digits: pa.Array, suffix: pa.Array, mask: np.ndarray) -> np.ndarray:
+    d = pc.cast(pc.if_else(pc.equal(digits, ""), "0", digits), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    mult = np.where(
+        np.asarray(suffix.to_pylist(), dtype=object) == "M", 1024 * 1024, 1024
+    )
+    return np.where(mask, d * mult, 0)
+
+
+def _parse_ts_rows(ts_strs: list) -> tuple:
+    """Per-row timestamp parse for the (minority of) rows with a ts."""
+    epochs, offsets = [], []
+    for s in ts_strs:
+        if not s:
+            epochs.append(None)
+            offsets.append(None)
+            continue
+        ctx = grammar.Ctx(s)
+        (epoch_ms, off), _ = grammar._timestamp(ctx, 0)
+        epochs.append(epoch_ms)
+        offsets.append(off)
+    return epochs, offsets
+
+
+def stitch_bucket_vec(group: pa.Table, num_rows_hint: int = 0) -> pa.Table:
+    """Basic-mode bucket stitcher (vectorized fast path)."""
+    order = pc.sort_indices(
+        group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    t = group.take(order)
+    text = _as_array(t["text"])
+
+    sb = _as_array(pc.extract_regex(text, V_BASIC))
+    sc = _as_array(pc.extract_regex(text, V_CMS))
+    sa = _as_array(pc.extract_regex(text, V_APP))
+
+    m_basic = _guard(sb)
+    # CMS-prefixed causes route to the CMS branch in the grammar
+    # (Parser.scala:56-57) — never fast-handle them as basic
+    cause_cms = pc.starts_with(pc.fill_null(_field(sb, "cause"), ""), "CMS")
+    m_basic = pc.and_(m_basic, pc.invert(cause_cms)).to_numpy(zero_copy_only=False)
+    m_cms = _guard(sc).to_numpy(zero_copy_only=False)
+    m_app = _guard(sa).to_numpy(zero_copy_only=False)
+    m_cms &= ~m_basic
+    m_app &= ~(m_basic | m_cms)
+    fast = m_basic | m_cms | m_app
+
+    codes = _as_array(pc.dictionary_encode(t["conv_id"])).indices.to_numpy(
+        zero_copy_only=False
+    )
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+
+    tables = []
+
+    # ---- slow segments: maximal consecutive non-fast runs per conv
+    slow_idx = np.flatnonzero(~fast)
+    cols = EventColumns()
+    if len(slow_idx):
+        conv_all = None
+        texts_slow = None
+        brk = np.flatnonzero(
+            (np.diff(slow_idx) != 1) | (codes[slow_idx][1:] != codes[slow_idx][:-1])
+        ) + 1
+        seg_starts = np.concatenate(([0], brk))
+        seg_ends = np.concatenate((brk, [len(slow_idx)]))
+        conv_all = t["conv_id"].to_pylist()
+        text_all = text.to_pylist()
+        role_all = t["role"].to_pylist()
+        tool_all = t["tool"].to_pylist()
+        from .stitch import parse_segment
+
+        for s, e in zip(seg_starts, seg_ends):
+            idxs = slow_idx[s:e]
+            parse_segment(
+                cols,
+                conv_all[idxs[0]],
+                [text_all[j] for j in idxs],
+                turn[idxs],
+                [role_all[j] for j in idxs],
+                [tool_all[j] for j in idxs],
+                "basic",
+            )
+    tables.append(cols.to_table())
+
+    # ---- fast basic rows
+    bi = np.flatnonzero(m_basic)
+    if len(bi):
+        take = pa.array(bi)
+        f = {n: _field(sb, n).take(take) for n in (
+            "ts", "age", "gt", "causewrap", "cause", "pre", "post",
+            "hb", "hbs", "ha", "has", "hc", "hcs", "pause",
+        )}
+        n = len(bi)
+        ones = np.ones(n, dtype=bool)
+        hb_b = _bytes_col(f["hb"], f["hbs"], ones)
+        ha_b = _bytes_col(f["ha"], f["has"], ones)
+        hc_b = _bytes_col(f["hc"], f["hcs"], ones)
+        age = pc.cast(f["age"], pa.float64())
+        pause = pc.cast(f["pause"], pa.float64())
+        cause = pc.if_else(
+            pc.equal(pc.fill_null(f["causewrap"], ""), ""),
+            pa.scalar(None, type=pa.string()),
+            f["cause"],
+        )
+        epochs, offsets = _parse_ts_rows(f["ts"].to_pylist())
+        gt = f["gt"].to_pylist()
+        pre = f["pre"].to_pylist()
+        post = f["post"].to_pylist()
+        gens_col, promoted_col = [], []
+        for i in range(n):
+            if pre[i] or post[i]:
+                gens = [
+                    {
+                        "name": g[0],
+                        "before_bytes": ev.to_bytes(g[1]),
+                        "after_bytes": ev.to_bytes(g[2]),
+                        "capacity_bytes": ev.to_bytes(g[3]),
+                    }
+                    for g in _GEN_RE.findall(pre[i]) + _GEN_RE.findall(post[i])
+                ]
+                gens_col.append(gens)
+                if gt[i] == "GC" and gens:
+                    young = next(
+                        (g for g in gens if g["name"].lower() != "young"), None
+                    )
+                    promoted_col.append(
+                        None
+                        if young is None
+                        else (young["before_bytes"] - young["after_bytes"])
+                        - int(hb_b[i] - ha_b[i])
+                    )
+                else:
+                    promoted_col.append(None)
+            else:
+                gens_col.append([])
+                promoted_col.append(None)
+        tables.append(
+            _make_table(
+                t, take, sink="basic", event_type=f["gt"], gc_cause=cause,
+                ts=epochs, tz=offsets, age=age, pause=pause,
+                hb=hb_b, ha=ha_b, hc=hc_b, gens=gens_col, promoted=promoted_col,
+            )
+        )
+
+    # ---- fast CMS rows
+    ci = np.flatnonzero(m_cms)
+    if len(ci):
+        take = pa.array(ci)
+        f = {n: _field(sc, n).take(take) for n in ("ts", "age", "gt", "close", "pause")}
+        pause = pc.if_else(
+            pc.equal(pc.fill_null(f["close"], ""), "]"),
+            pa.scalar(0.0),
+            pc.cast(pc.if_else(pc.equal(f["pause"], ""), "0", f["pause"]), pa.float64()),
+        )
+        epochs, offsets = _parse_ts_rows(f["ts"].to_pylist())
+        tables.append(
+            _make_table(
+                t, take, sink="cms", event_type=f["gt"],
+                gc_cause=pa.nulls(len(ci), pa.string()),
+                ts=epochs, tz=offsets, age=pc.cast(f["age"], pa.float64()),
+                pause=pause, hb=None, ha=None, hc=None, gens=None, promoted=None,
+            )
+        )
+
+    # ---- fast app-stopped rows
+    ai = np.flatnonzero(m_app)
+    if len(ai):
+        take = pa.array(ai)
+        f = {n: _field(sa, n).take(take) for n in ("ts", "age", "stop", "tts")}
+        epochs, offsets = _parse_ts_rows(f["ts"].to_pylist())
+        tables.append(
+            _make_table(
+                t, take, sink="app_stopped",
+                event_type=pa.array(["AppStopped"] * len(ai)),
+                gc_cause=pa.nulls(len(ai), pa.string()),
+                ts=epochs, tz=offsets, age=pc.cast(f["age"], pa.float64()),
+                pause=None, hb=None, ha=None, hc=None, gens=None, promoted=None,
+                stopped=pc.cast(f["stop"], pa.float64()),
+                to_stop=pc.cast(f["tts"], pa.float64()),
+            )
+        )
+
+    out = pa.concat_tables([x for x in tables if len(x)]) if any(
+        len(x) for x in tables
+    ) else EVENT_SCHEMA.empty_table()
+    from .stitch import apply_rates_bucket
+
+    return apply_rates_bucket(out)
+
+
+def _make_table(
+    src: pa.Table, take: pa.Array, sink: str, event_type, gc_cause,
+    ts, tz, age, pause, hb, ha, hc, gens, promoted,
+    stopped=None, to_stop=None,
+) -> pa.Table:
+    n = len(take)
+
+    def nulls(typ):
+        return pa.nulls(n, typ)
+
+    def arr(v, typ):
+        if v is None:
+            return nulls(typ)
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return pc.cast(v, typ)
+        if isinstance(v, np.ndarray):
+            return pa.array(v, type=typ)
+        return pa.array(v, type=typ)
+
+    hb_a = arr(hb, pa.int64())
+    ha_a = arr(ha, pa.int64())
+    data = {
+        "conv_id": src["conv_id"].take(take),
+        "event_seq": nulls(pa.int32()),
+        "turn_idx": pc.cast(src["turn_idx"].take(take), pa.int32()),
+        "role": src["role"].take(take),
+        "tool": src["tool"].take(take),
+        "sink": pa.array([sink] * n, type=pa.string()),
+        "event_type": arr(event_type, pa.string()),
+        "gc_cause": arr(gc_cause, pa.string()),
+        "ts": arr(ts, pa.timestamp("ms")),
+        "tz_offset_min": arr(tz, pa.int32()),
+        "jvm_age_seconds": arr(age, pa.float64()),
+        "pause_seconds": arr(pause, pa.float64()),
+        "heap_before_bytes": hb_a,
+        "heap_after_bytes": ha_a,
+        "heap_capacity_bytes": arr(hc, pa.int64()),
+        "heap_reclaimed_bytes": (
+            pc.subtract(hb_a, ha_a) if hb is not None else nulls(pa.int64())
+        ),
+        "generations": arr(gens, EVENT_SCHEMA.field("generations").type),
+        "regions": nulls(EVENT_SCHEMA.field("regions").type),
+        "tenuring_desired_bytes": nulls(pa.int64()),
+        "tenuring_new_threshold": nulls(pa.int32()),
+        "stopped_seconds": arr(stopped, pa.float64()),
+        "seconds_to_stop": arr(to_stop, pa.float64()),
+        "promoted_bytes": arr(promoted, pa.int64()),
+        "allocated_bytes": nulls(pa.int64()),
+        "interval_ms": nulls(pa.int64()),
+        "alloc_rate": nulls(pa.int64()),
+        "promotion_rate": nulls(pa.int64()),
+    }
+    arrays = [data[f.name] for f in EVENT_SCHEMA]
+    arrays = [
+        a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays
+    ]
+    return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
