@@ -126,6 +126,7 @@ def parse_events(
     prefilter: bool = True,
     enrich: bool = True,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    stitch_impl: str = "py",
 ) -> rd.Dataset:
     """transcripts Dataset → wide event-row Dataset (lazy).
 
@@ -166,7 +167,7 @@ def parse_events(
                 for c in ("conv_id", "turn_idx", "role", "text", "tool")
             }
         )
-        return stitch_bucket(flat, mode)
+        return stitch_bucket(flat, mode, impl=stitch_impl)
 
     _tune_context()
     ds = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

@@ -38,6 +38,9 @@ def main(argv=None) -> int:
                    help="checkpointed shard runner: skip shards with lineage records")
     p.add_argument("--num-shards", type=int, default=8)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--stitch-impl", default="py", choices=["py", "vec"],
+                   help="basic-mode stitcher: python sweep (default) or the "
+                        "extract_regex fast path (single-line-heavy logs)")
     args = p.parse_args(argv)
 
     import ray
@@ -80,7 +83,9 @@ def main(argv=None) -> int:
             ds, mode=mode, enrich=not args.no_enrich, salt_turns=args.salt_turns
         )
     else:
-        events = pl.parse_events(ds, mode=mode, enrich=not args.no_enrich)
+        events = pl.parse_events(
+            ds, mode=mode, enrich=not args.no_enrich, stitch_impl=args.stitch_impl
+        )
     if args.limit is not None:
         events = events.limit(args.limit)  # ≙ reference --limit (Main.scala:28)
 
