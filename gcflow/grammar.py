@@ -346,6 +346,18 @@ _FAST_APP = re.compile(
     rf" were stopped: (\d+\.\d+) seconds, Stopping threads took: (\d+\.\d+)"
     rf" seconds\n?"
 )
+# multi-line tenuring form (CollectionStats-level DesiredSurvivorSize,
+# Parser.scala:24-26,55-59): "[GC (cause)\nDesired survivor size N bytes,
+# new threshold M (…)\n[- age …]* [gens] hb->ha(hc), p secs]"
+_FAST_TENURING = re.compile(
+    rf"(?:({_TS_PAT}): )?(\d+\.\d+): \[((?:Full )?GC)(?: \((?!CMS)([a-zA-Z ]*)\))?\n"
+    rf"Desired survivor size (\d+) bytes, new threshold (\d+) \([^\n]*\n"
+    rf"(?:- age[^\n]*\n)*"
+    rf" ?((?:{_GEN_PAT}(?:, | |))*)"
+    rf"(\d+[KM])->(\d+[KM])\((\d+[KM])\)"
+    rf"((?:(?:, | |){_GEN_PAT})*)"
+    rf", (\d+\.\d+) secs\]"
+)
 _FAST_CMS = re.compile(
     rf"(?:({_TS_PAT}): )?(\d+\.\d+): \[(CMS[a-zA-Z\-]*)"
     rf"(?:\]|: [^\n]*? real=(\d+\.\d+) secs\])"
@@ -372,6 +384,21 @@ def _fast_gc_line(ctx: Ctx, pos: int):
             BasicGCEvent(
                 _fast_ts(ts), float(age), gtype, cause,
                 SizeDelta(hb, ha, hc), gens, float(pause),
+            ),
+            m.end(),
+        )
+    m = _FAST_TENURING.match(ctx.s, pos)
+    if m:
+        ts, age, gtype, cause, desired, thresh, pre, hb, ha, hc, post, pause = m.groups()
+        gens = [
+            GenerationDelta(g[0], SizeDelta(g[1], g[2], g[3]))
+            for g in _FAST_GEN.findall(pre) + _FAST_GEN.findall(post)
+        ]
+        return (
+            BasicGCEvent(
+                _fast_ts(ts), float(age), gtype, cause,
+                SizeDelta(hb, ha, hc), gens, float(pause),
+                TenuringDistribution(desired, thresh),
             ),
             m.end(),
         )
