@@ -10,14 +10,17 @@ Stages:
    75), applied *before* the shuffle so junk never crosses the wire.
    Dropped-row counts are preserved via the ``turns_in``/``turns_kept``
    metrics of :func:`run_pipeline` (no silent caps).
-3. **Stitch** — the one true shuffle: ``groupby(conv_id).map_groups`` over
-   zero-copy Arrow groups (gcflow/stitch.py), ordering by ``turn_idx``
-   inside each group only.
+3. **Stitch** — the one true shuffle, as an explicit hash partition:
+   ``bucket = hash64(conv_id) % NB`` with list-packed exchange rows, then
+   one ``map_groups`` sweep per bucket (gcflow/stitch.py); ordering by
+   ``turn_idx`` inside conversations only.  Variants: ``parse_events_salted``
+   (skew chunking) and ``parse_events_runlocal`` (shuffle-light for
+   conversation-ordered input).
 4. **Enrich** — actor-pool ``map_batches`` (gcflow/enrich.py): role/tool
    dictionary lookups, dictionaries loaded once per actor.
-5. **Route/sinks** — single-pass fan-out ``write_parquet(partition_cols=
-   ["sink"])`` + streaming per-sink aggregate counts with in-batch partial
-   aggregation before the tiny final groupby.
+5. **Route/sinks** — fused fan-out ``SinkWriter`` stage: per-sink parquet
+   files + partial (sink, event_type, n) counts in the same pass, then a
+   tiny final groupby.
 """
 
 from __future__ import annotations
@@ -66,10 +69,6 @@ def prefilter_mask(text: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     keep = pc.is_in(first, value_set=pa.array(list(_KEEP_FIRST)))
     keep = pc.or_(keep, pc.match_substring_regex(text, _KEEP_RE))
     return keep
-
-
-def _prefilter_batch(batch: pa.Table) -> pa.Table:
-    return batch.filter(prefilter_mask(batch["text"]))
 
 
 def _ncpu() -> int:

@@ -19,9 +19,6 @@ import ray.data as rd
 
 from .events import format_datetime, java_double_str
 
-RATE_KEYS = ("heapAllocated", "heapAllocationRate", "promotionRate")
-
-
 def _present(v) -> bool:
     """Null check robust to both Arrow to_pylist (None) and pandas rows
     (NaN / NaT)."""

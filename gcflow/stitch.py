@@ -131,11 +131,6 @@ def stitch_bucket_py(group: pa.Table, mode: str = MODE_BASIC) -> pa.Table:
     return cols.to_table()
 
 
-def stitch_group(group: pa.Table, mode: str = MODE_BASIC) -> pa.Table:
-    """Single-conversation variant (kept for tests / small inputs)."""
-    return stitch_bucket(group, mode)
-
-
 # ----------------------------------------------------- skew-aware salting
 #
 # A single enormous conversation would serialize one bucket.  The salted
