@@ -37,15 +37,11 @@ import ray.data as rd
 
 from .stitch import (
     DEFAULT_NUM_BUCKETS,
-    MARKER_SINK,
     MODE_BASIC,
     MODE_HEAP_STATS,
-    RESIDUE_SINK,
-    apply_rates_bucket,
+    finish_conv_bucket,
     hash_buckets,
     stitch_bucket,
-    stitch_marker_runs,
-    stitch_residue_runs,
     stitch_runlocal_block,
     stitch_salted_chunk,
 )
@@ -224,29 +220,10 @@ def parse_events_salted(
         lambda g: stitch_salted_chunk(g, mode, salt_turns), batch_format="pyarrow"
     )
 
-    events_a = stage_a.map_batches(
-        lambda t: t.filter(pc.not_equal(t["sink"], RESIDUE_SINK)).drop_columns(["res_text"]),
-        batch_format="pyarrow",
-    )
-    residues = stage_a.map_batches(
-        lambda t: t.filter(pc.equal(t["sink"], RESIDUE_SINK)),
-        batch_format="pyarrow",
-    )
-
-    def residue_bucket(t: pa.Table) -> pa.Table:
-        # residues bucket by conv only — run chaining needs the whole
-        # conversation's residues together (they are tiny: boundary slices)
-        return t.append_column(
-            "rbucket",
-            pa.array(hash_buckets(t["conv_id"].to_pylist(), num_buckets), type=pa.int32()),
-        )
-
-    events_b = (
-        residues.map_batches(residue_bucket, batch_format="pyarrow")
-        .groupby("rbucket")
-        .map_groups(lambda g: stitch_residue_runs(g, mode), batch_format="pyarrow")
-    )
-
+    # single conversation-bucket shuffle carrying events + residues
+    # together (splitting a lazy stage into two filtered branches would
+    # re-execute everything upstream once per branch), IPC-packed so the
+    # exchange moves blob rows, not millions of event rows
     def conv_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
             "cbucket",
@@ -254,11 +231,13 @@ def parse_events_salted(
         )
 
     events = (
-        events_a.union(events_b)
-        .map_batches(conv_bucket, batch_format="pyarrow")
+        stage_a.map_batches(
+            lambda t: _pack_by_bucket(conv_bucket(t), "cbucket"),
+            batch_format="pyarrow",
+        )
         .groupby("cbucket")
         .map_groups(
-            lambda g: apply_rates_bucket(g.drop_columns(["cbucket"])),
+            lambda g: finish_conv_bucket(_unpack_blobs(g), mode, marker_based=False),
             batch_format="pyarrow",
         )
     )
@@ -337,48 +316,22 @@ def parse_events_runlocal(
         lambda t: stitch_runlocal_block(t, mode), batch_format="pyarrow"
     )
 
-    events_a = stage_a.map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.not_equal(t["sink"], RESIDUE_SINK),
-                pc.not_equal(t["sink"], MARKER_SINK),
-            )
-        ).drop_columns(["res_text"]),
-        batch_format="pyarrow",
-    )
-    residues = stage_a.map_batches(
-        lambda t: t.filter(
-            pc.or_(
-                pc.equal(t["sink"], RESIDUE_SINK), pc.equal(t["sink"], MARKER_SINK)
-            )
-        ),
-        batch_format="pyarrow",
-    )
-
     def conv_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
             "cbucket",
             pa.array(hash_buckets(t["conv_id"].to_pylist(), num_buckets), type=pa.int32()),
         )
 
-    events_b = (
-        residues.map_batches(conv_bucket, batch_format="pyarrow")
-        .groupby("cbucket")
-        .map_groups(
-            lambda g: stitch_marker_runs(g.drop_columns(["cbucket"]), mode),
-            batch_format="pyarrow",
-        )
-    )
-
+    # single conversation-bucket shuffle of events + residues + markers
+    # (see the salted path note on branch-splitting), IPC-packed
     events = (
-        events_a.union(events_b)
-        .map_batches(
+        stage_a.map_batches(
             lambda t: _pack_by_bucket(conv_bucket(t), "cbucket"),
             batch_format="pyarrow",
         )
         .groupby("cbucket")
         .map_groups(
-            lambda g: apply_rates_bucket(_unpack_blobs(g)),
+            lambda g: finish_conv_bucket(_unpack_blobs(g), mode, marker_based=True),
             batch_format="pyarrow",
         )
     )

@@ -524,6 +524,26 @@ def stitch_marker_runs(group: pa.Table, mode: str) -> pa.Table:
     return cols.to_table()
 
 
+def finish_conv_bucket(group: pa.Table, mode: str, marker_based: bool) -> pa.Table:
+    """Final per-conversation-bucket stage shared by the salted and
+    run-local paths: the group carries whole conversations' event rows AND
+    their residue/marker rows (single shuffle, single upstream execution —
+    filtering a lazy stage into two branches would re-execute it).  Parses
+    the residue runs, unions with the in-place events, applies the
+    vectorized rate pass."""
+    sinks = np.asarray(group["sink"].to_pylist(), dtype=object)
+    is_aux = (sinks == RESIDUE_SINK) | (sinks == MARKER_SINK)
+    aux = group.filter(pa.array(is_aux))
+    events = group.filter(pa.array(~is_aux)).drop_columns(["res_text"])
+    if len(aux):
+        if marker_based:
+            extra = stitch_marker_runs(aux, mode)
+        else:
+            extra = stitch_residue_runs(aux, mode)
+        events = pa.concat_tables([events, extra])
+    return apply_rates_bucket(events)
+
+
 def _segment_firsts(keys: np.ndarray) -> np.ndarray:
     """Boolean mask: first element of each equal-key run (keys sorted)."""
     first = np.empty(len(keys), dtype=bool)
