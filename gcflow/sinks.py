@@ -126,6 +126,11 @@ def graphite_table(batch: pa.Table, prefix: str = "gc", with_rates: bool = True)
     paths, values, epochs = [], [], []
     for row in batch.to_pylist():
         ts = row["ts"]
+        if not _present(ts):
+            # the reference NPEs on a null event time (event.time.getMillis,
+            # OutputFormat.scala:27); we skip the event instead — graphite
+            # lines are meaningless without an epoch
+            continue
         epoch = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 1000
         for k, v in arrow_export_seq(row, with_rates):
             if k == "datetime":
