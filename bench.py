@@ -6,9 +6,10 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "turns": T, "turns_per_sec": r}
 
---scaling: runs the headline job in two fresh processes (num_cpus=8 and
-32) on the same input and reports both throughputs + scaling efficiency
-(the sandbox evidence for the N→4N-node criterion; see BASELINE.md).
+--scaling: runs the headline job in two fresh processes (GRAFT_SCALE_LO/HI,
+default 8 and 32 CPUs) on the same input and reports both throughputs +
+scaling efficiency (the sandbox evidence for the N→4N-node criterion; see
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # replicate the events-derived corpus so the bench input is meaningfully
 # large (sf0.1: 100k events × 9/8 lines × R)
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "80"))
 
 
 def _scaling_main():
