@@ -87,11 +87,12 @@ def _pool_size() -> int:
 
 def _enrich_pool_size() -> int:
     """Enrich actor-pool size.  Ray fuses the preceding stitch map_groups
-    INTO this actor pool, so this also bounds stitch parallelism; measured
-    at 10M turns/32 CPUs, n/4 actors beat both a small (n/8) pool and a
-    near-all-CPUs pool (actor spin-up + oversubscription with the sink
-    pool cost more than the extra slots bought)."""
-    return _pool_size()
+    INTO this actor pool, so this also bounds stitch parallelism.  Sweep
+    at 10M turns/32 CPUs (post shuffle-packing): pool 8 → 25.7s, 16 →
+    20.2s, 24 → 20.0s, 30 → 25.4s (oversubscription with the sink pool).
+    n/2 capped by what leaves the sink pool + scheduler headroom free."""
+    n = _ncpu()
+    return max(1, min(n // 2, n - _pool_size() - 2))
 
 
 def _tune_context() -> None:
