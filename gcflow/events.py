@@ -167,6 +167,8 @@ class BasicGCEvent:
     generation_deltas: list
     pause_seconds: float
     tenuring: Optional[TenuringDistribution] = None
+    # cached promoted_bytes (computed twice per event: export + rate)
+    _promoted: object = field(default=False, compare=False, repr=False)
 
     @property
     def heap(self) -> Optional[SizeDelta]:
@@ -180,14 +182,17 @@ class BasicGCEvent:
         """Minor-GC promotion (BasicGCEvent.scala:57-70) including the quirk:
         ``generation("young")`` returns the first generation whose name is
         case-insensitively != "young" — in practice the *first* delta."""
-        if self.gc_type != "GC":
-            return None
-        young = next(
-            (d for d in self.generation_deltas if d.name.lower() != "young"), None
-        )
-        if young is None:
-            return None
-        return young.delta.reclaimed_bytes - self.heap_delta.reclaimed_bytes
+        if self._promoted is not False:
+            return self._promoted
+        result = None
+        if self.gc_type == "GC":
+            young = next(
+                (d for d in self.generation_deltas if d.name.lower() != "young"), None
+            )
+            if young is not None:
+                result = young.delta.reclaimed_bytes - self.heap_delta.reclaimed_bytes
+        self._promoted = result
+        return result
 
     def to_export(self) -> list:
         seq = []

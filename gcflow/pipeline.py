@@ -419,14 +419,27 @@ def run_pipeline(
     prefilter: bool = True,
     enrich: bool = True,
     stats: bool = False,
+    limit: Optional[int] = None,
+    salt_turns: Optional[int] = None,
+    stitch_impl: str = "py",
 ) -> dict:
     """Full parse→enrich→route→aggregate job; returns metrics.
 
     Output layout: ``out_dir/sink=<name>/part-*.parquet`` — per-event-type
     Parquet fan-out sinks (SURVEY.md S6 mapping) written in the same pass
-    that feeds the streaming per-sink aggregate."""
+    that feeds the streaming per-sink aggregate, plus a run-level
+    ``_metrics.json`` record."""
     ds = read_transcripts(transcripts_path)
-    events = parse_events(ds, mode=mode, prefilter=prefilter, enrich=enrich)
+    if salt_turns:
+        events = parse_events_salted(
+            ds, mode=mode, prefilter=prefilter, enrich=enrich, salt_turns=salt_turns
+        )
+    else:
+        events = parse_events(
+            ds, mode=mode, prefilter=prefilter, enrich=enrich, stitch_impl=stitch_impl
+        )
+    if limit is not None:
+        events = events.limit(limit)  # ≙ reference --limit (Main.scala:28)
     if out_dir is not None:
         partials = events.map_batches(
             SinkWriter,
@@ -448,4 +461,28 @@ def run_pipeline(
     }
     if stats:
         metrics.update(prefilter_stats(transcripts_path))
+    if out_dir is not None:
+        # run-level metrics record alongside the sinks (north rule:
+        # lineage + metrics records; shard-level records live in
+        # gcflow/checkpoint.py)
+        import json
+
+        record = {
+            "input": str(transcripts_path),
+            "mode": mode,
+            "events_total": metrics["events_total"],
+            "sink_counts": {
+                f"{s}/{e}": int(n)
+                for s, e, n in zip(
+                    counts["sink"].to_pylist(),
+                    counts["event_type"].to_pylist(),
+                    counts["n"].to_pylist(),
+                )
+            },
+            **{k: v for k, v in metrics.items() if k in ("turns_in", "turns_kept")},
+        }
+        tmp = os.path.join(out_dir, "_metrics.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace(tmp, os.path.join(out_dir, "_metrics.json"))
     return metrics

@@ -77,6 +77,24 @@ def main(argv=None) -> int:
         ray.shutdown()
         return 0
 
+    if args.format == "parquet":
+        m = pl.run_pipeline(
+            args.input, out_dir=args.out, mode=mode, enrich=not args.no_enrich,
+            limit=args.limit, salt_turns=args.salt_turns,
+            stitch_impl=args.stitch_impl, stats=True,
+        )
+        counts = {
+            f"{r['sink']}/{r['event_type']}": int(r["n"])
+            for r in m["sink_counts"].to_pylist()
+        }
+        print(json.dumps({
+            "format": "parquet", "out": args.out, "sink_counts": counts,
+            "events_total": m["events_total"],
+            "turns_in": m.get("turns_in"), "turns_kept": m.get("turns_kept"),
+        }))
+        ray.shutdown()
+        return 0
+
     ds = pl.read_transcripts(args.input)
     if args.salt_turns:
         events = pl.parse_events_salted(
@@ -94,24 +112,10 @@ def main(argv=None) -> int:
         out = os.path.join(args.out, "events.tsv")
         sinks.write_tsv(events, out, delimiter=args.delimiter)
         print(json.dumps({"format": "tsv", "path": out}))
-    elif args.format == "graphite":
+    else:
         out = os.path.join(args.out, "graphite")
         sinks.graphite_ds(events, prefix=args.prefix).write_parquet(out)
         print(json.dumps({"format": "graphite", "path": out}))
-    else:
-        partials = events.map_batches(
-            pl.SinkWriter,
-            fn_constructor_args=(args.out,),
-            batch_format="pyarrow",
-            batch_size=32768,
-            concurrency=pl._pool_size(),
-        )
-        agg = partials.groupby(["sink", "event_type"]).sum("n_partial").to_pandas()
-        counts = {
-            f"{r['sink']}/{r['event_type']}": int(r["sum(n_partial)"])
-            for _, r in agg.iterrows()
-        }
-        print(json.dumps({"format": "parquet", "out": args.out, "sink_counts": counts}))
     ray.shutdown()
     return 0
 
