@@ -112,6 +112,16 @@ def main():
     headline = time.perf_counter() - t0
     queries["gc_pipeline"] = round(headline, 3)
 
+    # heap-stats-mode headline (events ≪ lines: ~23 lines/event {}-blocks)
+    heap_path = tr.materialize_heap_transcripts(n_convs=8000, reps=5)
+    heap_turns = pq.read_metadata(heap_path).num_rows
+    heap_out = os.environ.get("GCFLOW_BENCH_OUT", "/dev/shm/gcflow_bench_out") + "_heap"
+    shutil.rmtree(heap_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    pl.run_pipeline(heap_path, out_dir=heap_out, mode="heap")
+    heap_sec = time.perf_counter() - t0
+    queries["gc_pipeline_heap"] = round(heap_sec, 3)
+
     # representative operator benchmarks (each timed separately)
     from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
     from gcflow.ops.relational import q_rel_q1
@@ -140,6 +150,8 @@ def main():
                 "num_cpus": NUM_CPUS,
                 "turns": int(turns),
                 "turns_per_sec": round(turns / headline, 1),
+                "heap_turns": int(heap_turns),
+                "heap_turns_per_sec": round(heap_turns / heap_sec, 1),
                 "replicate": REPLICATE,
             }
         )

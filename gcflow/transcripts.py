@@ -249,6 +249,40 @@ def transcripts_from_events(
     return pa.Table.from_pandas(final, schema=TRANSCRIPT_SCHEMA, preserve_index=False)
 
 
+def heap_transcripts(n_convs: int, reps: int = 5) -> pa.Table:
+    """Deterministic heap-at-GC-heavy corpus: each conversation repeats the
+    fragment.txt block structure (two {}-blocks, ~23 lines/event) — the
+    heap-stats-mode benchmark input (events ≪ lines)."""
+    with open(os.path.join(_FIXTURES_DIR, "fragment.txt")) as f:
+        frag = [l for l in f.read().split("\n") if l != ""]
+    lines = frag * reps
+    n = len(lines)
+    rows = {k: [] for k in TRANSCRIPT_SCHEMA.names}
+    base_us = 1_600_000_000_000_000
+    for c in range(n_convs):
+        cid = f"h{c}"
+        rows["conv_id"].extend([cid] * n)
+        rows["turn_idx"].extend(range(n))
+        rows["text"].extend(lines)
+        rows["role"].extend(ROLES[i % 3] for i in range(n))
+        rows["tool"].extend(TOOLS[i % 4] for i in range(n))
+        rows["ts"].extend(base_us + i * 1_000_000 for i in range(n))
+    return pa.Table.from_pydict(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+def materialize_heap_transcripts(
+    n_convs: int, reps: int = 5, out_root: str = "/tmp/gcflow_transcripts"
+) -> str:
+    out_dir = os.path.join(out_root, f"heap_c{n_convs}_r{reps}")
+    path = os.path.join(out_dir, "transcripts.parquet")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(heap_transcripts(n_convs, reps), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def materialize_transcripts(
     sf_dir: str, out_root: str = "/tmp/gcflow_transcripts", replicate: int = 1
 ) -> str:
