@@ -54,11 +54,18 @@ def run_checkpointed(
     os.makedirs(lineage_dir(out_dir), exist_ok=True)
     shards = shard_inputs(input_files, num_shards)
     done = completed_shards(out_dir) if resume else set()
-    ran, skipped = [], []
+    ran, skipped, invalidated = [], [], []
     for k, files in enumerate(shards):
         if k in done:
-            skipped.append(k)
-            continue
+            # a lineage record only skips the shard if it still covers the
+            # SAME inputs — input-list drift silently remapping shards
+            # would otherwise skip unprocessed data
+            with open(os.path.join(lineage_dir(out_dir), f"{k}.json")) as f:
+                record = json.load(f)
+            if record.get("inputs") == files:
+                skipped.append(k)
+                continue
+            invalidated.append(k)
         t0 = time.perf_counter()
         shard_out = os.path.join(out_dir, f"shard={k}")
         ds = pl.read_transcripts(files)
@@ -104,4 +111,9 @@ def run_checkpointed(
             json.dump(record, f)
         os.replace(tmp, os.path.join(lineage_dir(out_dir), f"{k}.json"))
         ran.append(k)
-    return {"ran": ran, "skipped": skipped, "num_shards": len(shards)}
+    return {
+        "ran": ran,
+        "skipped": skipped,
+        "invalidated": invalidated,
+        "num_shards": len(shards),
+    }

@@ -96,3 +96,9 @@ def test_checkpoint_resume(ray_session, tmp_path):
     os.remove(os.path.join(cp.lineage_dir(out), "2.json"))
     r3 = cp.run_checkpointed(files, out, num_shards=4, enrich=False)
     assert r3["ran"] == [2] and len(r3["skipped"]) == 3
+    # input-list drift invalidates stale lineage records instead of
+    # silently skipping unprocessed data
+    r4 = cp.run_checkpointed(files[:3], out, num_shards=4, enrich=False)
+    assert r4["skipped"] == [0, 1, 2] and r4["invalidated"] == []
+    r5 = cp.run_checkpointed(list(reversed(files)), out, num_shards=2, enrich=False)
+    assert r5["invalidated"] == [0, 1] and r5["ran"] == [0, 1]
