@@ -283,6 +283,49 @@ def _unpack_blobs(group: pa.Table) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+def probe_skew(
+    ds: rd.Dataset, sample_fraction: float = 0.01, seed: int = 7
+) -> dict:
+    """Pre-shuffle size probe (SURVEY.md §4): estimate the largest
+    conversation from a row sample instead of a full
+    ``groupby(conv_id).count()`` — a hot conversation shows up in any
+    uniform sample in proportion to its share of rows."""
+    sample = ds.select_columns(["conv_id"]).random_sample(sample_fraction, seed=seed)
+    counts = sample.to_pandas()["conv_id"].value_counts()
+    if len(counts) == 0:
+        return {"est_max_conv_turns": 0, "sampled_rows": 0}
+    return {
+        "est_max_conv_turns": int(counts.iloc[0] / sample_fraction),
+        "est_hot_conv": str(counts.index[0]),
+        "sampled_rows": int(counts.sum()),
+    }
+
+
+def parse_events_auto(
+    ds: rd.Dataset,
+    mode: str = MODE_BASIC,
+    prefilter: bool = True,
+    enrich: bool = True,
+    salt_threshold: int = 1_000_000,
+    salt_turns: int = 100_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    sample_fraction: float = 0.01,
+) -> rd.Dataset:
+    """Skew-aware dispatch: probe conversation sizes from a sample; if the
+    largest estimated conversation exceeds ``salt_threshold`` turns, use
+    the salted path (chunk-bounded stage-A tasks), else the plain bucketed
+    shuffle.  The probe costs one cheap column-pruned sampled pass."""
+    est = probe_skew(ds, sample_fraction)
+    if est["est_max_conv_turns"] > salt_threshold:
+        return parse_events_salted(
+            ds, mode=mode, prefilter=prefilter, enrich=enrich,
+            salt_turns=salt_turns, num_buckets=num_buckets,
+        )
+    return parse_events(
+        ds, mode=mode, prefilter=prefilter, enrich=enrich, num_buckets=num_buckets
+    )
+
+
 def parse_events_runlocal(
     ds: rd.Dataset,
     mode: str = MODE_BASIC,
