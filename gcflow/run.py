@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-enrich", action="store_true")
     p.add_argument("--salt-turns", type=int, default=None,
                    help="enable skew-aware salting with this chunk size")
+    p.add_argument("--auto-salt", action="store_true",
+                   help="probe conversation sizes from a sample and salt "
+                        "automatically when a hot conversation is detected")
     p.add_argument("--resume", action="store_true",
                    help="checkpointed shard runner: skip shards with lineage records")
     p.add_argument("--num-shards", type=int, default=8)
@@ -96,7 +99,9 @@ def main(argv=None) -> int:
         return 0
 
     ds = pl.read_transcripts(args.input)
-    if args.salt_turns:
+    if args.auto_salt:
+        events = pl.parse_events_auto(ds, mode=mode, enrich=not args.no_enrich)
+    elif args.salt_turns:
         events = pl.parse_events_salted(
             ds, mode=mode, enrich=not args.no_enrich, salt_turns=args.salt_turns
         )
