@@ -116,10 +116,10 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _sizes_ref(sf_dir: str):
+def _sizes_ref(corpus):
     """Broadcast doc_id → shingle-set-size (small side)."""
     sizes = (
-        corpus_ds(sf_dir)
+        corpus
         .map_batches(
             lambda t: pa.table(
                 {
@@ -154,8 +154,11 @@ def q_doc_ngram_jaccard(sf_dir: str):
     """Exact near-dup pairs via shared-shingle counting (no LSH):
     explode → groupby(shingle) pair-emit → groupby(pair).count = |A∩B| →
     jaccard from broadcast sizes.  Pairs with jaccard ≥ 0.7."""
-    sizes_ref = _sizes_ref(sf_dir)
-    shingle_doc = corpus_ds(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    # the corpus is a small reused intermediate → pin it once instead of
+    # re-executing the read+plant pipeline per consumer
+    corpus = corpus_ds(sf_dir).materialize()
+    sizes_ref = _sizes_ref(corpus)
+    shingle_doc = corpus.map_batches(_shingle_rows, batch_format="pyarrow")
     pairs = shingle_doc.groupby("shingle").map_groups(
         _pairs_from_groups, batch_format="pyarrow"
     )
@@ -277,8 +280,9 @@ def q_doc_minhash_lsh(sf_dir: str):
     sets.  Same output contract (and oracle) as the exact n-gram path —
     at the chosen banding the LSH recall at jaccard ≥ 0.7 is ≈ 1."""
     # broadcast full shingle sets of the corpus for candidate verification
+    corpus = corpus_ds(sf_dir).materialize()
     sets_df = (
-        corpus_ds(sf_dir)
+        corpus
         .map_batches(
             lambda t: pa.table(
                 {
@@ -297,7 +301,7 @@ def q_doc_minhash_lsh(sf_dir: str):
         {d: frozenset(v) for d, v in zip(sets_df["doc_id"], sets_df["sh"])}
     )
 
-    bands = corpus_ds(sf_dir).map_batches(
+    bands = corpus.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
     )
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(

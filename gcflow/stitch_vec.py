@@ -110,7 +110,7 @@ def _parse_ts_rows(ts_strs: list) -> tuple:
     return epochs, offsets
 
 
-def stitch_bucket_vec(group: pa.Table, num_rows_hint: int = 0) -> pa.Table:
+def stitch_bucket_vec(group: pa.Table) -> pa.Table:
     """Basic-mode bucket stitcher (vectorized fast path)."""
     order = pc.sort_indices(
         group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
