@@ -474,12 +474,88 @@ def q_emb_cosine_dedup(sf_dir: str):
     )
 
 
+
+
+# ------------------------------------------- duplicate clusters (components)
+
+def q_doc_dup_clusters(sf_dir: str):
+    """Near-dup pairs → duplicate CLUSTERS via iterative min-label
+    propagation (the standard distributed connected-components loop:
+    each round every node takes the min label over itself and its
+    neighbours, via a groupby — no driver-side union-find).  Output:
+    (doc_id, component) for every document that appears in a pair,
+    component = smallest doc_id reachable through jaccard ≥ 0.7 edges."""
+    pairs = q_doc_ngram_jaccard(sf_dir).to_pandas()
+
+    import pandas as pd
+
+    edges = pd.concat(
+        [
+            pairs.rename(columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]],
+            pairs.rename(columns={"doc_b": "src", "doc_a": "dst"})[["src", "dst"]],
+        ]
+    )
+    nodes = pd.unique(edges["src"])
+    labels = rd.from_arrow(
+        pa.table({"node": pa.array(nodes, type=pa.int64()),
+                  "label": pa.array(nodes, type=pa.int64())})
+    )
+    edges_ds = rd.from_arrow(
+        pa.table({"src": pa.array(edges["src"], type=pa.int64()),
+                  "dst": pa.array(edges["dst"], type=pa.int64())})
+    )
+    edges_ref = ray.put(edges.groupby("dst")["src"].apply(list).to_dict())
+
+    class Propagate:
+        """One BSP round: label(node) := min(label(node), min over
+        incoming edges of label(src)).  The (small) adjacency is
+        broadcast; at web scale the same round is a join + groupby-min
+        keyed on node."""
+
+        def __init__(self, ref, label_map_ref):
+            self.adj = ray.get(ref)
+            self.labels = ray.get(label_map_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy()
+            lab = t["label"].to_numpy().copy()
+            for i, nd in enumerate(node):
+                for src in self.adj.get(nd, ()):  # neighbours' labels
+                    sl = self.labels.get(src, src)
+                    if sl < lab[i]:
+                        lab[i] = sl
+            return pa.table(
+                {"node": pa.array(node, type=pa.int64()),
+                 "label": pa.array(lab, type=pa.int64())}
+            )
+
+    for _ in range(16):  # components here are tiny; bounded rounds
+        current = labels.to_pandas()
+        label_map_ref = ray.put(dict(zip(current["node"], current["label"])))
+        new = labels.map_batches(
+            Propagate, fn_constructor_args=(edges_ref, label_map_ref),
+            batch_format="pyarrow", concurrency=2,
+        ).materialize()
+        new_df = new.to_pandas()
+        if new_df.sort_values("node")["label"].equals(
+            current.sort_values("node")["label"]
+        ):
+            break
+        labels = new
+    out = labels.to_pandas().sort_values("node")
+    return pa.table(
+        {"doc_id": pa.array(out["node"], type=pa.int64()),
+         "component": pa.array(out["label"], type=pa.int64())}
+    )
+
+
 DEDUP_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "emb_cosine_dedup": q_emb_cosine_dedup,
+    "doc_dup_clusters": q_doc_dup_clusters,
 }
 
 DEDUP_ORACLES = {
@@ -488,6 +564,39 @@ SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text ORDER BY 1
 """,
     "doc_ngram_jaccard": JACCARD_PAIRS_SQL,
     "doc_minhash_lsh": JACCARD_PAIRS_SQL,
+    "doc_dup_clusters": "WITH RECURSIVE "
+    + CORPUS_SQL.strip().lstrip()
+    + """
+, words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words
+),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT doc_a, doc_b FROM p
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.7
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION SELECT doc_b, doc_a FROM jp
+),
+walk(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1
+""",
     # doc_simhash: implementation-defined signature → rows-only check
     "emb_cosine_dedup": "WITH " + EMB_DUP_SQL + """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
