@@ -186,15 +186,15 @@ RELATIONAL_ORACLES = {
     "rel_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
-       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_e2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_e2,
        count(*) AS n
 FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "rel_nation_revenue": """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY 1
@@ -208,7 +208,7 @@ SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1
 """,
     "rel_order_status": """
 SELECT o_orderstatus, count(*) AS n,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
 FROM orders GROUP BY 1 ORDER BY 1
 """,
 }

@@ -104,7 +104,7 @@ WITH g AS (
          ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(ts) AS t_min, max(ts) AS t_max
 FROM s GROUP BY 1, 2
 """,

@@ -215,9 +215,9 @@ ORDER BY 1, 2
     "gc_heap_agg": BASE_CTE
     + """
 SELECT CASE WHEN t IN (0, 1, 4) THEN 'GC' ELSE 'Full GC' END AS event_type,
-       sum(hb) * 1024 AS hb_sum,
-       sum(hb - ha) * 1024 AS hr_sum,
-       sum(pus) AS pause_us_sum,
+       CAST(sum(hb) * 1024 AS BIGINT) AS hb_sum,
+       CAST(sum(hb - ha) * 1024 AS BIGINT) AS hr_sum,
+       CAST(sum(pus) AS BIGINT) AS pause_us_sum,
        count(*) AS n
 FROM base WHERE t <= 4
 GROUP BY 1 ORDER BY 1
