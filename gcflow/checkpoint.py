@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Optional
 
@@ -41,6 +42,35 @@ def completed_shards(out_dir: str) -> set:
     return {int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")}
 
 
+def _remove_lineage(out_dir: str, k: int) -> None:
+    try:
+        os.remove(os.path.join(lineage_dir(out_dir), f"{k}.json"))
+    except FileNotFoundError:
+        pass
+
+
+def _prune_stale_shards(out_dir: str, num_shards: int) -> list:
+    """Delete shard output dirs and lineage records at indices >= num_shards
+    (left behind when the shard count shrinks between runs)."""
+    pruned = []
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("shard="):
+                try:
+                    k = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if k >= num_shards:
+                    shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+                    pruned.append(k)
+    for k in completed_shards(out_dir):
+        if k >= num_shards:
+            _remove_lineage(out_dir, k)
+            if k not in pruned:
+                pruned.append(k)
+    return pruned
+
+
 def run_checkpointed(
     input_files: list,
     out_dir: str,
@@ -55,6 +85,10 @@ def run_checkpointed(
     shards = shard_inputs(input_files, num_shards)
     done = completed_shards(out_dir) if resume else set()
     ran, skipped, invalidated = [], [], []
+    # A shard-count or input-list change can leave whole shard dirs (and
+    # lineage records) at indices past the new shard count — readers of the
+    # sink directories would double-count them.  Prune them up front.
+    _prune_stale_shards(out_dir, len(shards))
     for k, files in enumerate(shards):
         if k in done:
             # a lineage record only skips the shard if it still covers the
@@ -68,6 +102,11 @@ def run_checkpointed(
             invalidated.append(k)
         t0 = time.perf_counter()
         shard_out = os.path.join(out_dir, f"shard={k}")
+        # SinkWriter appends fresh uuid-named part files; an invalidated or
+        # crash-interrupted shard must start from an empty directory or the
+        # old parts survive alongside the new ones and double-count.
+        shutil.rmtree(shard_out, ignore_errors=True)
+        _remove_lineage(out_dir, k)
         ds = pl.read_transcripts(files)
         turns_in = ds.count()
         events = pl.parse_events(ds, mode=mode, enrich=enrich)

@@ -102,3 +102,51 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert r4["skipped"] == [0, 1, 2] and r4["invalidated"] == []
     r5 = cp.run_checkpointed(list(reversed(files)), out, num_shards=2, enrich=False)
     assert r5["invalidated"] == [0, 1] and r5["ran"] == [0, 1]
+
+
+def _total_sink_rows(out_dir):
+    total = 0
+    for root, _, fs in os.walk(out_dir):
+        if "_lineage" in root:
+            continue
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
+def test_checkpoint_rerun_output_not_duplicated(ray_session, tmp_path):
+    """Invalidated/crash-interrupted shards and shard-count shrinks must not
+    leave stale part files behind: total sink rows after any resume flow
+    equal a fresh run's."""
+    from gcflow import checkpoint as cp
+
+    table = tr.fixture_transcripts()
+    files = []
+    for i in range(4):
+        f = str(tmp_path / f"in_{i}.parquet")
+        pq.write_table(table.slice(i * 150, 150), f)
+        files.append(f)
+
+    fresh4 = str(tmp_path / "fresh4")
+    cp.run_checkpointed(files, fresh4, num_shards=4, enrich=False)
+    want4 = _total_sink_rows(fresh4)
+    assert want4 > 0
+
+    out = str(tmp_path / "out")
+    cp.run_checkpointed(files, out, num_shards=4, enrich=False)
+    # crash-interrupted shard: lineage record lost but part files on disk
+    os.remove(os.path.join(cp.lineage_dir(out), "1.json"))
+    r = cp.run_checkpointed(files, out, num_shards=4, enrich=False)
+    assert r["ran"] == [1]
+    assert _total_sink_rows(out) == want4
+
+    # shard-count shrink: shard dirs >= new count pruned, invalidated shards
+    # rerun into clean dirs
+    fresh2 = str(tmp_path / "fresh2")
+    cp.run_checkpointed(files, fresh2, num_shards=2, enrich=False)
+    want2 = _total_sink_rows(fresh2)
+    cp.run_checkpointed(files, out, num_shards=2, enrich=False)
+    assert _total_sink_rows(out) == want2
+    assert not os.path.isdir(os.path.join(out, "shard=2"))
+    assert cp.completed_shards(out) == {0, 1}
