@@ -18,8 +18,10 @@ Scale notes (100 TB path, documented per SURVEY.md §4):
   web scale, cap document-frequency per shingle and fall back to
   MinHash-LSH (the ``doc_minhash_lsh`` operator) whose shuffle volume is
   bands × docs, independent of pair counts;
-- candidate verification here broadcasts the (small) shingle-set dict of
-  candidate docs; at web scale verify via a repartition join on doc_id.
+- candidate verification is a repartition join on doc_id
+  (``Dataset.join``): candidate pairs are joined to per-doc shingle
+  sizes (Jaccard path) or shingle sets (LSH path) — no whole-corpus
+  broadcast; per-node footprint is O(candidates / partitions).
 """
 
 from __future__ import annotations
@@ -92,9 +94,13 @@ def q_doc_exact_dedup(sf_dir: str):
         .map_batches(add_hash, batch_format="pyarrow")
         .groupby("h")
         .min("doc_id")
-        .to_pandas()
     )
-    return pa.table({"doc_id": pa.array(sorted(kept["min(doc_id)"]), type=pa.int64())})
+    # stays a Dataset end-to-end — at scale the kept set is corpus-sized,
+    # so the survivor list must never be collected to the driver
+    return kept.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["min(doc_id)"], pa.int64())}),
+        batch_format="pyarrow",
+    )
 
 
 # -------------------------------------------------- shingles + exact jaccard
@@ -116,25 +122,39 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _sizes_ref(corpus):
-    """Broadcast doc_id → shingle-set-size (small side)."""
-    sizes = (
-        corpus
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "sz": pa.array(
-                        [len(_shingles(s)) for s in t["text"].to_pylist()],
-                        type=pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+JOIN_PARTITIONS = 8
+
+
+def _sizes_ds(corpus) -> rd.Dataset:
+    """Per-doc shingle-set size as a Dataset (join side, never collected)."""
+    return corpus.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sz": pa.array(
+                    [len(_shingles(s)) for s in t["text"].to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
-    return ray.put(dict(zip(sizes["doc_id"], sizes["sz"])))
+
+
+def _join_attach(cand: rd.Dataset, side: rd.Dataset, key: str, out_cols: dict) -> rd.Dataset:
+    """Repartition join: attach ``side`` columns to candidate rows on
+    ``key`` = side.doc_id, then project to ``out_cols`` (old → new name).
+    Hash-partitions both inputs on the key — per-node memory is
+    O(rows / JOIN_PARTITIONS), no broadcast."""
+    joined = cand.join(
+        side, "inner", num_partitions=JOIN_PARTITIONS,
+        on=(key,), right_on=("doc_id",), right_suffix="_r",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({new: t[old] for old, new in out_cols.items()})
+
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 def _pairs_from_groups(g: pa.Table) -> pa.Table:
@@ -153,42 +173,50 @@ def _pairs_from_groups(g: pa.Table) -> pa.Table:
 def q_doc_ngram_jaccard(sf_dir: str):
     """Exact near-dup pairs via shared-shingle counting (no LSH):
     explode → groupby(shingle) pair-emit → groupby(pair).count = |A∩B| →
-    jaccard from broadcast sizes.  Pairs with jaccard ≥ 0.7."""
+    jaccard from set sizes attached by a repartition join on doc_id
+    (two joins, a then b — never a whole-corpus broadcast).
+    Pairs with jaccard ≥ 0.7."""
     # the corpus is a small reused intermediate → pin it once instead of
     # re-executing the read+plant pipeline per consumer
     corpus = corpus_ds(sf_dir).materialize()
-    sizes_ref = _sizes_ref(corpus)
+    sizes = _sizes_ds(corpus)
     shingle_doc = corpus.map_batches(_shingle_rows, batch_format="pyarrow")
     pairs = shingle_doc.groupby("shingle").map_groups(
         _pairs_from_groups, batch_format="pyarrow"
     )
-    shared = pairs.groupby(["doc_a", "doc_b"]).count()  # count() column: count()
-
-    class Verify:
-        def __init__(self, ref):
-            self.sizes = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["doc_a"].to_numpy()
-            b = t["doc_b"].to_numpy()
-            n_shared = t["count()"].to_numpy().astype(np.float64)
-            sa = np.array([self.sizes[x] for x in a], dtype=np.float64)
-            sb = np.array([self.sizes[x] for x in b], dtype=np.float64)
-            # raw jaccard: identical int inputs → bit-identical float64 in
-            # both engines; no rounding (tie hazards)
-            jac = n_shared / (sa + sb - n_shared)
-            out = pa.table(
-                {
-                    "doc_a": pa.array(a, type=pa.int64()),
-                    "doc_b": pa.array(b, type=pa.int64()),
-                    "jaccard": pa.array(jac),
-                }
-            )
-            return out.filter(pc.greater_equal(out["jaccard"], JACCARD_THRESHOLD))
-
-    return shared.map_batches(
-        Verify, fn_constructor_args=(sizes_ref,), batch_format="pyarrow", concurrency=(1, 4)
+    shared = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "n_shared": t["count()"]}
+        ),
+        batch_format="pyarrow",
     )
+    with_a = _join_attach(
+        shared, sizes, "doc_a",
+        {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared", "sz": "sz_a"},
+    )
+    with_ab = _join_attach(
+        with_a, sizes, "doc_b",
+        {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared",
+         "sz_a": "sz_a", "sz": "sz_b"},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        n_shared = t["n_shared"].to_numpy().astype(np.float64)
+        sa = t["sz_a"].to_numpy().astype(np.float64)
+        sb = t["sz_b"].to_numpy().astype(np.float64)
+        # raw jaccard: identical int inputs → bit-identical float64 in
+        # both engines; no rounding (tie hazards)
+        jac = n_shared / (sa + sb - n_shared)
+        out = pa.table(
+            {
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "jaccard": pa.array(jac),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], JACCARD_THRESHOLD))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 JACCARD_PAIRS_SQL = (
@@ -274,32 +302,38 @@ class MinHashStage:
         )
 
 
+def _shingle_sets_ds(corpus) -> rd.Dataset:
+    """Per-doc shingle set packed as a binary column of sorted 64-bit
+    shingle hashes (Acero joins reject list payload columns; a packed
+    scalar column joins fine and set intersections over the 64-bit hashes
+    equal string-set intersections up to a ~n²/2⁶⁴ collision chance).
+    The join side — never collected to the driver."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        payloads = []
+        for s in t["text"].to_pylist():
+            hs = np.fromiter(
+                (_shingle_hash64(x) for x in _shingles(s)), dtype=np.uint64
+            )
+            hs.sort()
+            payloads.append(hs.tobytes())
+        return pa.table(
+            {"doc_id": t["doc_id"], "sh": pa.array(payloads, type=pa.binary())}
+        )
+
+    return corpus.map_batches(pack, batch_format="pyarrow")
+
+
 def q_doc_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup: shingle → minhash → band buckets (groupby) →
-    candidate pairs → exact-jaccard verification against broadcast shingle
-    sets.  Same output contract (and oracle) as the exact n-gram path —
-    at the chosen banding the LSH recall at jaccard ≥ 0.7 is ≈ 1."""
-    # broadcast full shingle sets of the corpus for candidate verification
+    candidate pairs → exact-jaccard verification via repartition join of
+    candidates to per-doc shingle sets on doc_id (two joins, a then b).
+    Same output contract (and oracle) as the exact n-gram path — at the
+    chosen banding the LSH recall at jaccard ≥ 0.7 is ≈ 1.
+    Per-node footprint is O(candidate pairs × set size / partitions),
+    never O(corpus)."""
     corpus = corpus_ds(sf_dir).materialize()
-    sets_df = (
-        corpus
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "sh": pa.array(
-                        [list(_shingles(s)) for s in t["text"].to_pylist()],
-                        type=pa.list_(pa.string()),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    sets_ref = ray.put(
-        {d: frozenset(v) for d, v in zip(sets_df["doc_id"], sets_df["sh"])}
-    )
+    sets = _shingle_sets_ds(corpus)
 
     bands = corpus.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
@@ -307,33 +341,42 @@ def q_doc_minhash_lsh(sf_dir: str):
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _pairs_from_groups, batch_format="pyarrow"
     )
-    cand = pairs.groupby(["doc_a", "doc_b"]).count()
-
-    class Verify:
-        def __init__(self, ref):
-            self.sets = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out_a, out_b, out_j = [], [], []
-            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-                sa, sb = self.sets[a], self.sets[b]
-                inter = len(sa & sb)
-                jac = inter / (len(sa) + len(sb) - inter)
-                if jac >= JACCARD_THRESHOLD:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(jac)
-            return pa.table(
-                {
-                    "doc_a": pa.array(out_a, type=pa.int64()),
-                    "doc_b": pa.array(out_b, type=pa.int64()),
-                    "jaccard": pa.array(out_j, type=pa.float64()),
-                }
-            )
-
-    return cand.map_batches(
-        Verify, fn_constructor_args=(sets_ref,), batch_format="pyarrow", concurrency=(1, 4)
+    cand = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
+    with_a = _join_attach(
+        cand, sets, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"}
+    )
+    with_ab = _join_attach(
+        with_a, sets, "doc_b",
+        {"doc_a": "doc_a", "doc_b": "doc_b", "sh_a": "sh_a", "sh": "sh_b"},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, sha, shb in zip(
+            t["doc_a"].to_pylist(),
+            t["doc_b"].to_pylist(),
+            t["sh_a"].to_pylist(),
+            t["sh_b"].to_pylist(),
+        ):
+            ha = np.frombuffer(sha, dtype=np.uint64)
+            hb = np.frombuffer(shb, dtype=np.uint64)
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            jac = inter / (len(ha) + len(hb) - inter)
+            if jac >= JACCARD_THRESHOLD:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- SimHash
@@ -480,72 +523,67 @@ def q_emb_cosine_dedup(sf_dir: str):
 
 def q_doc_dup_clusters(sf_dir: str):
     """Near-dup pairs → duplicate CLUSTERS via iterative min-label
-    propagation (the standard distributed connected-components loop:
-    each round every node takes the min label over itself and its
-    neighbours, via a groupby — no driver-side union-find).  Output:
-    (doc_id, component) for every document that appears in a pair,
-    component = smallest doc_id reachable through jaccard ≥ 0.7 edges."""
-    pairs = q_doc_ngram_jaccard(sf_dir).to_pandas()
+    propagation, fully distributed (the standard BSP connected-components
+    loop): each round joins labels to edges on src (repartition join),
+    re-keys the neighbour contributions to dst, unions them with the
+    current labels and takes groupby(node).min(label).  Convergence is
+    detected by the sum-of-labels aggregate — labels only ever decrease,
+    so an unchanged sum is a fixpoint.  No per-round driver collect; the
+    per-round driver traffic is one scalar.  Output: (doc_id, component)
+    for every document in a pair, component = smallest doc_id reachable
+    through jaccard ≥ 0.7 edges."""
+    pairs = q_doc_ngram_jaccard(sf_dir)
 
-    import pandas as pd
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64())
+        b = pc.cast(t["doc_b"], pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
 
-    edges = pd.concat(
-        [
-            pairs.rename(columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]],
-            pairs.rename(columns={"doc_b": "src", "doc_a": "dst"})[["src", "dst"]],
-        ]
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    labels = (
+        edges.groupby("src")
+        .count()  # distinct nodes, distributed
+        .map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    nodes = pd.unique(edges["src"])
-    labels = rd.from_arrow(
-        pa.table({"node": pa.array(nodes, type=pa.int64()),
-                  "label": pa.array(nodes, type=pa.int64())})
-    )
-    edges_ds = rd.from_arrow(
-        pa.table({"src": pa.array(edges["src"], type=pa.int64()),
-                  "dst": pa.array(edges["dst"], type=pa.int64())})
-    )
-    edges_ref = ray.put(edges.groupby("dst")["src"].apply(list).to_dict())
 
-    class Propagate:
-        """One BSP round: label(node) := min(label(node), min over
-        incoming edges of label(src)).  The (small) adjacency is
-        broadcast; at web scale the same round is a join + groupby-min
-        keyed on node."""
+    def relabel_min(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["min(label)"]})
 
-        def __init__(self, ref, label_map_ref):
-            self.adj = ray.get(ref)
-            self.labels = ray.get(label_map_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            node = t["node"].to_numpy()
-            lab = t["label"].to_numpy().copy()
-            for i, nd in enumerate(node):
-                for src in self.adj.get(nd, ()):  # neighbours' labels
-                    sl = self.labels.get(src, src)
-                    if sl < lab[i]:
-                        lab[i] = sl
-            return pa.table(
-                {"node": pa.array(node, type=pa.int64()),
-                 "label": pa.array(lab, type=pa.int64())}
+    prev_sum = None
+    for _ in range(32):  # bound ≥ max component diameter; converges earlier
+        contrib = (
+            edges.join(
+                labels, "inner", num_partitions=JOIN_PARTITIONS,
+                on=("src",), right_on=("node",),
             )
-
-    for _ in range(16):  # components here are tiny; bounded rounds
-        current = labels.to_pandas()
-        label_map_ref = ray.put(dict(zip(current["node"], current["label"])))
-        new = labels.map_batches(
-            Propagate, fn_constructor_args=(edges_ref, label_map_ref),
-            batch_format="pyarrow", concurrency=2,
-        ).materialize()
-        new_df = new.to_pandas()
-        if new_df.sort_values("node")["label"].equals(
-            current.sort_values("node")["label"]
-        ):
+            .map_batches(
+                lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            labels.union(contrib)
+            .groupby("node")
+            .min("label")
+            .map_batches(relabel_min, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
             break
-        labels = new
-    out = labels.to_pandas().sort_values("node")
-    return pa.table(
-        {"doc_id": pa.array(out["node"], type=pa.int64()),
-         "component": pa.array(out["label"], type=pa.int64())}
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
     )
 
 

@@ -5,9 +5,13 @@
   does one numpy matmul against it and emits only its block-local top-k
   partials, which a tiny final reduce merges.  Shuffle volume:
   O(batches × queries × k), never O(corpus).
-- ``emb_lsh_search``: the scale path — random-hyperplane LSH bucketing
-  (signature groupby), probing only matching buckets; approximate, so
-  rows-only for the driver, with recall vs brute force asserted in pytest.
+- ``emb_lsh_search``: the scale path — random-hyperplane LSH signatures;
+  each batch probes only rows whose signature lies within hamming
+  distance 2 of a query's signature (a vectorized popcount mask), emits
+  block-local top-k partials, and a tiny reduce merges them.  The corpus
+  never leaves the distributed plane; only the 8-query matrix is
+  broadcast.  Approximate, so rows-only for the driver, with recall vs
+  brute force asserted in pytest.
 """
 
 from __future__ import annotations
@@ -75,7 +79,12 @@ def q_emb_ann_topk(sf_dir: str):
         PartialTopK, fn_constructor_args=(qref,), batch_format="pyarrow",
         batch_size=4096, concurrency=(1, 4),
     ).to_pandas()
-    # tiny final reduce: global top-k per query with the same tie-break
+    return _topk_reduce(partials)
+
+
+def _topk_reduce(partials):
+    """Tiny final reduce over block-local top-k partials (O(blocks × k × q)
+    rows): global top-k per query, ties broken by neighbor_id ascending."""
     partials = partials.sort_values(
         ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
     )
@@ -93,65 +102,74 @@ def q_emb_ann_topk(sf_dir: str):
 N_PLANES = 8  # 2^8 buckets
 
 
-def q_emb_lsh_search(sf_dir: str):
-    """Approximate top-k via random-hyperplane signatures: corpus bucketed
-    by 8-bit signature (a groupby at scale); each query probes only
-    buckets within hamming distance 2 of its own signature."""
-    rng = np.random.RandomState(7)
-    ids, E = _read_emb(sf_dir)
-    dim = E.shape[1]
-    planes = rng.normal(size=(N_PLANES, dim))
-    planes_ref = ray.put(planes)
-    qmask = ids < N_QUERIES
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
-    class Signature:
+
+def q_emb_lsh_search(sf_dir: str):
+    """Approximate top-k via random-hyperplane signatures, fully
+    distributed: only the query matrix (+ its signatures and the plane
+    matrix) is broadcast.  Each batch signs its own rows, masks to rows
+    within hamming distance 2 of a query's signature (vectorized popcount
+    over the XOR), computes cosine against the masked rows only, and emits
+    block-local top-k partials; ``_topk_reduce`` merges the tiny partials.
+    Shuffle volume O(blocks × queries × k) — never O(corpus)."""
+    rng = np.random.RandomState(7)
+    # small side only: the N_QUERIES query vectors (row filter at the read)
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    qids = qt["vec_id"].to_numpy()
+    Q = np.vstack(qt["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(qids)
+    qids, Q = qids[order], Q[order]
+    dim = Q.shape[1]
+    planes = rng.normal(size=(N_PLANES, dim))
+    qbits = (Q @ planes.T) > 0
+    qsigs = (qbits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, Qn, qsigs, planes))
+
+    class Probe:
         def __init__(self, r):
-            self.planes = ray.get(r)
+            self.qids, self.Qn, self.qsigs, self.planes = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
             V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
             bits = (V @ self.planes.T) > 0
-            sig = (bits * (1 << np.arange(N_PLANES))).sum(axis=1)
-            return t.append_column("sig", pa.array(sig, type=pa.int64()))
+            sig = (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+            # rows × queries hamming distances (8-bit sigs → one popcount LUT)
+            ham = _POPCOUNT8[(sig[:, None] ^ self.qsigs[None, :]) & 0xFF]
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                probe = (ham[:, qi] <= 2) & (ids != qid)
+                if not probe.any():
+                    continue
+                cand_ids = ids[probe]
+                sims = Vn[probe] @ self.Qn[qi]
+                top = np.lexsort((cand_ids, -sims))[:TOP_K]
+                out_q.extend([int(qid)] * len(top))
+                out_v.extend(cand_ids[top].tolist())
+                out_c.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_v, type=pa.int64()),
+                    "cos": pa.array(out_c, type=pa.float64()),
+                }
+            )
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    signed = ds.map_batches(
-        Signature, fn_constructor_args=(planes_ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
+    partials = ds.map_batches(
+        Probe, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=4096, concurrency=(1, 4),
     ).to_pandas()
-
-    qsig = {}
-    Qn = {}
-    for _, row in signed[signed["vec_id"] < N_QUERIES].iterrows():
-        v = np.asarray(row["embedding"], dtype=np.float64)
-        Qn[row["vec_id"]] = v / np.linalg.norm(v)
-        qsig[row["vec_id"]] = int(row["sig"])
-
-    sigs = signed["sig"].to_numpy()
-    all_ids = signed["vec_id"].to_numpy()
-    V = np.vstack(signed["embedding"].to_numpy()).astype(np.float64)
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-
-    out_q, out_v, out_r = [], [], []
-    for qid, qs in sorted(qsig.items()):
-        ham = np.array([bin(int(s) ^ qs).count("1") for s in sigs])
-        probe = (ham <= 2) & (all_ids != qid)
-        cand_ids = all_ids[probe]
-        sims = Vn[probe] @ Qn[qid]
-        order = np.lexsort((cand_ids, -sims))[:TOP_K]
-        for r, k in enumerate(order, 1):
-            out_q.append(int(qid))
-            out_v.append(int(cand_ids[k]))
-            out_r.append(r)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "neighbor_id": pa.array(out_v, type=pa.int64()),
-            "rank": pa.array(out_r, type=pa.int64()),
-        }
-    )
+    return _topk_reduce(partials)
 
 
 SIMILARITY_QUERIES = {

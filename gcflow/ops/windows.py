@@ -1,8 +1,12 @@
 """Windowed/sessionized aggregation over the ``events`` stream table —
-the streaming-shaped custom operator (Ray Data has no event-time windows;
-sessions are computed per key inside ``groupby(key).map_groups`` over the
-ts-sorted group, per the documented partitioning assumption: all rows of
-one user fit one group).
+the streaming-shaped custom operator (Ray Data has no event-time windows).
+
+Sessions use the bucket-sweep pattern (same as the stitch stage):
+``groupby(hash(user)%NB)`` co-locates each user's rows in ONE of NB
+groups, and a single vectorized numpy sweep sessionizes *all* users of
+the bucket in one call — the per-group ~1ms map_groups machinery is paid
+NB times, not once per user.  Partitioning assumption: all rows of one
+user fit one bucket group (guaranteed by hashing the user key).
 """
 
 from __future__ import annotations
@@ -10,12 +14,12 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
 
 SESSION_GAP_S = 1800
+N_SESSION_BUCKETS = 64
 
 
 def q_evt_sessions(sf_dir: str):
@@ -25,28 +29,58 @@ def q_evt_sessions(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        gap = g["ts"].diff().dt.total_seconds().fillna(0)
-        sid = (gap > SESSION_GAP_S).cumsum()
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id", sort=True)
-            .agg(n_events=("ts", "size"), t_min=("ts", "min"), t_max=("ts", "max"))
-            .reset_index()
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
 
-    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
-    return pa.table(
-        {
-            "user_id": pa.array(res["user_id"], type=pa.int64()),
-            "session_id": pa.array(res["session_id"], type=pa.int64()),
-            "n_events": pa.array(res["n_events"], type=pa.int64()),
-            "t_min": pa.array(res["t_min"], type=pa.timestamp("us")),
-            "t_max": pa.array(res["t_max"], type=pa.timestamp("us")),
-        }
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def sweep(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        tsi = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "t_min": pa.array([], type=pa.timestamp("us")),
+                    "t_max": pa.array([], type=pa.timestamp("us")),
+                }
+            )
+        order = np.lexsort((tsi, uid))
+        u, s = uid[order], tsi[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = s[1:] - s[:-1]
+        brk = new_user | (gap > gap_us)
+        # per-row session index within its user: cumulative within-user
+        # breaks minus the value at the user's first row
+        within = np.cumsum(brk & ~new_user)
+        first_of_user = np.flatnonzero(new_user)
+        user_idx = np.cumsum(new_user) - 1
+        sid = within - within[first_of_user][user_idx]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:] - 1, n - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], type=pa.int64()),
+                "session_id": pa.array(sid[starts], type=pa.int64()),
+                "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+                "t_min": pa.array(s[starts].astype("datetime64[us]"), type=pa.timestamp("us")),
+                "t_max": pa.array(s[ends].astype("datetime64[us]"), type=pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
     )
 
 
