@@ -111,14 +111,70 @@ def _shingles(text: str) -> set:
 
 
 def _shingle_rows(t: pa.Table) -> pa.Table:
-    """Explode corpus rows to (shingle, doc_id) pairs (distinct shingles)."""
-    doc_ids, shingles = [], []
+    """Explode corpus rows to (k=shingle-hash64, doc_id) pairs.  Shingle
+    identity travels as its 64-bit blake2b hash, not the string — 8 bytes
+    per exchange row and a numeric bucket key for the sweep (collision
+    chance ~n²/2⁶⁴, same tolerance as the packed verify sets)."""
+    doc_ids, ks = [], []
     for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
         for sh in _shingles(s):
             doc_ids.append(did)
-            shingles.append(sh)
+            ks.append(_shingle_hash64(sh))
     return pa.table(
-        {"shingle": pa.array(shingles), "doc_id": pa.array(doc_ids, type=pa.int64())}
+        {
+            "k": pa.array(np.asarray(ks, dtype=np.uint64), type=pa.uint64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+        }
+    )
+
+
+N_PAIR_BUCKETS = 64
+
+
+def _cooccur_pairs(kd: rd.Dataset, num_buckets: int = N_PAIR_BUCKETS) -> rd.Dataset:
+    """(k, doc_id) rows → co-occurring (doc_a, doc_b) pairs per distinct
+    key, bucket-sweep style: groupby(hash(k)%NB) pays the per-group
+    map_groups machinery NB times instead of once per distinct key
+    (~1ms/group — the repo's measured stitch lesson), and one vectorized
+    sweep handles every key run of the bucket."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(
+            num_buckets
+        )
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.ones(len(k), dtype=bool)  # drop duplicate (k, doc) rows
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):  # only multi-doc runs emit pairs
+            if e - s > 1:
+                ids = d[s:e]  # sorted unique → doc_a < doc_b by construction
+                i, j = np.triu_indices(e - s, k=1)
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    return (
+        kd.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
     )
 
 
@@ -157,22 +213,9 @@ def _join_attach(cand: rd.Dataset, side: rd.Dataset, key: str, out_cols: dict) -
     return joined.map_batches(project, batch_format="pyarrow")
 
 
-def _pairs_from_groups(g: pa.Table) -> pa.Table:
-    """Within one shingle (or LSH bucket) group: emit co-occurring pairs
-    (vectorized triangular index — groups can be large)."""
-    ids = np.unique(g["doc_id"].to_numpy())
-    i, j = np.triu_indices(len(ids), k=1)
-    return pa.table(
-        {
-            "doc_a": pa.array(ids[i], type=pa.int64()),
-            "doc_b": pa.array(ids[j], type=pa.int64()),
-        }
-    )
-
-
 def q_doc_ngram_jaccard(sf_dir: str):
     """Exact near-dup pairs via shared-shingle counting (no LSH):
-    explode → groupby(shingle) pair-emit → groupby(pair).count = |A∩B| →
+    explode → bucket-sweep pair-emit → groupby(pair).count = |A∩B| →
     jaccard from set sizes attached by a repartition join on doc_id
     (two joins, a then b — never a whole-corpus broadcast).
     Pairs with jaccard ≥ 0.7."""
@@ -181,9 +224,7 @@ def q_doc_ngram_jaccard(sf_dir: str):
     corpus = corpus_ds(sf_dir).materialize()
     sizes = _sizes_ds(corpus)
     shingle_doc = corpus.map_batches(_shingle_rows, batch_format="pyarrow")
-    pairs = shingle_doc.groupby("shingle").map_groups(
-        _pairs_from_groups, batch_format="pyarrow"
-    )
+    pairs = _cooccur_pairs(shingle_doc)
     shared = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
         lambda t: pa.table(
             {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "n_shared": t["count()"]}
@@ -272,32 +313,82 @@ def _minhash_signature(shingles: set) -> np.ndarray:
 
 class MinHashStage:
     """Actor-pool stage: per-doc shingling + 128-perm MinHash signature,
-    exploded to (band_id, band_hash, doc_id) rows for the bucket groupby.
-    Permutation tables are built once per actor (in __init__)."""
+    exploded to (k=fused band key, doc_id) rows for the bucket sweep.
+
+    Vectorized: shingle 64-bit hashes are memoized per actor (shingles
+    repeat heavily across near-dup docs), the 128 permutations are applied
+    to ALL shingles of a doc-chunk in one (128, total) numpy op with
+    per-doc ``np.minimum.reduceat`` segment-mins, and band hashes are a
+    vectorized uint64 mix over the 4-row band chunks (bucket keys only
+    gate candidates — exact verification prunes false positives, so the
+    key function is free to be any deterministic mix)."""
+
+    _CHUNK_DOCS = 128          # bounds the (128, total-shingles) temp
+    _CACHE_MAX = 2_000_000     # per-actor shingle-hash memo bound
 
     def __init__(self):
         self.a = _PERM_A
         self.b = _PERM_B
+        self._cache: dict = {}
+
+    def _hash_shingles(self, shingles: list) -> np.ndarray:
+        c = self._cache
+        if len(c) > self._CACHE_MAX:
+            c.clear()
+        out = np.empty(len(shingles), dtype=np.uint64)
+        for i, s in enumerate(shingles):
+            v = c.get(s)
+            if v is None:
+                v = np.uint64(_shingle_hash64(s))
+                c[s] = v
+            out[i] = v
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids = [], [], []
         r = N_PERM // N_BANDS
+        hashes, seg, kept = [], [0], []
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             sh = _shingles(s)
             if not sh:
                 continue
-            sig = _minhash_signature(sh)
-            for band in range(N_BANDS):
-                chunk = sig[band * r : (band + 1) * r]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                band_ids.append(band)
-                band_hashes.append(bh)
-                doc_ids.append(did)
+            hashes.append(self._hash_shingles(list(sh)))
+            seg.append(seg[-1] + len(sh))
+            kept.append(did)
+        n = len(kept)
+        if n == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], type=pa.uint64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        X = np.concatenate(hashes)
+        starts = np.asarray(seg[:-1], dtype=np.int64)
+        sigs = np.empty((n, N_PERM), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c0 in range(0, n, self._CHUNK_DOCS):
+                c1 = min(c0 + self._CHUNK_DOCS, n)
+                lo, hi = seg[c0], seg[c1]
+                vals = self.a[:, None] * X[None, lo:hi] + self.b[:, None]
+                sigs[c0:c1] = np.minimum.reduceat(vals, starts[c0:c1] - lo, axis=1).T
+            S = sigs.reshape(n, N_BANDS, r)
+            h = np.zeros((n, N_BANDS), dtype=np.uint64)
+            for k in range(r):  # FNV-style fold of the band's rows
+                h = (h ^ S[:, :, k]) * np.uint64(0x100000001B3) + np.uint64(
+                    0x9E3779B97F4A7C15
+                )
+            # fuse the band index into the key so equal folds from
+            # different bands never bucket together
+            h = h + np.arange(N_BANDS, dtype=np.uint64)[None, :] * np.uint64(
+                0xBF58476D1CE4E5B9
+            )
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "k": pa.array(h.reshape(-1), type=pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(kept, dtype=np.int64), N_BANDS),
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -338,9 +429,7 @@ def q_doc_minhash_lsh(sf_dir: str):
     bands = corpus.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_groups, batch_format="pyarrow"
-    )
+    pairs = _cooccur_pairs(bands)
     cand = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
@@ -395,53 +484,121 @@ def _simhash64(words: list) -> int:
     return out
 
 
-def q_doc_simhash(sf_dir: str):
-    """SimHash near-dup: 64-bit signature per doc (word features), pairs
-    with hamming distance ≤ 3 via bucketed prefix blocking (4 bands of 16
-    bits → any pair within distance 3 shares ≥ 1 exact band).  Values are
-    implementation-defined → no SQL oracle (rows-only driver check);
-    planted-duplicate recall is asserted in pytest."""
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
-    def stage(t: pa.Table) -> pa.Table:
-        band_ids, band_vals, doc_ids, sigs = [], [], [], []
+
+class SimHashStage:
+    """Actor-pool stage: vectorized 64-bit SimHash over word features —
+    word hashes memoized per actor, per-doc bit accumulation via one
+    ``np.add.reduceat`` over the doc-segmented ±1 bit matrix (identical
+    signatures to the scalar ``_simhash64``).  Emits (k=fused 16-bit-band
+    key, doc_id, sig) rows for the bucket sweep."""
+
+    _CACHE_MAX = 2_000_000
+
+    def __init__(self):
+        self._cache: dict = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        c = self._cache
+        if len(c) > self._CACHE_MAX:
+            c.clear()
+        hs, seg, doc_ids = [], [0], []
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = _simhash64(s.split(" "))
-            for band in range(4):
-                band_ids.append(band)
-                band_vals.append((sig >> (band * 16)) & 0xFFFF)
-                doc_ids.append(did)
-                sigs.append(sig)
+            words = s.split(" ")
+            arr = np.empty(len(words), dtype=np.uint64)
+            for i, w in enumerate(words):
+                v = c.get(w)
+                if v is None:
+                    v = np.uint64(_shingle_hash64(w))
+                    c[w] = v
+                arr[i] = v
+            hs.append(arr)
+            seg.append(seg[-1] + len(words))
+            doc_ids.append(did)
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], type=pa.uint64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.uint64()),
+                }
+            )
+        W = np.concatenate(hs)
+        shifts = np.arange(64, dtype=np.uint64)
+        contrib = (
+            2 * ((W[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) - 1
+        )
+        acc = np.add.reduceat(contrib, np.asarray(seg[:-1]), axis=0)
+        sigbits = (acc > 0).astype(np.uint64)
+        sig = np.bitwise_or.reduce(sigbits << shifts[None, :], axis=1)
+        band = np.arange(4, dtype=np.uint64)
+        band_val = (sig[:, None] >> (band[None, :] * np.uint64(16))) & np.uint64(0xFFFF)
+        k = band_val | (band[None, :] << np.uint64(16))
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_val": pa.array(band_vals, type=pa.int64()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "sig": pa.array(sigs, type=pa.uint64()),
+                "k": pa.array(k.reshape(-1), type=pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, dtype=np.int64), 4), type=pa.int64()
+                ),
+                "sig": pa.array(np.repeat(sig, 4), type=pa.uint64()),
             }
         )
 
-    bands = corpus_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(g["doc_id"].to_pylist(), g["sig"].to_pylist())))
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if ham <= 3:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
+def q_doc_simhash(sf_dir: str):
+    """SimHash near-dup: 64-bit signature per doc (word features), pairs
+    with hamming distance ≤ 3 via bucketed prefix blocking (4 bands of 16
+    bits → any pair within distance 3 shares ≥ 1 exact band), swept with
+    the same hash(k)%NB bucket groupby as the other pair emitters.
+    Values are implementation-defined → no SQL oracle (rows-only driver
+    check); planted-duplicate recall is asserted in pytest."""
+    bands = corpus_ds(sf_dir).map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(
+            N_PAIR_BUCKETS
+        )
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        sg = g["sig"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d, sg = k[order], d[order], sg[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                ids, ss = d[s:e], sg[s:e]
+                i, j = np.triu_indices(e - s, k=1)
+                x = ss[i] ^ ss[j]
+                ham = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                m = ham <= 3
+                out_a.append(ids[i][m])
+                out_b.append(ids[j][m])
+                out_h.append(ham[m])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        h = np.concatenate(out_h) if out_h else np.array([], dtype=np.int64)
         return pa.table(
             {
                 "doc_a": pa.array(a, type=pa.int64()),
                 "doc_b": pa.array(b, type=pa.int64()),
-                "hamming": pa.array(d, type=pa.int64()),
+                "hamming": pa.array(h, type=pa.int64()),
             }
         )
 
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
     )
     out = pairs.groupby(["doc_a", "doc_b"]).min("hamming").to_pandas()
     return pa.table(

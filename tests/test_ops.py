@@ -57,6 +57,26 @@ def test_multimodal_decode_plumbing(ray_session):
         DecodeStage(fake=False)
 
 
+def test_simhash_stage_matches_scalar_reference():
+    import pyarrow as pa
+
+    from gcflow.ops.dedup import SimHashStage, _simhash64
+
+    texts = ["the quick brown fox", "jumps over the lazy dog", "a b a b a", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = SimHashStage()(t)
+    got = {}
+    for did, sig in zip(out["doc_id"].to_pylist(), out["sig"].to_pylist()):
+        got[did] = sig
+    for i, s in enumerate(texts):
+        assert got[i] == _simhash64(s.split(" ")), s
+
+
 def test_minhash_agreement_tracks_jaccard():
     from gcflow.ops.dedup import _minhash_signature
 
