@@ -118,9 +118,10 @@ def main():
 
     # headline: full parse→enrich→route→aggregate with partitioned sinks
     out_dir = os.environ.get("GCFLOW_BENCH_OUT", "/dev/shm/gcflow_bench_out")
+    stitch_impl = os.environ.get("GCFLOW_STITCH_IMPL", "vec")
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    pl.run_pipeline(path, out_dir=out_dir, mode="basic")
+    pl.run_pipeline(path, out_dir=out_dir, mode="basic", stitch_impl=stitch_impl)
     headline = time.perf_counter() - t0
     queries["gc_pipeline"] = round(headline, 3)
 

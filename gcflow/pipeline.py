@@ -122,7 +122,7 @@ def parse_events(
     prefilter: bool = True,
     enrich: bool = True,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
-    stitch_impl: str = "py",
+    stitch_impl: str = "vec",
 ) -> rd.Dataset:
     """transcripts Dataset → wide event-row Dataset (lazy).
 
@@ -464,7 +464,7 @@ def run_pipeline(
     stats: bool = False,
     limit: Optional[int] = None,
     salt_turns: Optional[int] = None,
-    stitch_impl: str = "py",
+    stitch_impl: str = "vec",
 ) -> dict:
     """Full parse→enrich→route→aggregate job; returns metrics.
 

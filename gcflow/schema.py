@@ -202,6 +202,15 @@ class EventColumns:
         self.cols["gc_cause"].append(message[:200])
         self._pad(filled)
 
+    def mark(self) -> int:
+        return len(self.cols["conv_id"])
+
+    def truncate(self, n: int) -> None:
+        """Roll back to a previous :meth:`mark` (crash-abort of a
+        conversation whose earlier runs already appended rows)."""
+        for v in self.cols.values():
+            del v[n:]
+
     def to_table(self) -> pa.Table:
         arrays = [pa.array(self.cols[f.name], type=f.type) for f in EVENT_SCHEMA]
         return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)

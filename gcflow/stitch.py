@@ -87,12 +87,13 @@ def stitch_bucket(group: pa.Table, mode: str = MODE_BASIC, impl: str = "py") -> 
     """Bucket group function: all turns of `hash(conv)%NB == b` → event
     rows for every conversation in the bucket.
 
-    ``impl="vec"`` (basic mode only) uses the extract_regex fast path
-    (gcflow/stitch_vec.py, proven equal in tests): it wins on
-    single-line-dominated logs (the realistic GC-log shape) but loses on
-    the bench corpus where a third of all lines belong to multi-line
-    tenuring events (measured 290k vs 339k turns/s at 10M/32 CPUs), so
-    the python sweep stays the default."""
+    ``impl="vec"`` (basic mode only, the default there) uses the
+    extract_regex fast path (gcflow/stitch_vec.py, proven equal in
+    tests).  Since the three-line tenuring construct got its own
+    vectorized triple matcher, vec wins on both single-line-dominated
+    logs and the tenuring-heavy bench corpus (27.4s vs 40.7s at 10M
+    turns/32 CPUs, same session).  ``impl="py"`` keeps the pure
+    recursive-descent sweep (reference-exact path, all modes)."""
     if impl == "vec" and mode == MODE_BASIC:
         from .stitch_vec import stitch_bucket_vec
 
@@ -174,9 +175,13 @@ def parse_segment(
     roles: list,
     tools: list,
     mode: str,
+    raise_on_crash: bool = False,
 ) -> None:
     """Parse one contiguous line run, emitting events with rate fields
-    zeroed (stage C overwrites them)."""
+    zeroed (stage C overwrites them).  ``raise_on_crash=True`` propagates
+    GrammarCrash to the caller (the vec path aborts and re-parses the
+    whole conversation to reproduce the reference's conversation-level
+    crash granularity) instead of emitting a run-local error row."""
     text = "\n".join(texts) + "\n"
     offsets = [0]
     acc = 0
@@ -189,6 +194,8 @@ def parse_segment(
         else:
             spans = grammar.parse_log_spans(text)
     except grammar.GrammarCrash as e:
+        if raise_on_crash:
+            raise
         cols.append_error(conv_id, int(turn_idx[0]), str(e))
         return
     for i, (event, pos) in enumerate(spans):
@@ -577,14 +584,20 @@ def apply_rates_bucket(group: pa.Table) -> pa.Table:
     n = len(t)
     conv = conv_obj[order]
 
-    age_ms = np.floor(t["jvm_age_seconds"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
-    is_app = np.asarray(t["sink"].to_pylist(), dtype=object) == "app_stopped"
+    age_ms = np.floor(
+        np.nan_to_num(t["jvm_age_seconds"].to_numpy(zero_copy_only=False)) * 1000
+    ).astype(np.int64)
+    sinks_np = np.asarray(t["sink"].to_pylist(), dtype=object)
+    is_app = sinks_np == "app_stopped"
+    # error rows carry NULL rate fields in the reference path (_stitch_one
+    # pads them) — exclude them from the scan and keep their nulls
+    is_err = sinks_np == "error"
     hb = t["heap_before_bytes"].to_numpy(zero_copy_only=False)
     ha = t["heap_after_bytes"].to_numpy(zero_copy_only=False)
     has_heap = ~pd.isna(hb)
     promoted = t["promoted_bytes"].to_numpy(zero_copy_only=False)
 
-    sub = ~is_app
+    sub = ~(is_app | is_err)
     conv_sub = conv[sub]
     first = _segment_firsts(conv_sub)
     ha_sub = np.nan_to_num(ha[sub])
@@ -610,16 +623,16 @@ def apply_rates_bucket(group: pa.Table) -> pa.Table:
     def scatter(vals):
         out = np.zeros(n, dtype=np.int64)
         out[sub] = vals
-        return out
+        return pa.array(out, type=pa.int64(), mask=is_err)
 
     firsts_all = _segment_firsts(conv)
     seg_start = np.maximum.accumulate(np.where(firsts_all, np.arange(n), 0))
     seq = (np.arange(n) - seg_start).astype(np.int32)
 
     def set_col(tab, name, arr, typ):
-        return tab.set_column(
-            tab.schema.get_field_index(name), name, pa.array(arr, type=typ)
-        )
+        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = pa.array(arr, type=typ)
+        return tab.set_column(tab.schema.get_field_index(name), name, arr)
 
     t = set_col(t, "event_seq", seq, pa.int32())
     t = set_col(t, "allocated_bytes", scatter(allocated), pa.int64())

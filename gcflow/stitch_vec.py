@@ -61,6 +61,28 @@ V_APP = (
     rf" (?P<tts>\d+\.\d+) seconds(?P<rest>.*)$"
 )
 
+# --- three-line interleaved tenuring construct (grammar: _collection_stats
+# cause → _desired_survivor → _basic_event on the next lines;
+# Parser.scala:22-26,60-66).  Line shapes:
+#   L0  "age: [GC (cause)"            (nothing after the cause close)
+#   L1  "Desired survivor size N bytes, new threshold T (..."
+#       (grammar ignores the rest of the line; any "- age" table rows on
+#       following lines make L2 fail the close pattern → descent)
+#   L2  " [Gen: a->b(c)] hb->ha(hc), pause secs]..."  (the basic-event body)
+V_TEN_OPEN = (
+    rf"^(?:(?P<ts>{_TS}): )?(?P<age>\d+\.\d+): \[(?P<gt>(?:Full )?GC) "
+    rf"\((?P<cause>[a-zA-Z ]*)\) *$"
+)
+V_TEN_DESIRED = (
+    r"^Desired survivor size (?P<des>\d+) bytes, new threshold (?P<thr>\d+) \(.*$"
+)
+V_TEN_CLOSE = (
+    rf"^ ?(?P<pre>(?:{_GEN}(?:, | |))*)"
+    rf"(?P<hb>\d+)(?P<hbs>[KM])->(?P<ha>\d+)(?P<has>[KM])\((?P<hc>\d+)(?P<hcs>[KM])\)"
+    rf"(?P<post>(?:(?:, | |){_GEN})*)"
+    rf", (?P<pause>\d+\.\d+) secs\](?P<rest>.*)$"
+)
+
 _GEN_RE = re.compile(
     r"\[([a-zA-Z0-9 \-]+): (\d+[KM])->(\d+[KM])\((\d+[KM])\)(?:, \d+\.\d+ secs)?\]"
 )
@@ -131,23 +153,57 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
     m_app = _guard(sa).to_numpy(zero_copy_only=False)
     m_cms &= ~m_basic
     m_app &= ~(m_basic | m_cms)
-    fast = m_basic | m_cms | m_app
 
     codes = _as_array(pc.dictionary_encode(t["conv_id"])).indices.to_numpy(
         zero_copy_only=False
     )
     turn = t["turn_idx"].to_numpy(zero_copy_only=False)
 
+    # three-line tenuring triples: L0 open at i, Desired at i+1, close at
+    # i+2, all in one conversation.  The L0/L1/L2 patterns are mutually
+    # exclusive with each other and with the single-line patterns, so a
+    # row can only be claimed once.
+    so = _as_array(pc.extract_regex(text, V_TEN_OPEN))
+    sd = _as_array(pc.extract_regex(text, V_TEN_DESIRED))
+    s3 = _as_array(pc.extract_regex(text, V_TEN_CLOSE))
+    mo = pc.and_(
+        pc.is_valid(so),
+        pc.invert(pc.starts_with(pc.fill_null(_field(so, "cause"), ""), "CMS")),
+    ).to_numpy(zero_copy_only=False)
+    md = pc.is_valid(sd).to_numpy(zero_copy_only=False)
+    m3 = _guard(s3).to_numpy(zero_copy_only=False)
+    n_rows = len(text)
+    trip = np.zeros(n_rows, dtype=bool)
+    ti3 = np.array([], dtype=np.int64)
+    if n_rows >= 3:
+        cand = (
+            mo[:-2]
+            & md[1:-1]
+            & m3[2:]
+            & (codes[:-2] == codes[1:-1])
+            & (codes[1:-1] == codes[2:])
+        )
+        ti3 = np.flatnonzero(cand)
+        trip[ti3] = True
+        trip[ti3 + 1] = True
+        trip[ti3 + 2] = True
+
+    fast = m_basic | m_cms | m_app | trip
+
     tables = []
 
-    # ---- slow segments: maximal consecutive non-fast runs per conv
+    # ---- slow segments: maximal consecutive non-fast runs per conv.
+    # Crash granularity is per CONVERSATION in the reference (_stitch_one
+    # parses the whole conv text; GrammarCrash aborts it into one error
+    # row) — so a crashed run rolls the conversation back and re-parses it
+    # whole via the python path, and its fast rows are dropped below.
     slow_idx = np.flatnonzero(~fast)
     cols = EventColumns()
+    crashed_codes: list = []
     if len(slow_idx):
-        conv_all = None
-        texts_slow = None
+        slow_codes = codes[slow_idx]
         brk = np.flatnonzero(
-            (np.diff(slow_idx) != 1) | (codes[slow_idx][1:] != codes[slow_idx][:-1])
+            (np.diff(slow_idx) != 1) | (slow_codes[1:] != slow_codes[:-1])
         ) + 1
         seg_starts = np.concatenate(([0], brk))
         seg_ends = np.concatenate((brk, [len(slow_idx)]))
@@ -155,20 +211,51 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
         text_all = text.to_pylist()
         role_all = t["role"].to_pylist()
         tool_all = t["tool"].to_pylist()
-        from .stitch import parse_segment
+        from .stitch import _stitch_one, parse_segment
 
+        cur_code = -1
+        cur_mark = 0
+        cur_crashed = False
         for s, e in zip(seg_starts, seg_ends):
             idxs = slow_idx[s:e]
-            parse_segment(
-                cols,
-                conv_all[idxs[0]],
-                [text_all[j] for j in idxs],
-                turn[idxs],
-                [role_all[j] for j in idxs],
-                [tool_all[j] for j in idxs],
-                "basic",
-            )
+            code = slow_codes[s]
+            if code != cur_code:
+                cur_code, cur_mark, cur_crashed = code, cols.mark(), False
+            if cur_crashed:
+                continue  # conversation already aborted + re-parsed whole
+            try:
+                parse_segment(
+                    cols,
+                    conv_all[idxs[0]],
+                    [text_all[j] for j in idxs],
+                    turn[idxs],
+                    [role_all[j] for j in idxs],
+                    [tool_all[j] for j in idxs],
+                    "basic",
+                    raise_on_crash=True,
+                )
+            except grammar.GrammarCrash:
+                cur_crashed = True
+                crashed_codes.append(code)
+                cols.truncate(cur_mark)
+                full = np.flatnonzero(codes == code)  # ALL rows of the conv
+                _stitch_one(
+                    cols,
+                    conv_all[full[0]],
+                    [text_all[j] for j in full],
+                    turn[full],
+                    [role_all[j] for j in full],
+                    [tool_all[j] for j in full],
+                    "basic",
+                )
     tables.append(cols.to_table())
+
+    if crashed_codes:  # drop crashed convs' fast rows (replaced above)
+        bad = np.isin(codes, np.asarray(crashed_codes))
+        m_basic &= ~bad
+        m_cms &= ~bad
+        m_app &= ~bad
+        ti3 = ti3[~bad[ti3]]
 
     # ---- fast basic rows
     bi = np.flatnonzero(m_basic)
@@ -191,42 +278,44 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
             f["cause"],
         )
         epochs, offsets = _parse_ts_rows(f["ts"].to_pylist())
-        gt = f["gt"].to_pylist()
-        pre = f["pre"].to_pylist()
-        post = f["post"].to_pylist()
-        gens_col, promoted_col = [], []
-        for i in range(n):
-            if pre[i] or post[i]:
-                gens = [
-                    {
-                        "name": g[0],
-                        "before_bytes": ev.to_bytes(g[1]),
-                        "after_bytes": ev.to_bytes(g[2]),
-                        "capacity_bytes": ev.to_bytes(g[3]),
-                    }
-                    for g in _GEN_RE.findall(pre[i]) + _GEN_RE.findall(post[i])
-                ]
-                gens_col.append(gens)
-                if gt[i] == "GC" and gens:
-                    young = next(
-                        (g for g in gens if g["name"].lower() != "young"), None
-                    )
-                    promoted_col.append(
-                        None
-                        if young is None
-                        else (young["before_bytes"] - young["after_bytes"])
-                        - int(hb_b[i] - ha_b[i])
-                    )
-                else:
-                    promoted_col.append(None)
-            else:
-                gens_col.append([])
-                promoted_col.append(None)
+        gens_col, promoted_col = _gens_promoted(
+            f["gt"].to_pylist(), f["pre"].to_pylist(), f["post"].to_pylist(), hb_b, ha_b
+        )
         tables.append(
             _make_table(
                 t, take, sink="basic", event_type=f["gt"], gc_cause=cause,
                 ts=epochs, tz=offsets, age=age, pause=pause,
                 hb=hb_b, ha=ha_b, hc=hc_b, gens=gens_col, promoted=promoted_col,
+            )
+        )
+
+    # ---- fast three-line tenuring triples (event row anchored at L0)
+    if len(ti3):
+        n = len(ti3)
+        o = {k: _field(so, k).take(pa.array(ti3)) for k in ("ts", "age", "gt", "cause")}
+        d = {k: _field(sd, k).take(pa.array(ti3 + 1)) for k in ("des", "thr")}
+        cl = {
+            k: _field(s3, k).take(pa.array(ti3 + 2))
+            for k in ("pre", "post", "hb", "hbs", "ha", "has", "hc", "hcs", "pause")
+        }
+        ones = np.ones(n, dtype=bool)
+        hb_b = _bytes_col(cl["hb"], cl["hbs"], ones)
+        ha_b = _bytes_col(cl["ha"], cl["has"], ones)
+        hc_b = _bytes_col(cl["hc"], cl["hcs"], ones)
+        epochs, offsets = _parse_ts_rows(o["ts"].to_pylist())
+        gens_col, promoted_col = _gens_promoted(
+            o["gt"].to_pylist(), cl["pre"].to_pylist(), cl["post"].to_pylist(),
+            hb_b, ha_b,
+        )
+        tables.append(
+            _make_table(
+                t, pa.array(ti3), sink="basic", event_type=o["gt"],
+                gc_cause=o["cause"], ts=epochs, tz=offsets,
+                age=pc.cast(o["age"], pa.float64()),
+                pause=pc.cast(cl["pause"], pa.float64()),
+                hb=hb_b, ha=ha_b, hc=hc_b, gens=gens_col, promoted=promoted_col,
+                tenuring_des=pc.cast(d["des"], pa.int64()),
+                tenuring_thr=pc.cast(d["thr"], pa.int32()),
             )
         )
 
@@ -276,10 +365,42 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
     return apply_rates_bucket(out)
 
 
+def _gens_promoted(gt: list, pre: list, post: list, hb_b, ha_b) -> tuple:
+    """Generation structs + the promotedBytes quirk (BasicGCEvent.scala:
+    promoted = first-non-'young'-generation delta − heap delta, GC only)."""
+    gens_col, promoted_col = [], []
+    for i in range(len(gt)):
+        if pre[i] or post[i]:
+            gens = [
+                {
+                    "name": g[0],
+                    "before_bytes": ev.to_bytes(g[1]),
+                    "after_bytes": ev.to_bytes(g[2]),
+                    "capacity_bytes": ev.to_bytes(g[3]),
+                }
+                for g in _GEN_RE.findall(pre[i]) + _GEN_RE.findall(post[i])
+            ]
+            gens_col.append(gens)
+            if gt[i] == "GC" and gens:
+                young = next((g for g in gens if g["name"].lower() != "young"), None)
+                promoted_col.append(
+                    None
+                    if young is None
+                    else (young["before_bytes"] - young["after_bytes"])
+                    - int(hb_b[i] - ha_b[i])
+                )
+            else:
+                promoted_col.append(None)
+        else:
+            gens_col.append([])
+            promoted_col.append(None)
+    return gens_col, promoted_col
+
+
 def _make_table(
     src: pa.Table, take: pa.Array, sink: str, event_type, gc_cause,
     ts, tz, age, pause, hb, ha, hc, gens, promoted,
-    stopped=None, to_stop=None,
+    stopped=None, to_stop=None, tenuring_des=None, tenuring_thr=None,
 ) -> pa.Table:
     n = len(take)
 
@@ -318,8 +439,8 @@ def _make_table(
         ),
         "generations": arr(gens, EVENT_SCHEMA.field("generations").type),
         "regions": nulls(EVENT_SCHEMA.field("regions").type),
-        "tenuring_desired_bytes": nulls(pa.int64()),
-        "tenuring_new_threshold": nulls(pa.int32()),
+        "tenuring_desired_bytes": arr(tenuring_des, pa.int64()),
+        "tenuring_new_threshold": arr(tenuring_thr, pa.int32()),
         "stopped_seconds": arr(stopped, pa.float64()),
         "seconds_to_stop": arr(to_stop, pa.float64()),
         "promoted_bytes": arr(promoted, pa.int64()),

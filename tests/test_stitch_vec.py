@@ -36,6 +36,74 @@ def test_vec_equals_python_synthetic():
     _compare(_flat(t))
 
 
+def test_vec_tenuring_triple_edge_shapes():
+    """Three-line tenuring fast path: matched triples, broken triples
+    (descent fallback), '- age' table rows, and conv-boundary splits all
+    agree with the python reference."""
+    texts = [
+        # clean triple
+        "1.0: [GC (Allocation Failure)",
+        "Desired survivor size 100 bytes, new threshold 3 (max 15)",
+        " [PSYoungGen: 900K->4K(1000K)] 1000K->500K(2000K), 0.01 secs] [Times: user=0.2 sys=0.0, real=0.1 secs]",
+        # open + Desired followed by a complete single-line event (the
+        # grammar fails the tenuring event and re-parses the last line)
+        "2.0: [GC (Allocation Failure)",
+        "Desired survivor size 100 bytes, new threshold 3 (max 15)",
+        "3.0: [GC (Allocation Failure)  14K->7K(20K), 0.1 secs]",
+        # open + Desired + '- age' rows then close (descent handles)
+        "4.0: [GC (Allocation Failure)",
+        "Desired survivor size 100 bytes, new threshold 5 (max 15)",
+        "- age   1:  123 bytes,  456 total",
+        " [DefNew: 900K->4K(1000K)] 1000K->500K(2000K), 0.01 secs]",
+        # bare triple without generation on the close line
+        "5.0: [Full GC (Ergonomics)",
+        "Desired survivor size 200 bytes, new threshold 1 (max 4)",
+        "1000K->500K(2000K), 0.02 secs]",
+    ]
+    rows = {
+        "conv_id": ["c"] * len(texts),
+        "turn_idx": list(range(len(texts))),
+        "role": ["user"] * len(texts),
+        "text": texts,
+        "tool": ["jvm"] * len(texts),
+    }
+    _compare(pa.table(rows))
+    # conversation boundary between open and Desired → no cross-conv triple
+    rows2 = {
+        "conv_id": ["a", "b", "b"],
+        "turn_idx": [0, 0, 1],
+        "role": ["user"] * 3,
+        "text": [texts[0], texts[1], texts[2]],
+        "tool": ["jvm"] * 3,
+    }
+    _compare(pa.table(rows2))
+
+
+def test_vec_crash_granularity_is_per_conversation():
+    """A GrammarCrash aborts the WHOLE conversation into one error row
+    (reference semantics) even when other lines of the conversation were
+    fast-path parseable; healthy conversations are untouched."""
+    rows = {
+        "conv_id": ["bad", "bad", "bad", "good"],
+        "turn_idx": [0, 1, 2, 0],
+        "role": ["user"] * 4,
+        "text": [
+            "0.3: [GC 2K->1K(4K), 0.1 secs]",  # fast line BEFORE the crash
+            "0.5: [GC [PSYoungGen: 1K->1K(2K)], 0.1 secs]",  # crashes
+            "0.7: [GC 2K->1K(4K), 0.1 secs]",  # fast line AFTER the crash
+            "0.9: [GC 2K->1K(4K), 0.1 secs]",
+        ],
+        "tool": ["jvm"] * 4,
+    }
+    flat = pa.table(rows)
+    _compare(flat)
+    out = stitch_bucket_vec(flat).to_pandas()
+    bad = out[out.conv_id == "bad"]
+    assert list(bad["sink"]) == ["error"]
+    assert bad["allocated_bytes"].isna().all()
+    assert list(out[out.conv_id == "good"]["sink"]) == ["basic"]
+
+
 def test_vec_handles_double_event_line_and_edge_shapes():
     rows = {
         "conv_id": ["c"] * 6,
