@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     )
     p.add_argument("--delimiter", default="\t", help="TSV field delimiter")
     p.add_argument("--prefix", default="gc", help="graphite metric path prefix")
+    p.add_argument("--dest", default=None, metavar="HOST:PORT",
+                   help="graphite TCP destination (≙ reference --dest, "
+                        "OutputSink.scala:18-36); with --format graphite, "
+                        "streams lines over one socket instead of parquet")
     p.add_argument("--limit", type=int, default=None, help="emit at most N events (≙ -n)")
     p.add_argument("--no-enrich", action="store_true")
     p.add_argument("--salt-turns", type=int, default=None,
@@ -41,9 +45,9 @@ def main(argv=None) -> int:
                    help="checkpointed shard runner: skip shards with lineage records")
     p.add_argument("--num-shards", type=int, default=8)
     p.add_argument("--num-cpus", type=int, default=None)
-    p.add_argument("--stitch-impl", default="py", choices=["py", "vec"],
-                   help="basic-mode stitcher: python sweep (default) or the "
-                        "extract_regex fast path (single-line-heavy logs)")
+    p.add_argument("--stitch-impl", default="vec", choices=["py", "vec"],
+                   help="basic-mode stitcher: extract_regex fast path "
+                        "(default) or the pure-python recursive-descent sweep")
     args = p.parse_args(argv)
 
     import ray
@@ -117,6 +121,9 @@ def main(argv=None) -> int:
         out = os.path.join(args.out, "events.tsv")
         sinks.write_tsv(events, out, delimiter=args.delimiter)
         print(json.dumps({"format": "tsv", "path": out}))
+    elif args.dest:
+        n = sinks.send_graphite(events, args.dest, prefix=args.prefix)
+        print(json.dumps({"format": "graphite", "dest": args.dest, "lines": n}))
     else:
         out = os.path.join(args.out, "graphite")
         sinks.graphite_ds(events, prefix=args.prefix).write_parquet(out)

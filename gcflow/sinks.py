@@ -153,6 +153,41 @@ def graphite_ds(events: rd.Dataset, prefix: str = "gc", with_rates: bool = True)
     )
 
 
+def send_graphite(
+    events: rd.Dataset,
+    dest: str,
+    prefix: str = "gc",
+    with_rates: bool = True,
+    timeout: float = 30.0,
+) -> int:
+    """TCP graphite transport ≙ the reference's ``--dest host:port``
+    (OutputSink.scala:18-36, Main.scala:51): one connection, plaintext
+    line protocol ``path value epoch\\n``.  The wide→long unpivot runs
+    distributed (:func:`graphite_ds`); the driver streams the (already
+    reduced) metric rows over ONE socket because the protocol endpoint is
+    a single carbon relay — fanning out to a carbon cluster would instead
+    use ``map_batches`` with a per-actor socket keyed by metric shard.
+    Returns the number of lines sent."""
+    import socket
+
+    host, port = dest.rsplit(":", 1)
+    n = 0
+    with socket.create_connection((host, int(port)), timeout=timeout) as sock:
+        f = sock.makefile("w", encoding="utf-8", newline="\n")
+        for batch in graphite_ds(events, prefix, with_rates).iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        ):
+            for pth, val, ep in zip(
+                batch["path"].to_pylist(),
+                batch["value"].to_pylist(),
+                batch["epoch"].to_pylist(),
+            ):
+                f.write(f"{pth} {val} {ep}\n")
+                n += 1
+        f.flush()
+    return n
+
+
 def graphite_lines(events: rd.Dataset, prefix: str = "gc", with_rates: bool = True, limit: Optional[int] = None) -> list:
     t = graphite_ds(events, prefix, with_rates)
     if limit is not None:

@@ -76,6 +76,39 @@ def test_tsv_sink(fragment_events, tmp_path):
     assert lines[1].split("\t")[1] == "524176.359"
 
 
+def test_graphite_tcp_transport(fragment_events):
+    """send_graphite streams the exact graphite_lines over one TCP
+    connection (reference --dest host:port, OutputSink.scala:18-36)."""
+    import socket
+    import socketserver
+    import threading
+
+    received = []
+    done = threading.Event()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                received.append(line.decode().rstrip("\n"))
+            done.set()
+
+    srv = socketserver.TCPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        want = sinks.graphite_lines(fragment_events, with_rates=False, limit=None)
+        n = sinks.send_graphite(
+            fragment_events, f"127.0.0.1:{port}", with_rates=False
+        )
+        assert done.wait(timeout=10)
+        assert n == len(want)
+        assert received == want
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     from gcflow import checkpoint as cp
 
