@@ -110,9 +110,17 @@ def main():
     shutil.rmtree("/tmp/gcflow_warm_out", ignore_errors=True)
     pl.run_pipeline(warm_path, out_dir="/tmp/gcflow_warm_out", mode="basic")
     pl.read_transcripts(path).count()  # untimed input warm read
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
-    turns = pq.read_metadata(path).num_rows
+    def _num_rows(p):
+        files = (
+            sorted(_glob.glob(os.path.join(p, "*.parquet"))) if os.path.isdir(p) else [p]
+        )
+        return sum(pq.read_metadata(f).num_rows for f in files)
+
+    turns = _num_rows(path)
 
     queries: dict = {}
 
@@ -127,7 +135,7 @@ def main():
 
     # heap-stats-mode headline (events ≪ lines: ~23 lines/event {}-blocks)
     heap_path = tr.materialize_heap_transcripts(n_convs=8000, reps=5)
-    heap_turns = pq.read_metadata(heap_path).num_rows
+    heap_turns = _num_rows(heap_path)
     heap_out = os.environ.get("GCFLOW_BENCH_OUT", "/dev/shm/gcflow_bench_out") + "_heap"
     shutil.rmtree(heap_out, ignore_errors=True)
     t0 = time.perf_counter()

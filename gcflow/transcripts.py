@@ -273,33 +273,64 @@ def heap_transcripts(n_convs: int, reps: int = 5) -> pa.Table:
 def materialize_heap_transcripts(
     n_convs: int, reps: int = 5, out_root: str = "/tmp/gcflow_transcripts"
 ) -> str:
-    out_dir = os.path.join(out_root, f"heap_c{n_convs}_r{reps}")
-    path = os.path.join(out_dir, "transcripts.parquet")
-    if not os.path.exists(path):
+    out_dir = os.path.join(out_root, f"heap_c{n_convs}_r{reps}_sharded")
+    marker = os.path.join(out_dir, "transcripts-000.parquet")
+    if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        pq.write_table(heap_transcripts(n_convs, reps), tmp)
-        os.replace(tmp, path)
-    return path
+        write_sharded(heap_transcripts(n_convs, reps), out_dir)
+    return out_dir
+
+
+ROWS_PER_FILE = 400_000
+MAX_CORPUS_FILES = 64
+
+
+def write_sharded(table: pa.Table, out_dir: str, stem: str = "transcripts") -> None:
+    """Write a conversation-ordered table as multiple parquet files with
+    file boundaries on conversation boundaries.  A single-file corpus is
+    read by ONE Ray task (then split), serializing the scan and gating
+    every downstream stage — multi-file input parallelizes the read AND
+    keeps every file a contiguous slice of the (conv, turn)-sorted stream
+    (the run-local mode's block contract)."""
+    n = len(table)
+    n_files = max(1, min(MAX_CORPUS_FILES, n // ROWS_PER_FILE))
+    conv = table["conv_id"].to_numpy(zero_copy_only=False) if n_files > 1 else None
+    change = (
+        np.flatnonzero(conv[1:] != conv[:-1]) + 1 if conv is not None else np.array([])
+    )
+    if n_files > 1 and len(change):
+        targets = (np.arange(1, n_files) * n) // n_files
+        cuts = change[np.minimum(np.searchsorted(change, targets), len(change) - 1)]
+        cuts = np.unique(np.concatenate(([0], cuts, [n])))
+    else:
+        cuts = np.array([0, n])
+    tmps = []
+    for i in range(len(cuts) - 1):
+        part = table.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
+        tmp = os.path.join(out_dir, f"{stem}-{i:03d}.parquet.tmp")
+        pq.write_table(part, tmp)
+        tmps.append(tmp)
+    # rename shard 000 LAST — it is the completeness marker
+    for tmp in reversed(tmps):
+        os.replace(tmp, tmp[:-4])
 
 
 def materialize_transcripts(
     sf_dir: str, out_root: str = "/tmp/gcflow_transcripts", replicate: int = 1
 ) -> str:
     """Write (idempotently) the events-derived transcripts parquet for an
-    sf dir; returns the parquet path.  Keyed by sf basename + replication
-    so repeated query runs reuse it."""
+    sf dir; returns the corpus directory (multi-file, conversation-aligned
+    shards — see :func:`write_sharded`).  Keyed by sf basename +
+    replication so repeated query runs reuse it."""
     tag = os.path.basename(os.path.normpath(sf_dir)) + (
         f"_x{replicate}" if replicate != 1 else ""
     )
-    out_dir = os.path.join(out_root, tag)
-    path = os.path.join(out_dir, "transcripts.parquet")
-    if not os.path.exists(path):
+    out_dir = os.path.join(out_root, tag + "_sharded")
+    marker = os.path.join(out_dir, "transcripts-000.parquet")
+    if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
         table = transcripts_from_events(
             os.path.join(sf_dir, "events.parquet"), replicate=replicate
         )
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
-    return path
+        write_sharded(table, out_dir)
+    return out_dir
