@@ -43,6 +43,9 @@ def _scaling_main():
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
+            # single-box run-to-run variance is ±15-30%; min over repeats is
+            # the stable capability estimator for the efficiency ratio
+            GRAFT_BENCH_RUNS=os.environ.get("GRAFT_SCALE_RUNS", "3"),
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         )
         r = subprocess.run(
@@ -127,11 +130,17 @@ def main():
     # headline: full parse→enrich→route→aggregate with partitioned sinks
     out_dir = os.environ.get("GCFLOW_BENCH_OUT", "/dev/shm/gcflow_bench_out")
     stitch_impl = os.environ.get("GCFLOW_STITCH_IMPL", "vec")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    pl.run_pipeline(path, out_dir=out_dir, mode="basic", stitch_impl=stitch_impl)
-    headline = time.perf_counter() - t0
-    queries["gc_pipeline"] = round(headline, 3)
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "1"))
+    runs = []
+    for _ in range(n_runs):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        pl.run_pipeline(path, out_dir=out_dir, mode="basic", stitch_impl=stitch_impl)
+        runs.append(round(time.perf_counter() - t0, 3))
+    headline = min(runs)
+    queries["gc_pipeline"] = headline
+    if n_runs > 1:
+        queries["gc_pipeline_runs"] = runs
 
     # heap-stats-mode headline (events ≪ lines: ~23 lines/event {}-blocks)
     heap_path = tr.materialize_heap_transcripts(n_convs=8000, reps=5)

@@ -39,6 +39,10 @@ import ray.data as rd
 NEAR_SUFFIX = " near duplicate copy marker"
 JACCARD_THRESHOLD = 0.7
 
+_EMPTY_PAIRS_TABLE = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+).empty_table()
+
 CORPUS_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents
@@ -197,11 +201,29 @@ def _sizes_ds(corpus) -> rd.Dataset:
     )
 
 
-def _join_attach(cand: rd.Dataset, side: rd.Dataset, key: str, out_cols: dict) -> rd.Dataset:
+def _ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Normalize blocks to ``schema`` — an upstream groupby/map over zero
+    rows emits schema-less empty blocks that crash the Acero hash join
+    ('No match for key field ...')."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def _join_attach(
+    cand: rd.Dataset, side: rd.Dataset, key: str, out_cols: dict,
+    left_fields: dict,
+) -> rd.Dataset:
     """Repartition join: attach ``side`` columns to candidate rows on
     ``key`` = side.doc_id, then project to ``out_cols`` (old → new name).
     Hash-partitions both inputs on the key — per-node memory is
-    O(rows / JOIN_PARTITIONS), no broadcast."""
+    O(rows / JOIN_PARTITIONS), no broadcast.  ``left_fields`` declares the
+    candidate schema so empty candidate sets survive the join."""
+    cand = _ensure_schema(cand, pa.schema(list(left_fields.items())))
     joined = cand.join(
         side, "inner", num_partitions=JOIN_PARTITIONS,
         on=(key,), right_on=("doc_id",), right_suffix="_r",
@@ -225,20 +247,34 @@ def q_doc_ngram_jaccard(sf_dir: str):
     sizes = _sizes_ds(corpus)
     shingle_doc = corpus.map_batches(_shingle_rows, batch_format="pyarrow")
     pairs = _cooccur_pairs(shingle_doc)
-    shared = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
-        lambda t: pa.table(
+    def count_to_shared(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
+            ).empty_table()
+        return pa.table(
             {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "n_shared": t["count()"]}
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    # materialize the (corpus-small) candidate set once: Ray's hash join
+    # cannot infer a schema from an entirely-empty left side, so a dup-free
+    # corpus must short-circuit before the joins
+    shared = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
+        count_to_shared, batch_format="pyarrow"
+    ).materialize()
+    if shared.count() == 0:
+        return _EMPTY_PAIRS_TABLE
     with_a = _join_attach(
         shared, sizes, "doc_a",
         {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared", "sz": "sz_a"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64()},
     )
     with_ab = _join_attach(
         with_a, sizes, "doc_b",
         {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared",
          "sz_a": "sz_a", "sz": "sz_b"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64(),
+         "sz_a": pa.int64()},
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -430,15 +466,26 @@ def q_doc_minhash_lsh(sf_dir: str):
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
     )
     pairs = _cooccur_pairs(bands)
+    def count_to_cand(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        return t.select(["doc_a", "doc_b"])
+
     cand = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
-    )
+        count_to_cand, batch_format="pyarrow"
+    ).materialize()
+    if cand.count() == 0:  # see q_doc_ngram_jaccard: empty left crashes join
+        return _EMPTY_PAIRS_TABLE
     with_a = _join_attach(
-        cand, sets, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"}
+        cand, sets, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64()},
     )
     with_ab = _join_attach(
         with_a, sets, "doc_b",
         {"doc_a": "doc_a", "doc_b": "doc_b", "sh_a": "sh_a", "sh": "sh_b"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "sh_a": pa.binary()},
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -690,6 +737,10 @@ def q_doc_dup_clusters(sf_dir: str):
     for every document in a pair, component = smallest doc_id reachable
     through jaccard ≥ 0.7 edges."""
     pairs = q_doc_ngram_jaccard(sf_dir)
+    if isinstance(pairs, pa.Table):  # dup-free corpus short-circuit
+        return pa.schema(
+            [("doc_id", pa.int64()), ("component", pa.int64())]
+        ).empty_table()
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = pc.cast(t["doc_a"], pa.int64())
@@ -701,39 +752,44 @@ def q_doc_dup_clusters(sf_dir: str):
             }
         )
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    labels = (
+    edges = _ensure_schema(
+        pairs.map_batches(to_edges, batch_format="pyarrow"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    ).materialize()
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    labels = _ensure_schema(
         edges.groupby("src")
         .count()  # distinct nodes, distributed
         .map_batches(
             lambda t: pa.table({"node": t["src"], "label": t["src"]}),
             batch_format="pyarrow",
-        )
-        .materialize()
-    )
+        ),
+        label_schema,
+    ).materialize()
 
     def relabel_min(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return label_schema.empty_table()
         return pa.table({"node": t["node"], "label": t["min(label)"]})
+
+    def to_contrib(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return label_schema.empty_table()
+        return pa.table({"node": t["dst"], "label": t["label"]})
 
     prev_sum = None
     for _ in range(32):  # bound ≥ max component diameter; converges earlier
-        contrib = (
-            edges.join(
-                labels, "inner", num_partitions=JOIN_PARTITIONS,
-                on=("src",), right_on=("node",),
-            )
-            .map_batches(
-                lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
-                batch_format="pyarrow",
-            )
-        )
-        labels = (
+        contrib = edges.join(
+            labels, "inner", num_partitions=JOIN_PARTITIONS,
+            on=("src",), right_on=("node",),
+        ).map_batches(to_contrib, batch_format="pyarrow")
+        labels = _ensure_schema(
             labels.union(contrib)
             .groupby("node")
             .min("label")
-            .map_batches(relabel_min, batch_format="pyarrow")
-            .materialize()
-        )
+            .map_batches(relabel_min, batch_format="pyarrow"),
+            label_schema,
+        ).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             break

@@ -57,6 +57,36 @@ def test_multimodal_decode_plumbing(ray_session):
         DecodeStage(fake=False)
 
 
+def test_dedup_join_paths_handle_empty_candidates(ray_session, tmp_path):
+    """A corpus with no duplicates pushes EMPTY candidate sets through the
+    repartition joins and the label-propagation loop — none may raise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.dedup import (
+        q_doc_dup_clusters,
+        q_doc_minhash_lsh,
+        q_doc_ngram_jaccard,
+    )
+
+    # doc_id % 10 avoiding 3 and 7 → corpus_ds plants nothing; texts share
+    # no 3-grams (unique word per position per doc)
+    ids = [1, 2, 4, 5, 6]
+    texts = [" ".join(f"w{d}x{i}" for i in range(8)) for d in ids]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    def nrows(r):
+        return r.num_rows if isinstance(r, pa.Table) else r.count()
+
+    assert nrows(q_doc_ngram_jaccard(sf)) == 0
+    assert nrows(q_doc_minhash_lsh(sf)) == 0
+    assert nrows(q_doc_dup_clusters(sf)) == 0
+
+
 def test_simhash_stage_matches_scalar_reference():
     import pyarrow as pa
 
