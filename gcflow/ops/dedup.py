@@ -723,6 +723,125 @@ def q_emb_cosine_dedup(sf_dir: str):
 
 
 
+# ------------------------------ embedding near-dup, LSH-blocked (scale path)
+
+N_EMB_TABLES = 8   # hash tables (OR over tables → recall)
+N_EMB_PLANES = 12  # hyperplanes per table (AND within table → precision)
+COS_DUP_THRESHOLD = 0.95
+
+
+def _emb_corpus_packed_ds(sf_dir: str) -> rd.Dataset:
+    """Planted-duplicate embedding corpus as a Dataset with the vector
+    packed to float64 bytes (mirror of ``_emb_corpus`` / EMB_DUP_SQL;
+    binary payload → joinable, see :func:`_shingle_sets_ds`)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        E = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mask = ids % 10 == 4
+        all_ids = np.concatenate([ids, ids[mask] + 1_000_000])
+        all_e = np.vstack([E, E[mask] + 0.01])
+        return pa.table(
+            {
+                "doc_id": pa.array(all_ids, type=pa.int64()),
+                "sh": pa.array([row.tobytes() for row in all_e], type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+class EmbSigStage:
+    """Actor-pool stage: L×k random-hyperplane signatures per vector,
+    exploded to (k=fused table/bucket key, doc_id) rows for the bucket
+    sweep.  Planes are derived from a fixed seed on first batch (same on
+    every actor — no broadcast needed)."""
+
+    def __init__(self):
+        self.planes = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        V = np.vstack(
+            [np.frombuffer(b, dtype=np.float64) for b in t["sh"].to_pylist()]
+        )
+        if self.planes is None:
+            rng = np.random.RandomState(11)
+            self.planes = rng.normal(size=(N_EMB_TABLES, N_EMB_PLANES, V.shape[1]))
+        n = len(ids)
+        keys = np.empty((n, N_EMB_TABLES), dtype=np.uint64)
+        shifts = 1 << np.arange(N_EMB_PLANES, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for l in range(N_EMB_TABLES):
+                bits = (V @ self.planes[l].T) > 0
+                bucket = (bits * shifts).sum(axis=1).astype(np.uint64)
+                keys[:, l] = (
+                    bucket * np.uint64(0x9E3779B97F4A7C15)
+                    + np.uint64(l) * np.uint64(0xBF58476D1CE4E5B9)
+                )
+        return pa.table(
+            {
+                "k": pa.array(keys.reshape(-1), type=pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, N_EMB_TABLES), type=pa.int64()),
+            }
+        )
+
+
+def q_emb_cosine_dedup_lsh(sf_dir: str):
+    """Embedding near-dup, LSH-blocked — the scale path for
+    ``emb_cosine_dedup``: hyperplane bucket blocking (8 tables × 12
+    planes; a pair collides in SOME table with probability ≈ 1 at cosine
+    ≥ 0.95), bucket-sweep candidate pairs, exact-cosine verification via
+    repartition join of candidates to packed vectors on doc_id — no
+    O(corpus) broadcast, no block×corpus matmul.  Approximate (recall vs
+    the exact path asserted in pytest) → rows-only driver check."""
+    corpus = _emb_corpus_packed_ds(sf_dir).materialize()
+    sig_rows = corpus.map_batches(EmbSigStage, batch_format="pyarrow", concurrency=(1, 4))
+    pairs = _cooccur_pairs(sig_rows)
+    cand = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
+        lambda t: t.select(["doc_a", "doc_b"])
+        if len(t)
+        else pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    ).materialize()
+    empty = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
+    ).empty_table()
+    if cand.count() == 0:
+        return empty
+    with_a = _join_attach(
+        cand, corpus, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64()},
+    )
+    with_ab = _join_attach(
+        with_a, corpus, "doc_b",
+        {"doc_a": "doc_a", "doc_b": "doc_b", "sh_a": "sh_a", "sh": "sh_b"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "sh_a": pa.binary()},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        A = np.vstack([np.frombuffer(b, dtype=np.float64) for b in t["sh_a"].to_pylist()])
+        B = np.vstack([np.frombuffer(b, dtype=np.float64) for b in t["sh_b"].to_pylist()])
+        cos = (A * B).sum(axis=1) / (
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        )
+        keep = cos >= COS_DUP_THRESHOLD
+        return pa.table(
+            {
+                "vec_a": pc.cast(t["doc_a"], pa.int64()).filter(pa.array(keep)),
+                "vec_b": pc.cast(t["doc_b"], pa.int64()).filter(pa.array(keep)),
+                "cos": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
 # ------------------------------------------- duplicate clusters (components)
 
 def q_doc_dup_clusters(sf_dir: str):
@@ -806,6 +925,7 @@ DEDUP_QUERIES = {
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "emb_cosine_dedup": q_emb_cosine_dedup,
+    "emb_cosine_dedup_lsh": q_emb_cosine_dedup_lsh,
     "doc_dup_clusters": q_doc_dup_clusters,
 }
 

@@ -87,6 +87,22 @@ def test_dedup_join_paths_handle_empty_candidates(ray_session, tmp_path):
     assert nrows(q_doc_dup_clusters(sf)) == 0
 
 
+def test_cosine_lsh_recall_vs_exact(ray_session):
+    """LSH-blocked embedding near-dup (scale path): perfect precision
+    (pairs verified by exact cosine) and near-total recall of the exact
+    O(N²) baseline's pairs at the planted-duplicate threshold."""
+    from gcflow.ops.dedup import q_emb_cosine_dedup, q_emb_cosine_dedup_lsh
+
+    exact = q_emb_cosine_dedup(SF).to_pandas()
+    approx_r = q_emb_cosine_dedup_lsh(SF)
+    approx = approx_r.to_pandas() if hasattr(approx_r, "to_pandas") else approx_r
+    e = set(zip(exact.vec_a, exact.vec_b))
+    a = set(zip(approx.vec_a, approx.vec_b))
+    assert a <= e  # exact verification → no false positives
+    assert len(e) > 0
+    assert len(a & e) / len(e) >= 0.9
+
+
 def test_simhash_stage_matches_scalar_reference():
     import pyarrow as pa
 
