@@ -214,18 +214,25 @@ def _ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
+def _join_partitions(n_rows: int) -> int:
+    """Partition count tracking the data: one hash-join partition per
+    ~100k candidate rows (bounded) — fixed per-partition actor/barrier
+    costs dominate tiny inputs, per-partition memory dominates huge ones."""
+    return max(1, min(64, n_rows // 100_000 + 1))
+
+
 def _join_attach(
     cand: rd.Dataset, side: rd.Dataset, key: str, out_cols: dict,
-    left_fields: dict,
+    left_fields: dict, num_partitions: int = JOIN_PARTITIONS,
 ) -> rd.Dataset:
     """Repartition join: attach ``side`` columns to candidate rows on
     ``key`` = side.doc_id, then project to ``out_cols`` (old → new name).
     Hash-partitions both inputs on the key — per-node memory is
-    O(rows / JOIN_PARTITIONS), no broadcast.  ``left_fields`` declares the
+    O(rows / num_partitions), no broadcast.  ``left_fields`` declares the
     candidate schema so empty candidate sets survive the join."""
     cand = _ensure_schema(cand, pa.schema(list(left_fields.items())))
     joined = cand.join(
-        side, "inner", num_partitions=JOIN_PARTITIONS,
+        side, "inner", num_partitions=num_partitions,
         on=(key,), right_on=("doc_id",), right_suffix="_r",
     )
 
@@ -262,12 +269,15 @@ def q_doc_ngram_jaccard(sf_dir: str):
     shared = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
         count_to_shared, batch_format="pyarrow"
     ).materialize()
-    if shared.count() == 0:
+    n_cand = shared.count()
+    if n_cand == 0:
         return _EMPTY_PAIRS_TABLE
+    nparts = _join_partitions(n_cand)
     with_a = _join_attach(
         shared, sizes, "doc_a",
         {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared", "sz": "sz_a"},
         {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64()},
+        num_partitions=nparts,
     )
     with_ab = _join_attach(
         with_a, sizes, "doc_b",
@@ -275,6 +285,7 @@ def q_doc_ngram_jaccard(sf_dir: str):
          "sz_a": "sz_a", "sz": "sz_b"},
         {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64(),
          "sz_a": pa.int64()},
+        num_partitions=nparts,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -476,16 +487,20 @@ def q_doc_minhash_lsh(sf_dir: str):
     cand = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
         count_to_cand, batch_format="pyarrow"
     ).materialize()
-    if cand.count() == 0:  # see q_doc_ngram_jaccard: empty left crashes join
+    n_cand = cand.count()
+    if n_cand == 0:  # see q_doc_ngram_jaccard: empty left crashes join
         return _EMPTY_PAIRS_TABLE
+    nparts = _join_partitions(n_cand)
     with_a = _join_attach(
         cand, sets, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"},
         {"doc_a": pa.int64(), "doc_b": pa.int64()},
+        num_partitions=nparts,
     )
     with_ab = _join_attach(
         with_a, sets, "doc_b",
         {"doc_a": "doc_a", "doc_b": "doc_b", "sh_a": "sh_a", "sh": "sh_b"},
         {"doc_a": pa.int64(), "doc_b": pa.int64(), "sh_a": pa.binary()},
+        num_partitions=nparts,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -810,16 +825,20 @@ def q_emb_cosine_dedup_lsh(sf_dir: str):
     empty = pa.schema(
         [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
     ).empty_table()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return empty
+    nparts = _join_partitions(n_cand)
     with_a = _join_attach(
         cand, corpus, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"},
         {"doc_a": pa.int64(), "doc_b": pa.int64()},
+        num_partitions=nparts,
     )
     with_ab = _join_attach(
         with_a, corpus, "doc_b",
         {"doc_a": "doc_a", "doc_b": "doc_b", "sh_a": "sh_a", "sh": "sh_b"},
         {"doc_a": pa.int64(), "doc_b": pa.int64(), "sh_a": pa.binary()},
+        num_partitions=nparts,
     )
 
     def verify(t: pa.Table) -> pa.Table:
