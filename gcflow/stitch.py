@@ -573,16 +573,17 @@ def apply_rates_bucket(group: pa.Table) -> pa.Table:
     (RateCalculator.scala:5-43 semantics), ordered by turn_idx.  Assumes
     one event start per turn (one physical line per turn); nested columns
     pass through untouched (no pandas round-trip)."""
-    conv_obj = np.asarray(group["conv_id"].to_pylist(), dtype=object)
+    conv_col = group["conv_id"]
+    if isinstance(conv_col, pa.ChunkedArray):
+        conv_col = conv_col.combine_chunks()  # one dictionary across chunks
+    codes = conv_col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
     turn = group["turn_idx"].to_numpy(zero_copy_only=False)
-    order = np.asarray(
-        pd.DataFrame({"c": conv_obj, "t": turn})
-        .sort_values(["c", "t"], kind="stable")
-        .index
-    )
+    # group by conv + turn order within conv is all the scan needs — no
+    # lexicographic string sort required, integer codes suffice
+    order = np.lexsort((turn, codes))
     t = group.take(pa.array(order))
     n = len(t)
-    conv = conv_obj[order]
+    conv = codes[order]
 
     age_ms = np.floor(
         np.nan_to_num(t["jvm_age_seconds"].to_numpy(zero_copy_only=False)) * 1000

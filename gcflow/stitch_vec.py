@@ -162,17 +162,25 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
     # three-line tenuring triples: L0 open at i, Desired at i+1, close at
     # i+2, all in one conversation.  The L0/L1/L2 patterns are mutually
     # exclusive with each other and with the single-line patterns, so a
-    # row can only be claimed once.
-    so = _as_array(pc.extract_regex(text, V_TEN_OPEN))
-    sd = _as_array(pc.extract_regex(text, V_TEN_DESIRED))
-    s3 = _as_array(pc.extract_regex(text, V_TEN_CLOSE))
-    mo = pc.and_(
-        pc.is_valid(so),
-        pc.invert(pc.starts_with(pc.fill_null(_field(so, "cause"), ""), "CMS")),
-    ).to_numpy(zero_copy_only=False)
-    md = pc.is_valid(sd).to_numpy(zero_copy_only=False)
-    m3 = _guard(s3).to_numpy(zero_copy_only=False)
+    # row can only be claimed once — which also means the three scans only
+    # need to run over the rows the single-line patterns did NOT match.
     n_rows = len(text)
+    single = m_basic | m_cms | m_app
+    resid_idx = np.flatnonzero(~single)
+    mo = np.zeros(n_rows, dtype=bool)
+    md = np.zeros(n_rows, dtype=bool)
+    m3 = np.zeros(n_rows, dtype=bool)
+    if len(resid_idx):
+        rtext = text.take(pa.array(resid_idx))
+        so = _as_array(pc.extract_regex(rtext, V_TEN_OPEN))
+        sd = _as_array(pc.extract_regex(rtext, V_TEN_DESIRED))
+        s3 = _as_array(pc.extract_regex(rtext, V_TEN_CLOSE))
+        mo[resid_idx] = pc.and_(
+            pc.is_valid(so),
+            pc.invert(pc.starts_with(pc.fill_null(_field(so, "cause"), ""), "CMS")),
+        ).to_numpy(zero_copy_only=False)
+        md[resid_idx] = pc.is_valid(sd).to_numpy(zero_copy_only=False)
+        m3[resid_idx] = _guard(s3).to_numpy(zero_copy_only=False)
     trip = np.zeros(n_rows, dtype=bool)
     ti3 = np.array([], dtype=np.int64)
     if n_rows >= 3:
@@ -292,10 +300,15 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
     # ---- fast three-line tenuring triples (event row anchored at L0)
     if len(ti3):
         n = len(ti3)
-        o = {k: _field(so, k).take(pa.array(ti3)) for k in ("ts", "age", "gt", "cause")}
-        d = {k: _field(sd, k).take(pa.array(ti3 + 1)) for k in ("des", "thr")}
+        # so/sd/s3 are residual-subset arrays: map full row indices to
+        # subset positions (ti3, ti3+1, ti3+2 are all non-single rows)
+        p0 = pa.array(np.searchsorted(resid_idx, ti3))
+        p1 = pa.array(np.searchsorted(resid_idx, ti3 + 1))
+        p2 = pa.array(np.searchsorted(resid_idx, ti3 + 2))
+        o = {k: _field(so, k).take(p0) for k in ("ts", "age", "gt", "cause")}
+        d = {k: _field(sd, k).take(p1) for k in ("des", "thr")}
         cl = {
-            k: _field(s3, k).take(pa.array(ti3 + 2))
+            k: _field(s3, k).take(p2)
             for k in ("pre", "post", "hb", "hbs", "ha", "has", "hc", "hcs", "pause")
         }
         ones = np.ones(n, dtype=bool)
