@@ -120,9 +120,62 @@ def q_evt_type_windows(sf_dir: str):
     )
 
 
+HOP_MIN = 30  # hop; window length = 2 × hop (1 hour)
+
+
+def q_evt_hopping_windows(sf_dir: str):
+    """Hopping (sliding) 1-hour windows with a 30-minute hop: every event
+    belongs to exactly two windows (its 30-min bucket's window and the one
+    starting 30 min earlier).  Explode-to-window-starts inside map_batches
+    (vectorized, 2 rows/event) → partial in-batch counts → small final
+    groupby: the groupby-expressible sliding-window shape, no state."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    hop_us = HOP_MIN * 60 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsi = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        bucket = (tsi // hop_us) * hop_us
+        starts = np.concatenate([bucket, bucket - hop_us])
+        t2 = pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [t["event_type"].combine_chunks()] * 2
+                )
+                if isinstance(t["event_type"], pa.ChunkedArray)
+                else pa.concat_arrays([t["event_type"]] * 2),
+                "window_start": pa.array(
+                    starts.astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+            }
+        )
+        g = t2.group_by(["event_type", "window_start"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "window_start", "np"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("np", alias_name="n"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "window_start": pa.array(out["window_start"], type=pa.timestamp("us")),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
 WINDOW_QUERIES = {
     "evt_sessions": q_evt_sessions,
     "evt_type_windows": q_evt_type_windows,
+    "evt_hopping_windows": q_evt_hopping_windows,
 }
 
 WINDOW_ORACLES = {
@@ -145,5 +198,16 @@ FROM s GROUP BY 1, 2
     "evt_type_windows": """
 SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n
 FROM events GROUP BY 1, 2
+""",
+    "evt_hopping_windows": """
+WITH g AS (
+  SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS b FROM events
+), x AS (
+  SELECT event_type, b AS ws FROM g
+  UNION ALL
+  SELECT event_type, b - INTERVAL '30 minutes' FROM g
+)
+SELECT event_type, ws AS window_start, count(*) AS n
+FROM x GROUP BY 1, 2
 """,
 }

@@ -99,3 +99,81 @@ def test_incremental_protocol_total(junk):
         assert r in (SKIP_LINE, NEED_ANOTHER_LINE) or hasattr(r, "gc_type")
     except GrammarCrash:
         pass
+
+
+# ---- round-2 primitives: sharded write round-trip + pair-emit brute force
+
+import numpy as np
+import pyarrow as pa
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=0, max_size=60
+    ),
+    st.integers(1, 6),
+)
+def test_write_sharded_roundtrip_conversation_aligned(rows, rows_per_file):
+    """write_sharded: concatenated shards equal the input, every file is a
+    contiguous slice, and no conversation straddles a file boundary."""
+    import tempfile, glob, os
+    import pyarrow.parquet as pq
+
+    from gcflow import transcripts as tr
+
+    rows = sorted(rows)
+    table = pa.table(
+        {
+            "conv_id": pa.array([f"c{c}" for c, _ in rows], type=pa.string()),
+            "turn_idx": pa.array([t for _, t in rows], type=pa.int32()),
+        }
+    )
+    old = tr.ROWS_PER_FILE
+    tr.ROWS_PER_FILE = rows_per_file
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            tr.write_sharded(table, d)
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            parts = [pq.read_table(f) for f in files]
+            whole = pa.concat_tables(parts) if parts else table.slice(0, 0)
+            assert whole.equals(table)
+            # conversation-aligned boundaries
+            for a, b in zip(parts, parts[1:]):
+                if len(a) and len(b):
+                    assert a["conv_id"][-1].as_py() != b["conv_id"][0].as_py()
+    finally:
+        tr.ROWS_PER_FILE = old
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 12)), min_size=0, max_size=80
+    )
+)
+def test_cooccur_pairs_matches_bruteforce(ray_session, kd_rows):
+    """_cooccur_pairs ≡ per-key brute-force co-occurring unique pairs."""
+    import itertools
+
+    import ray.data as rd
+
+    from gcflow.ops.dedup import _cooccur_pairs
+
+    t = pa.table(
+        {
+            "k": pa.array([np.uint64(k) for k, _ in kd_rows], type=pa.uint64()),
+            "doc_id": pa.array([d for _, d in kd_rows], type=pa.int64()),
+        }
+    )
+    out = _cooccur_pairs(rd.from_arrow(t), num_buckets=4).to_pandas()
+    # a fully-empty result may come back schema-less (empty-block Ray quirk)
+    got = set(zip(out["doc_a"], out["doc_b"])) if len(out) else set()
+    want = set()
+    byk = {}
+    for k, d in kd_rows:
+        byk.setdefault(k, set()).add(d)
+    for docs in byk.values():
+        for a, b in itertools.combinations(sorted(docs), 2):
+            want.add((a, b))
+    assert got == want
