@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     p.add_argument("--auto-salt", action="store_true",
                    help="probe conversation sizes from a sample and salt "
                         "automatically when a hot conversation is detected")
+    p.add_argument("--run-local", action="store_true",
+                   help="shuffle-light mode for conversation-ordered input "
+                        "(each block a contiguous (conv,turn)-sorted slice); "
+                        "wins when events are much rarer than lines")
     p.add_argument("--resume", action="store_true",
                    help="checkpointed shard runner: skip shards with lineage records")
     p.add_argument("--num-shards", type=int, default=8)
@@ -103,7 +107,9 @@ def main(argv=None) -> int:
         return 0
 
     ds = pl.read_transcripts(args.input)
-    if args.auto_salt:
+    if args.run_local:
+        events = pl.parse_events_runlocal(ds, mode=mode, enrich=not args.no_enrich)
+    elif args.auto_salt:
         events = pl.parse_events_auto(ds, mode=mode, enrich=not args.no_enrich)
     elif args.salt_turns:
         events = pl.parse_events_salted(

@@ -38,6 +38,15 @@ def test_cli_parquet_counts(fixture_parquet, tmp_path):
     assert os.path.exists(tmp_path / "o" / "_metrics.json")
 
 
+def test_cli_run_local(fixture_parquet, tmp_path):
+    """--run-local (shuffle-light) yields the same sink totals as the
+    classic shuffle on conversation-ordered input."""
+    out = _run(["--input", fixture_parquet, "--out", str(tmp_path / "rl"),
+                "--format", "tsv", "--run-local", "--num-cpus", "4"])
+    lines = open(out["path"]).read().rstrip("\n").split("\n")
+    assert len(lines) == 62  # header + the 61 conformance-corpus events
+
+
 def test_cli_heap_tsv(fixture_parquet, tmp_path):
     out = _run(["--input", fixture_parquet, "--out", str(tmp_path / "t"),
                 "--format", "tsv", "--heap-stats", "--num-cpus", "4"])
