@@ -214,11 +214,13 @@ def _ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
-def _join_partitions(n_rows: int) -> int:
-    """Partition count tracking the data: one hash-join partition per
-    ~100k candidate rows (bounded) — fixed per-partition actor/barrier
-    costs dominate tiny inputs, per-partition memory dominates huge ones."""
-    return max(1, min(64, n_rows // 100_000 + 1))
+def _join_partitions(n_left: int, n_right: int) -> int:
+    """Partition count tracking the LARGER join side: one hash-join
+    partition per ~100k rows (bounded) — fixed per-partition
+    actor/barrier costs dominate tiny inputs, per-partition memory
+    dominates huge ones.  Sizing by the candidate side alone would funnel
+    a corpus-sized right side through one aggregator."""
+    return max(1, min(64, max(n_left, n_right) // 100_000 + 1))
 
 
 def _join_attach(
@@ -272,7 +274,7 @@ def q_doc_ngram_jaccard(sf_dir: str):
     n_cand = shared.count()
     if n_cand == 0:
         return _EMPTY_PAIRS_TABLE
-    nparts = _join_partitions(n_cand)
+    nparts = _join_partitions(n_cand, corpus.count())
     with_a = _join_attach(
         shared, sizes, "doc_a",
         {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared", "sz": "sz_a"},
@@ -490,7 +492,7 @@ def q_doc_minhash_lsh(sf_dir: str):
     n_cand = cand.count()
     if n_cand == 0:  # see q_doc_ngram_jaccard: empty left crashes join
         return _EMPTY_PAIRS_TABLE
-    nparts = _join_partitions(n_cand)
+    nparts = _join_partitions(n_cand, corpus.count())
     with_a = _join_attach(
         cand, sets, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"},
         {"doc_a": pa.int64(), "doc_b": pa.int64()},
@@ -828,7 +830,7 @@ def q_emb_cosine_dedup_lsh(sf_dir: str):
     n_cand = cand.count()
     if n_cand == 0:
         return empty
-    nparts = _join_partitions(n_cand)
+    nparts = _join_partitions(n_cand, corpus.count())
     with_a = _join_attach(
         cand, corpus, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"},
         {"doc_a": pa.int64(), "doc_b": pa.int64()},
