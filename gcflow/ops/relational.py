@@ -174,15 +174,74 @@ def q_rel_order_status(sf_dir: str):
     return out.sort_by([("o_orderstatus", "ascending")])
 
 
+def q_rel_top_order_per_cust(sf_dir: str):
+    """Per-key argmax (the row_number()=1 window shape): each customer's
+    single highest-totalprice order, ties by orderkey ascending.  The
+    reduction is associative, so it runs as per-batch partial argmax →
+    ONE shuffle of partials keyed hash(cust)%NB → bucket sweep (same
+    pattern as stitch/sessions — never a per-customer map_groups)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    num_buckets = 64
+
+    def first_per_cust(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cust = t["o_custkey"].to_numpy()
+        okey = t["o_orderkey"].to_numpy()
+        cents = t["cents"].to_numpy() if "cents" in t.schema.names else pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        order = np.lexsort((okey, -cents, cust))
+        cust_s, okey_s, cents_s = cust[order], okey[order], cents[order]
+        first = np.empty(len(cust_s), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = cust_s[1:] != cust_s[:-1]
+        b = (
+            (cust_s[first].astype("uint64") * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(40)
+        ) % num_buckets
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust_s[first], type=pa.int64()),
+                "o_orderkey": pa.array(okey_s[first], type=pa.int64()),
+                "cents": pa.array(cents_s[first], type=pa.int64()),
+                "bucket": pa.array(b.astype("int64"), type=pa.int64()),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        out = first_per_cust(g)
+        return out.drop_columns(["bucket"]).rename_columns(
+            ["o_custkey", "o_orderkey", "total_price_cents"]
+        )
+
+    partials = ds.map_batches(first_per_cust, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(sweep, batch_format="pyarrow")
+
+
 RELATIONAL_QUERIES = {
     "rel_q1": q_rel_q1,
     "rel_nation_revenue": q_rel_nation_revenue,
     "rel_topk_orders": q_rel_topk_orders,
     "rel_distinct_segments": q_rel_distinct_segments,
     "rel_order_status": q_rel_order_status,
+    "rel_top_order_per_cust": q_rel_top_order_per_cust,
 }
 
 RELATIONAL_ORACLES = {
+    "rel_top_order_per_cust": """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY round(o_totalprice * 100) DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, total_price_cents FROM ranked WHERE rn = 1
+""",
     "rel_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
