@@ -130,7 +130,9 @@ def main():
     # headline: full parse→enrich→route→aggregate with partitioned sinks
     out_dir = os.environ.get("GCFLOW_BENCH_OUT", "/dev/shm/gcflow_bench_out")
     stitch_impl = os.environ.get("GCFLOW_STITCH_IMPL", "vec")
-    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "1"))
+    # ±15-30% single-box run variance → min-of-2 by default for the
+    # recorded headline (GRAFT_BENCH_RUNS=1 restores single-shot)
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     runs = []
     for _ in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
