@@ -177,3 +177,95 @@ def test_cooccur_pairs_matches_bruteforce(ray_session, kd_rows):
         for a, b in itertools.combinations(sorted(docs), 2):
             want.add((a, b))
     assert got == want
+
+
+# ---- vec stitcher ≡ python sweep under random corpora (fuzz the fast
+# paths: single-line shapes, tenuring triples, broken triples, junk,
+# crash lines, conversation boundaries)
+
+_LINE_KINDS = st.sampled_from(
+    ["basic", "basic_gens", "cms", "app", "triple", "broken_triple",
+     "desired_alone", "open_alone", "crash", "tail_junk"]
+)
+
+
+@st.composite
+def _conv_lines(draw):
+    kinds = draw(st.lists(_LINE_KINDS, min_size=1, max_size=8))
+    lines = []
+    i = draw(st.integers(1, 500))
+    for kind in kinds:
+        a = i * 7
+        i += 1
+        if kind == "basic":
+            lines.append(f"{a}.000: [GC {a+9}K->{a+2}K(9000K), 0.{a%997:03d} secs]")
+        elif kind == "basic_gens":
+            lines.append(
+                f"{a}.000: [Full GC (Ergonomics) [PSYoungGen: {a+5}K->{a%97}K(800K)]"
+                f" [ParOldGen: {a+7}K->{a+1}K(900K)] {a+9}K->{a+2}K(9000K),"
+                f" 0.{a%997:03d} secs] [Times: user=1.0 sys=0.0, real=0.1 secs]"
+            )
+        elif kind == "cms":
+            lines.append(f"{a}.000: [CMS-concurrent-mark: 0.035/0.035 secs] [Times: user=0.07 sys=0.00, real=0.03 secs]")
+        elif kind == "app":
+            lines.append(
+                f"{a}.000: Total time for which application threads were stopped:"
+                f" 0.{a%997:06d} seconds, Stopping threads took: 0.0000176 seconds"
+            )
+        elif kind == "triple":
+            lines.append(f"{a}.000: [GC (Allocation Failure)")
+            lines.append(f"Desired survivor size {a*64} bytes, new threshold {1+a%14} (max 15)")
+            lines.append(f" [PSYoungGen: {a+5}K->{a%97}K(800K)] {a+9}K->{a+2}K(9000K), 0.{a%997:03d} secs] [Times: user=0.2 sys=0.0, real=0.1 secs]")
+        elif kind == "broken_triple":
+            lines.append(f"{a}.000: [GC (Allocation Failure)")
+            lines.append(f"Desired survivor size {a*64} bytes, new threshold {1+a%14} (max 15)")
+            lines.append("- age   1:  123 bytes,  456 total")
+            lines.append(f" [DefNew: {a+5}K->{a%97}K(800K)] {a+9}K->{a+2}K(9000K), 0.{a%997:03d} secs]")
+        elif kind == "desired_alone":
+            lines.append(f"Desired survivor size {a*64} bytes, new threshold 3 (max 15)")
+        elif kind == "open_alone":
+            lines.append(f"{a}.000: [GC (Allocation Failure)")
+        elif kind == "crash":
+            # basic event with generations but no bare heap delta → the
+            # reference throws; whole conversation must become one error row
+            lines.append(f"{a}.000: [GC [PSYoungGen: {a}K->{a}K(2K)], 0.1 secs]")
+        elif kind == "tail_junk":
+            lines.append("CommandLine flags: -XX:+UseParallelGC")
+    return lines
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_conv_lines(), min_size=1, max_size=4))
+def test_vec_equals_python_random_corpora(ray_session, convs):
+    import pandas as pd
+
+    from gcflow import sinks
+    from gcflow.stitch import stitch_bucket_py
+    from gcflow.stitch_vec import stitch_bucket_vec
+
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": []}
+    for ci, lines in enumerate(convs):
+        for ti, line in enumerate(lines):
+            rows["conv_id"].append(f"conv{ci}")
+            rows["turn_idx"].append(ti)
+            rows["role"].append(["user", "assistant", "tool"][ti % 3])
+            rows["text"].append(line)
+            rows["tool"].append(["jvm", "gc", "", "monitor"][ti % 4])
+    flat = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+            "role": pa.array(rows["role"], type=pa.string()),
+            "text": pa.array(rows["text"], type=pa.string()),
+            "tool": pa.array(rows["tool"], type=pa.string()),
+        }
+    )
+    a = stitch_bucket_py(flat, "basic")
+    b = stitch_bucket_vec(flat)
+    da = a.to_pandas().sort_values(["conv_id", "turn_idx", "event_seq"]).reset_index(drop=True)
+    db = b.to_pandas().sort_values(["conv_id", "turn_idx", "event_seq"]).reset_index(drop=True)
+    assert len(da) == len(db)
+    simple = [c for c in da.columns if c not in ("generations", "regions")]
+    pd.testing.assert_frame_equal(da[simple], db[simple], check_dtype=False)
+    for ra, rb in zip(da.to_dict("records"), db.to_dict("records")):
+        assert sinks.arrow_export_seq(ra) == sinks.arrow_export_seq(rb)
