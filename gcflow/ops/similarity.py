@@ -29,22 +29,26 @@ N_QUERIES = 8
 TOP_K = 10
 
 
-def _read_emb(sf_dir: str):
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+def _read_queries(sf_dir: str):
+    """Row-filtered read of ONLY the tiny query set (the driver must never
+    load the full embedding corpus — at scale that is the job's input)."""
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
-    ids = t["vec_id"].to_numpy()
-    E = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    return ids, E
+    qids = qt["vec_id"].to_numpy()
+    Q = np.vstack(qt["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(qids)
+    return qids[order], Q[order]
 
 
 def q_emb_ann_topk(sf_dir: str):
     """Exact top-k neighbours (cosine) for queries vec_id < N_QUERIES,
     self excluded; rank ties broken by vec_id ascending."""
-    qids, Q = _read_emb(sf_dir)
-    qmask = qids < N_QUERIES
-    Qn = Q[qmask] / np.linalg.norm(Q[qmask], axis=1, keepdims=True)
-    qref = ray.put((qids[qmask], Qn))
+    qids, Q = _read_queries(sf_dir)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = ray.put((qids, Qn))
 
     class PartialTopK:
         def __init__(self, r):
@@ -114,16 +118,7 @@ def q_emb_lsh_search(sf_dir: str):
     block-local top-k partials; ``_topk_reduce`` merges the tiny partials.
     Shuffle volume O(blocks × queries × k) — never O(corpus)."""
     rng = np.random.RandomState(7)
-    # small side only: the N_QUERIES query vectors (row filter at the read)
-    qt = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", N_QUERIES)],
-    )
-    qids = qt["vec_id"].to_numpy()
-    Q = np.vstack(qt["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    order = np.argsort(qids)
-    qids, Q = qids[order], Q[order]
+    qids, Q = _read_queries(sf_dir)
     dim = Q.shape[1]
     planes = rng.normal(size=(N_PLANES, dim))
     qbits = (Q @ planes.T) > 0
