@@ -664,14 +664,23 @@ def q_doc_simhash(sf_dir: str):
         .groupby("bucket")
         .map_groups(sweep, batch_format="pyarrow")
     )
-    out = pairs.groupby(["doc_a", "doc_b"]).min("hamming").to_pandas()
-    return pa.table(
-        {
-            "doc_a": pa.array(out["doc_a"], type=pa.int64()),
-            "doc_b": pa.array(out["doc_b"], type=pa.int64()),
-            "hamming": pa.array(out["min(hamming)"], type=pa.int64()),
-        }
-    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    # stays a Dataset — at scale the near-dup pair set is output-sized
+    def rename(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "hamming": pc.cast(t["min(hamming)"], pa.int64()),
+            }
+        )
+
+    return pairs.groupby(["doc_a", "doc_b"]).min("hamming").map_batches(
+        rename, batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------- embedding cosine near-dup
