@@ -129,6 +129,102 @@ def q_doc_fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+TOP_TERMS_K = 50
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Canonical map-reduce word count: vectorized in-batch term counting
+    (split → flatten → value_counts, a per-batch COMBINER) → small
+    groupby(term).sum → distributed top-k sort.  Top 50 terms by total
+    occurrences, ties by term ascending."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = flat.value_counts()
+        vc = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+        return pa.table(
+            {"term": vc.field("values"), "n_partial": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([("term", pa.string()), ("n", pa.int64())]).empty_table()
+        return pa.table(
+            {"term": t["term"], "n": pc.cast(t["sum(n_partial)"], pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n_partial")
+        .map_batches(rename, batch_format="pyarrow")
+        .sort(["n", "term"], descending=[True, False])
+        .limit(TOP_TERMS_K)
+    )
+
+
+STRAT_PER_CLASS = 25
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling: the STRAT_PER_CLASS docs with
+    the smallest content hash per predicted-language class — per-batch
+    partial top-k (associative), then a final per-class reduce
+    (``groupby(pred_lang).map_groups`` — class cardinality is tiny, so
+    per-group machinery is fine here, unlike per-user/per-conv keys)."""
+    import pandas as pd
+
+    stop_re = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+    def classify_hash(t: pa.Table) -> pd.DataFrame:
+        n_stop = pc.count_substring_regex(t["text"], stop_re)
+        n_tok = pc.add(pc.count_substring(t["text"], " "), 1)
+        ratio = pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(n_tok, pa.float64()))
+        pred = pc.if_else(
+            pc.greater_equal(ratio, LANG_THRESHOLD), pa.scalar("en"), pa.scalar("unk")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "pred_lang": pred.to_numpy(zero_copy_only=False),
+                "h": [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()],
+            }
+        )
+
+    def head_per_class(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["pred_lang", "h", "doc_id"], kind="stable")
+            .groupby("pred_lang", sort=False)
+            .head(STRAT_PER_CLASS)
+            .reset_index(drop=True)
+        )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return head_per_class(classify_hash(t))
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    final = partials.groupby("pred_lang").map_groups(
+        head_per_class, batch_format="pandas"
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("pred_lang", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "pred_lang": pc.cast(t["pred_lang"], pa.string()),
+            }
+        )
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 TEXT_QUERIES = {
@@ -137,6 +233,8 @@ TEXT_QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_top_terms": q_doc_top_terms,
+    "doc_sample_stratified": q_doc_sample_stratified,
 }
 
 TEXT_ORACLES = {
@@ -170,5 +268,25 @@ FROM s
 """,
     "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fp FROM documents
+""",
+    "doc_top_terms": f"""
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY 1 ORDER BY n DESC, term ASC LIMIT {TOP_TERMS_K}
+""",
+    "doc_sample_stratified": f"""
+WITH s AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w IN ('{_STOP_SQL}'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= {LANG_THRESHOLD}
+              THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM documents
+), r AS (
+  SELECT doc_id, pred_lang,
+         row_number() OVER (PARTITION BY pred_lang ORDER BY h ASC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, pred_lang FROM r WHERE rn <= {STRAT_PER_CLASS}
 """,
 }
