@@ -139,3 +139,59 @@ FROM m JOIN c ON c.user_id = m.user_id AND c.c_ts = m.click_ts
 GROUP BY 1, 2, 3, 5
 """,
 }
+
+
+# --------------------------------------------------------------- range join
+#
+# Non-equi interval join: events matched to every OVERLAPPING value band
+# (bands [20k, 20k+30) for k=0..9 overlap pairwise, so a value can match
+# one or two bands — a true range join, not binning).  Canonical
+# distributed shape: the interval table is tiny → broadcast it and match
+# inside map_batches with one vectorized comparison per band; shuffle
+# volume zero.  For a LARGE interval side the same operator becomes a
+# co-partition on a coarse value grid (each interval replicated to the
+# grid cells it spans) + per-cell sweep — documented here as the scale
+# fallback, same pattern as the stitch salting.
+
+VALUE_BANDS = [(20.0 * k, 20.0 * k + 30.0) for k in range(10)]
+
+
+def q_evt_value_band_join(sf_dir: str):
+    """events ⋈ bands ON lo <= value < hi (overlapping intervals):
+    (event_id, band_id, lo, hi)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    lo = np.array([b[0] for b in VALUE_BANDS])
+    hi = np.array([b[1] for b in VALUE_BANDS])
+
+    def match(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        # events × bands containment mask (bands are few — one vectorized
+        # comparison per band, no python per-row work)
+        m = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+        ei, bi = np.nonzero(m)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[ei], type=pa.int64()),
+                "band_id": pa.array(bi.astype(np.int64), type=pa.int64()),
+                "lo": pa.array(lo[bi], type=pa.float64()),
+                "hi": pa.array(hi[bi], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+_BANDS_SQL = ", ".join(
+    f"({i}, {b[0]}, {b[1]})" for i, b in enumerate(VALUE_BANDS)
+)
+
+ASOF_QUERIES["evt_value_band_join"] = q_evt_value_band_join
+ASOF_ORACLES["evt_value_band_join"] = f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_SQL})
+SELECT e.event_id, CAST(b.band_id AS BIGINT) AS band_id,
+       CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
