@@ -1,0 +1,153 @@
+"""Distinct-count operators over the ``events`` stream: exact (two-level
+distributed dedup) and a HyperLogLog sketch — the mergeable-sketch shape
+for 100 TB cardinality estimation.
+
+HLL is the canonical distributed sketch: per-batch register arrays merge
+by element-wise MAX, which is associative/commutative/idempotent — so
+the combine tree can have any shape and re-execution is safe.  Registers
+travel as one fixed 4096-byte payload per (batch, group), NOT as 4096
+rows, so the shuffle moves a few KB per batch regardless of input size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+HLL_P = 12                      # 2^12 = 4096 registers; rel. error ≈ 1.04/√m ≈ 1.6%
+HLL_M = 1 << HLL_P
+
+
+def q_evt_distinct_users(sf_dir: str):
+    """Exact distinct users per event_type: in-batch pair dedup (combiner)
+    → global pair dedup (groupby) → per-type count.  Shuffle volume is
+    O(distinct pairs), never O(events)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    def to_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("np_", pa.int64())]
+            ).empty_table()
+        g = t.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "np_"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()  # global dedup; count() value unused
+        .map_batches(to_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("np_", alias_name="n"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+def _hll_ranks(uids: np.ndarray) -> tuple:
+    """(register index, rank) per value — splitmix64-style avalanche so
+    sequential ids fill registers uniformly."""
+    h = uids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (h + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(27)
+        idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        w = h << np.uint64(HLL_P)  # remaining 52 bits at the top
+    # rank = leading zeros of w (within 64 bits) + 1, capped for w == 0
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w != 0
+    # float64 exponent ≈ bit_length (off-by-one possible at 2^k boundaries
+    # beyond 53 bits — a deterministic, sub-percent perturbation of an
+    # approximate sketch)
+    bl[nz] = np.frexp(w[nz].astype(np.float64))[1]
+    rank = np.where(nz, 64 - bl + 1, 64 - HLL_P + 1 + 52).astype(np.uint8)
+    return idx, rank
+
+
+def q_evt_distinct_users_hll(sf_dir: str):
+    """Approximate distinct users per event_type via HyperLogLog(p=12):
+    per-batch registers packed as one 4096-byte payload per group, merged
+    by a tiny per-type max-reduce.  Implementation-defined values →
+    rows-only driver check; accuracy vs the exact twin asserted in
+    pytest."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uid = t["user_id"].to_numpy()
+        order = np.argsort(et, kind="stable")
+        et, uid = et[order], uid[order]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(et)]
+        types, payloads = [], []
+        for s, e in zip(starts, ends):
+            idx, rank = _hll_ranks(uid[s:e])
+            regs = np.zeros(HLL_M, dtype=np.uint8)
+            np.maximum.at(regs, idx, rank)
+            types.append(et[s])
+            payloads.append(regs.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "regs": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    def merge_estimate(g: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, dtype=np.uint8)
+        for b in g["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+        m = float(HLL_M)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros > 0:  # small-range linear counting
+            est = m * np.log(m / zeros)
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()], type=pa.string()),
+                "n_approx": pa.array([int(round(est))], type=pa.int64()),
+            }
+        )
+
+    # final merge: one group per event_type (tiny cardinality — per-group
+    # map_groups machinery is fine here, unlike per-user keys)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge_estimate, batch_format="pyarrow")
+    )
+
+
+SKETCH_QUERIES = {
+    "evt_distinct_users": q_evt_distinct_users,
+    "evt_distinct_users_hll": q_evt_distinct_users_hll,
+}
+
+SKETCH_ORACLES = {
+    "evt_distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+    # evt_distinct_users_hll: approximate → rows-only
+}

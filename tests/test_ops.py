@@ -123,6 +123,31 @@ def test_simhash_stage_matches_scalar_reference():
         assert got[i] == _simhash64(s.split(" ")), s
 
 
+def test_hll_sketch_accuracy(ray_session):
+    """HLL(p=12) per-type estimate matches the exact twin on the real
+    corpus, and the register math stays within the ~1.6% theoretical
+    error in the large-cardinality regime."""
+    import numpy as np
+
+    from gcflow.ops.sketch import HLL_M, _hll_ranks, q_evt_distinct_users, q_evt_distinct_users_hll
+
+    exact = q_evt_distinct_users(SF).to_pandas().set_index("event_type")["n"]
+    approx = (
+        q_evt_distinct_users_hll(SF).to_pandas().set_index("event_type")["n_approx"]
+    )
+    for k in exact.index:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (k, approx[k], exact[k])
+
+    # large-cardinality regime (beyond linear counting): 500k distinct ids
+    idx, rank = _hll_ranks(np.arange(500_000, dtype=np.uint64))
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    m = float(HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    assert abs(est - 500_000) / 500_000 < 0.05
+
+
 def test_minhash_agreement_tracks_jaccard():
     from gcflow.ops.dedup import _minhash_signature
 
