@@ -148,6 +148,35 @@ def test_hll_sketch_accuracy(ray_session):
     assert abs(est - 500_000) / 500_000 < 0.05
 
 
+def test_media_pipeline_plumbing(ray_session):
+    """decode → resize → frame-sample → feature-extract chain: schema,
+    row counts, and determinism of the fake kernels; real paths stay
+    gated."""
+    import pytest as _pytest
+
+    from gcflow.ops.multimodal import (
+        FeatureExtractStage,
+        FrameSampleStage,
+        ResizeStage,
+        media_pipeline,
+    )
+
+    df = media_pipeline(SF, concurrency=(1, 2), batch_size=32).to_pandas()
+    assert len(df) == 500
+    r0 = df.iloc[0]
+    assert r0["decoded"]["width"] == 32 and r0["decoded"]["height"] == 32
+    assert len(r0["embedding"]) == FeatureExtractStage.DIM
+    assert 1 <= len(r0["frames"]) <= 4  # ceil(n_frames<=8 / stride=2)
+    # determinism: same pipeline → identical embeddings
+    df2 = media_pipeline(SF, concurrency=(1, 2), batch_size=32).to_pandas()
+    a = df.sort_values("doc_id").iloc[0]["embedding"]
+    b = df2.sort_values("doc_id").iloc[0]["embedding"]
+    assert list(a) == list(b)
+    for cls in (ResizeStage, FrameSampleStage, FeatureExtractStage):
+        with _pytest.raises(NotImplementedError):
+            cls(fake=False)
+
+
 def test_minhash_agreement_tracks_jaccard():
     from gcflow.ops.dedup import _minhash_signature
 
