@@ -111,9 +111,8 @@ def _bytes_col(digits: pa.Array, suffix: pa.Array, mask: np.ndarray) -> np.ndarr
     d = pc.cast(pc.if_else(pc.equal(digits, ""), "0", digits), pa.int64()).to_numpy(
         zero_copy_only=False
     )
-    mult = np.where(
-        np.asarray(suffix.to_pylist(), dtype=object) == "M", 1024 * 1024, 1024
-    )
+    is_m = pc.equal(pc.fill_null(suffix, ""), "M").to_numpy(zero_copy_only=False)
+    mult = np.where(is_m, 1024 * 1024, 1024)
     return np.where(mask, d * mult, 0)
 
 
@@ -380,33 +379,59 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
 
 def _gens_promoted(gt: list, pre: list, post: list, hb_b, ha_b) -> tuple:
     """Generation structs + the promotedBytes quirk (BasicGCEvent.scala:
-    promoted = first-non-'young'-generation delta − heap delta, GC only)."""
-    gens_col, promoted_col = [], []
-    for i in range(len(gt)):
-        if pre[i] or post[i]:
-            gens = [
-                {
-                    "name": g[0],
-                    "before_bytes": ev.to_bytes(g[1]),
-                    "after_bytes": ev.to_bytes(g[2]),
-                    "capacity_bytes": ev.to_bytes(g[3]),
-                }
-                for g in _GEN_RE.findall(pre[i]) + _GEN_RE.findall(post[i])
-            ]
-            gens_col.append(gens)
-            if gt[i] == "GC" and gens:
-                young = next((g for g in gens if g["name"].lower() != "young"), None)
-                promoted_col.append(
-                    None
-                    if young is None
-                    else (young["before_bytes"] - young["after_bytes"])
-                    - int(hb_b[i] - ha_b[i])
-                )
-            else:
-                promoted_col.append(None)
-        else:
-            gens_col.append([])
-            promoted_col.append(None)
+    promoted = first-non-'young'-generation delta − heap delta, GC only).
+
+    Columnar build: ONE regex pass over the row-joined pre+post strings
+    (match → row attribution via searchsorted on row-end offsets), size
+    strings converted once, and the list<struct> column assembled from
+    flat arrays (ListArray.from_arrays) — no per-row findall, no per-gen
+    python dicts."""
+    n = len(gt)
+    combined = [(pre[i] or "") + "\x00" + (post[i] or "") for i in range(n)]
+    big = "\n".join(combined)
+    row_ends = np.cumsum(np.fromiter((len(c) + 1 for c in combined), dtype=np.int64, count=n))
+    names, b_s, a_s, c_s, rows = [], [], [], [], []
+    for m in _GEN_RE.finditer(big):
+        names.append(m.group(1))
+        b_s.append(m.group(2))
+        a_s.append(m.group(3))
+        c_s.append(m.group(4))
+        rows.append(m.start())
+    row_of = np.searchsorted(row_ends, np.asarray(rows, dtype=np.int64), side="right")
+    before = np.fromiter((ev.to_bytes(s) for s in b_s), dtype=np.int64, count=len(b_s))
+    after = np.fromiter((ev.to_bytes(s) for s in a_s), dtype=np.int64, count=len(a_s))
+    cap = np.fromiter((ev.to_bytes(s) for s in c_s), dtype=np.int64, count=len(c_s))
+    counts = np.bincount(row_of, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(names, type=pa.string()),
+            pa.array(before, type=pa.int64()),
+            pa.array(after, type=pa.int64()),
+            pa.array(cap, type=pa.int64()),
+        ],
+        names=["name", "before_bytes", "after_bytes", "capacity_bytes"],
+    )
+    gens_col = pa.ListArray.from_arrays(pa.array(offsets), struct)
+    # promotedBytes quirk: first gen whose lowered name != 'young', GC only
+    promoted = np.zeros(n, dtype=np.int64)
+    has_prom = np.zeros(n, dtype=bool)
+    if len(names):
+        not_young = np.fromiter(
+            (nm.lower() != "young" for nm in names), dtype=bool, count=len(names)
+        )
+        is_gc = np.fromiter((g == "GC" for g in gt), dtype=bool, count=n)
+        sel = not_young & is_gc[row_of]
+        # first qualifying match per row: matches are in ascending position
+        # order, so the first occurrence of each row id wins
+        rows_sel, first_idx = np.unique(row_of[sel], return_index=True)
+        src = np.flatnonzero(sel)[first_idx]
+        promoted[rows_sel] = (before[src] - after[src]) - (
+            hb_b[rows_sel] - ha_b[rows_sel]
+        ).astype(np.int64)
+        has_prom[rows_sel] = True
+    promoted_col = pa.array(promoted, type=pa.int64(), mask=~has_prom)
     return gens_col, promoted_col
 
 
