@@ -169,15 +169,28 @@ def parse_events(
     ds = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
     events = ds.groupby("bucket").map_groups(unpack_and_stitch, batch_format="pyarrow")
     if enrich:
-        from .enrich import EnrichStage
-
-        events = events.map_batches(
-            EnrichStage,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=_enrich_pool_size(),
-        )
+        events = _attach_enrich(events)
     return events
+
+
+def _attach_enrich(events: rd.Dataset) -> rd.Dataset:
+    """Enrich stage: an actor pool on real sessions, but a plain task fn
+    below 4 CPUs — with two pools (enrich + sink) a 2-CPU session has
+    every CPU reserved by actors and the streaming executor deadlocks
+    (observed: the 2-CPU bench leg hung indefinitely)."""
+    from .enrich import EnrichStage
+
+    if _ncpu() < 4:
+        stage = EnrichStage()
+        return events.map_batches(
+            lambda t: stage(t), batch_format="pyarrow", zero_copy_batch=True
+        )
+    return events.map_batches(
+        EnrichStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_enrich_pool_size(),
+    )
 
 
 def parse_events_salted(
@@ -243,14 +256,7 @@ def parse_events_salted(
         )
     )
     if enrich:
-        from .enrich import EnrichStage
-
-        events = events.map_batches(
-            EnrichStage,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=_enrich_pool_size(),
-        )
+        events = _attach_enrich(events)
     return events
 
 
@@ -380,14 +386,7 @@ def parse_events_runlocal(
         )
     )
     if enrich:
-        from .enrich import EnrichStage
-
-        events = events.map_batches(
-            EnrichStage,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=_enrich_pool_size(),
-        )
+        events = _attach_enrich(events)
     return events
 
 

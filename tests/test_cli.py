@@ -38,6 +38,15 @@ def test_cli_parquet_counts(fixture_parquet, tmp_path):
     assert os.path.exists(tmp_path / "o" / "_metrics.json")
 
 
+def test_cli_two_cpus_no_deadlock(fixture_parquet, tmp_path):
+    """At num_cpus=2 the enrich+sink pools used to reserve every CPU and
+    deadlock the streaming executor; the task-fn enrich fallback must let
+    the pipeline complete (the _run timeout is the deadlock guard)."""
+    out = _run(["--input", fixture_parquet, "--out", str(tmp_path / "o2"),
+                "--num-cpus", "2"])
+    assert out["events_total"] == 61
+
+
 def test_cli_run_local(fixture_parquet, tmp_path):
     """--run-local (shuffle-light) yields the same sink totals as the
     classic shuffle on conversation-ordered input."""
