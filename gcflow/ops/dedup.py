@@ -905,6 +905,14 @@ def q_doc_dup_clusters(sf_dir: str):
         pairs.map_batches(to_edges, batch_format="pyarrow"),
         pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
     ).materialize()
+    if edges.count() == 0:
+        # Candidate pairs existed but none survived the jaccard verify —
+        # edges.join() on a fully-empty left side crashes Ray's hash-join
+        # aggregator ("No match for key field reference"), so mirror the
+        # n_cand == 0 short-circuits upstream and return the empty result.
+        return pa.schema(
+            [("doc_id", pa.int64()), ("component", pa.int64())]
+        ).empty_table()
     label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
     labels = _ensure_schema(
         edges.groupby("src")

@@ -78,7 +78,7 @@ def _hll_ranks(uids: np.ndarray) -> tuple:
     # beyond 53 bits — a deterministic, sub-percent perturbation of an
     # approximate sketch)
     bl[nz] = np.frexp(w[nz].astype(np.float64))[1]
-    rank = np.where(nz, 64 - bl + 1, 64 - HLL_P + 1 + 52).astype(np.uint8)
+    rank = np.where(nz, 64 - bl + 1, 64 - HLL_P + 1).astype(np.uint8)
     return idx, rank
 
 

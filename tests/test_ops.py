@@ -87,6 +87,37 @@ def test_dedup_join_paths_handle_empty_candidates(ray_session, tmp_path):
     assert nrows(q_doc_dup_clusters(sf)) == 0
 
 
+def test_dup_clusters_candidates_but_no_verified_pairs(ray_session, tmp_path):
+    """Docs that SHARE some 3-grams (candidate pairs fire) but sit below
+    the jaccard threshold: the verify stage empties the pair set, so the
+    label-propagation join must short-circuit instead of crashing on a
+    zero-row left side (regression: ArrowInvalid 'No match ... FieldRef
+    .Name(src)')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.dedup import q_doc_dup_clusters, q_doc_ngram_jaccard
+
+    # "a b c" is a shared shingle → candidate pair; jaccard = 1/11 < 0.7
+    ids = [1, 2]
+    texts = [
+        "a b c d1 e1 f1 g1 h1",
+        "a b c d2 e2 f2 g2 h2",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    def nrows(r):
+        return r.num_rows if isinstance(r, pa.Table) else r.count()
+
+    pairs = q_doc_ngram_jaccard(sf)
+    assert nrows(pairs) == 0  # candidates existed, none verified
+    assert nrows(q_doc_dup_clusters(sf)) == 0
+
+
 def test_cosine_lsh_recall_vs_exact(ray_session):
     """LSH-blocked embedding near-dup (scale path): perfect precision
     (pairs verified by exact cosine) and near-total recall of the exact
