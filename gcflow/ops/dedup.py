@@ -184,6 +184,12 @@ def _cooccur_pairs(kd: rd.Dataset, num_buckets: int = N_PAIR_BUCKETS) -> rd.Data
 
 JOIN_PARTITIONS = 8
 
+# Target rows per hash-join partition; the partition count scales with the
+# larger join side and has NO hard ceiling (a 64-partition cap would pin
+# billions of candidate rows at tens of millions of rows per partition).
+# Override for memory-constrained workers via GCFLOW_JOIN_ROWS_PER_PART.
+JOIN_ROWS_PER_PARTITION = int(os.environ.get("GCFLOW_JOIN_ROWS_PER_PART", 100_000))
+
 
 def _sizes_ds(corpus) -> rd.Dataset:
     """Per-doc shingle-set size as a Dataset (join side, never collected)."""
@@ -216,11 +222,12 @@ def _ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
 
 def _join_partitions(n_left: int, n_right: int) -> int:
     """Partition count tracking the LARGER join side: one hash-join
-    partition per ~100k rows (bounded) — fixed per-partition
-    actor/barrier costs dominate tiny inputs, per-partition memory
-    dominates huge ones.  Sizing by the candidate side alone would funnel
-    a corpus-sized right side through one aggregator."""
-    return max(1, min(64, max(n_left, n_right) // 100_000 + 1))
+    partition per ~JOIN_ROWS_PER_PARTITION rows, uncapped — fixed
+    per-partition actor/barrier costs dominate tiny inputs, per-partition
+    memory dominates huge ones, so the count must keep scaling with the
+    input.  Sizing by the candidate side alone would funnel a corpus-sized
+    right side through one aggregator."""
+    return max(1, max(n_left, n_right) // JOIN_ROWS_PER_PARTITION + 1)
 
 
 def _join_attach(
@@ -505,31 +512,57 @@ def q_doc_minhash_lsh(sf_dir: str):
         num_partitions=nparts,
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a, b, sha, shb in zip(
-            t["doc_a"].to_pylist(),
-            t["doc_b"].to_pylist(),
-            t["sh_a"].to_pylist(),
-            t["sh_b"].to_pylist(),
-        ):
-            ha = np.frombuffer(sha, dtype=np.uint64)
-            hb = np.frombuffer(shb, dtype=np.uint64)
-            inter = len(np.intersect1d(ha, hb, assume_unique=True))
-            jac = inter / (len(ha) + len(hb) - inter)
-            if jac >= JACCARD_THRESHOLD:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(jac)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
-            }
-        )
+    return with_ab.map_batches(_verify_packed_sets, batch_format="pyarrow")
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+def _packed_u64_segments(col) -> tuple:
+    """Zero-copy view over a binary column whose rows are packed sorted
+    uint64 arrays → (concatenated values, per-row element counts).  Reads
+    the offsets + values buffers directly instead of ``to_pylist`` (which
+    copies every payload into Python bytes)."""
+    arr = col.combine_chunks()
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    raw = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+    return raw.view(np.uint64), ((off[1:] - off[:-1]) // 8).astype(np.int64)
+
+
+def _verify_packed_sets(t: pa.Table) -> pa.Table:
+    """Exact-jaccard verification of candidate pairs, fully vectorized:
+    one segmented sort-merge over the batch — tag every set element with
+    its pair index, lexsort (pair, value), count adjacent equal values
+    within a pair (each side is unique-sorted, so an adjacent duplicate is
+    exactly one A∩B hit).  Replaces the per-pair Python loop; identical
+    float arithmetic (int intersection / int union) keeps the oracle
+    hashes unchanged."""
+    n = len(t)
+    if n == 0:
+        return pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    va, la = _packed_u64_segments(t["sh_a"])
+    vb, lb = _packed_u64_segments(t["sh_b"])
+    pids = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), la),
+         np.repeat(np.arange(n, dtype=np.int64), lb)]
+    )
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pids))
+    v, p = vals[order], pids[order]
+    eq = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[:-1][eq], minlength=n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jac = inter / (la + lb - inter)  # empty∪empty → nan → dropped
+    keep = jac >= JACCARD_THRESHOLD
+    mask = pa.array(keep)
+    return pa.table(
+        {
+            "doc_a": pc.cast(t["doc_a"], pa.int64()).filter(mask),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()).filter(mask),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------- SimHash
@@ -707,12 +740,28 @@ def _emb_corpus(sf_dir: str):
     return np.concatenate([ids, ids2]), np.vstack([E, E2])
 
 
+# Hard ceiling for the exact O(N²) cosine baseline: it broadcasts the
+# full normalized corpus and does block × corpus matmuls, which is the
+# EXACTNESS ORACLE only — the production path is q_emb_cosine_dedup_lsh.
+COSINE_EXACT_MAX_VECTORS = int(os.environ.get("GCFLOW_COSINE_EXACT_MAX", 100_000))
+
+
 def q_emb_cosine_dedup(sf_dir: str):
-    """Embedding-cosine near-dup over a planted-duplicate corpus: block-
-    matmul per batch against the broadcast corpus matrix; pairs with
+    """Embedding-cosine near-dup, EXACT O(N²) BASELINE — oracle scale
+    only.  Broadcasts the whole normalized corpus and matmuls every block
+    against it; refuses corpora beyond COSINE_EXACT_MAX_VECTORS so it can
+    never silently run at production scale.  The scale path is
+    ``q_emb_cosine_dedup_lsh`` (bucketed candidates + join verify); this
+    twin exists to oracle-check it and to serve tiny corpora.  Pairs with
     cosine ≥ 0.95 (float64 both sides; the corpus has no natural pairs
     above 0.48 so the threshold is far from any boundary)."""
     ids, E = _emb_corpus(sf_dir)
+    if len(ids) > COSINE_EXACT_MAX_VECTORS:
+        raise ValueError(
+            f"q_emb_cosine_dedup is the exact O(N^2) oracle baseline and "
+            f"refuses {len(ids)} > {COSINE_EXACT_MAX_VECTORS} vectors; use "
+            f"q_emb_cosine_dedup_lsh (the scale path) instead."
+        )
     norms = np.linalg.norm(E, axis=1, keepdims=True)
     N = E / norms
     ref = ray.put((ids, N))

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 from .stitch import (
     DEFAULT_NUM_BUCKETS,
@@ -297,13 +298,31 @@ def probe_skew(
     ``groupby(conv_id).count()`` — a hot conversation shows up in any
     uniform sample in proportion to its share of rows."""
     sample = ds.select_columns(["conv_id"]).random_sample(sample_fraction, seed=seed)
-    counts = sample.to_pandas()["conv_id"].value_counts()
-    if len(counts) == 0:
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        # in-batch combiner: the shuffle carries one row per (block, conv)
+        # instead of one per sampled row
+        vc = t["conv_id"].value_counts()
+        return pa.table(
+            {"conv_id": vc.field("values"), "np_": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        sample.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("np_", alias_name="n"))
+        .materialize()
+    )
+    if counts.count() == 0:
         return {"est_max_conv_turns": 0, "sampled_rows": 0}
+    # only the single top estimate and one scalar cross to the driver —
+    # the sample itself never leaves the distributed plane
+    top = counts.sort("n", descending=True).limit(1).take_all()[0]
+    total = counts.sum("n")
     return {
-        "est_max_conv_turns": int(counts.iloc[0] / sample_fraction),
-        "est_hot_conv": str(counts.index[0]),
-        "sampled_rows": int(counts.sum()),
+        "est_max_conv_turns": int(top["n"] / sample_fraction),
+        "est_hot_conv": str(top["conv_id"]),
+        "sampled_rows": int(total),
     }
 
 

@@ -216,3 +216,44 @@ def test_minhash_agreement_tracks_jaccard():
     ja = len(A & B) / len(A | B)
     agree = (_minhash_signature(A) == _minhash_signature(B)).mean()
     assert abs(agree - ja) < 0.15
+
+
+def test_join_partitions_scale_with_input():
+    """The hash-join partition count must keep growing with the larger
+    side (no hard ceiling) — a fixed cap pins per-partition memory growth
+    at scale."""
+    from gcflow.ops.dedup import JOIN_ROWS_PER_PARTITION, _join_partitions
+
+    assert _join_partitions(10, 10) == 1
+    assert _join_partitions(250_000, 10) == 250_000 // JOIN_ROWS_PER_PARTITION + 1
+    # the right side sizes the join too (corpus-sized attach side)
+    assert _join_partitions(10, 250_000) == _join_partitions(250_000, 10)
+    # beyond any fixed cap: 10^9 candidate rows → ~10^4 partitions
+    assert _join_partitions(1_000_000_000, 10) > 64
+    assert _join_partitions(1_000_000_000, 10) == 1_000_000_000 // JOIN_ROWS_PER_PARTITION + 1
+
+
+def test_cosine_exact_guard_refuses_large_corpora(monkeypatch, tmp_path):
+    """The exact O(N²) cosine baseline must refuse to run beyond oracle
+    scale — the LSH twin is the production path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    import gcflow.ops.dedup as dd
+
+    rng = np.random.default_rng(0)
+    n = 12
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array([rng.normal(size=8).tolist() for _ in range(n)],
+                                      type=pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    monkeypatch.setattr(dd, "COSINE_EXACT_MAX_VECTORS", n - 1)
+    with _pytest.raises(ValueError, match="q_emb_cosine_dedup_lsh"):
+        dd.q_emb_cosine_dedup(str(tmp_path))
