@@ -5,11 +5,14 @@
   does one numpy matmul against it and emits only its block-local top-k
   partials, which a tiny final reduce merges.  Shuffle volume:
   O(batches × queries × k), never O(corpus).
-- ``emb_lsh_search``: the scale path — random-hyperplane LSH signatures;
-  each batch probes only rows whose signature lies within hamming
-  distance 2 of a query's signature (a vectorized popcount mask), emits
-  block-local top-k partials, and a tiny reduce merges them.  The corpus
-  never leaves the distributed plane; only the 8-query matrix is
+- ``emb_lsh_search``: the scale path — BUCKET-ROUTED multi-probe LSH.
+  A one-time cached index build shuffles the corpus into 2^8 parquet
+  partition groups keyed by the top bits of a 32-bit hyperplane
+  signature; a probe reads ONLY the groups near a query's prefix
+  (greedy selection over a row-count sidecar up to a fetch budget),
+  refines by full-signature hamming per batch, cosines just the
+  surviving candidates, and merges block-local top-k partials.  The
+  corpus never leaves the distributed plane; only the 8-query matrix is
   broadcast.  Approximate, so rows-only for the driver, with recall vs
   brute force asserted in pytest.
 """
@@ -103,48 +106,176 @@ def _topk_reduce(partials):
     )
 
 
-N_PLANES = 8  # 2^8 buckets
-
+N_PLANES = 32    # signature bits (wide → in-group refine actually prunes)
+GROUP_BITS = 8   # top bits route to 2^8 partition groups (the bucket shuffle key)
+N_GROUPS = 1 << GROUP_BITS
+# probe knobs: fraction of the corpus the group routing may FETCH, and the
+# fraction the full-signature refine may keep as cosine candidates.  On
+# corpora with meaningful neighbours (cosine ≥ 0.6) far fewer groups hold
+# all the recall; the defaults are sized for the near-orthogonal test
+# corpus (top-10 cosines ≈ 0.27), which is LSH's worst case.
+LSH_FETCH_FRACTION = float(os.environ.get("GCFLOW_LSH_FETCH", 0.35))
+LSH_BUDGET_FRACTION = float(os.environ.get("GCFLOW_LSH_BUDGET", 0.15))
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via the byte LUT."""
+    return _POPCOUNT8[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    return np.random.RandomState(7).normal(size=(N_PLANES, dim))
+
+
+def _sign_rows(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (V @ planes.T) > 0
+    return (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1)
+
+
+def build_lsh_index(sf_dir: str, index_root: str = "/tmp/gcflow_lsh_index"):
+    """One-time bucket shuffle of the embedding corpus: sign every row
+    (32 random hyperplanes), route on the signature's top GROUP_BITS bits,
+    and write parquet PARTITIONED BY GROUP (grp=K/ dirs) plus a tiny
+    per-group row-count sidecar.  Probes then read ONLY the partition
+    dirs whose prefix lies near a query signature — O(matching buckets),
+    not O(corpus).  Cached per (path, mtime, params); rebuilding is a
+    single streaming pass, no driver materialization."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{N_PLANES}|{GROUP_BITS}|seed7"
+    import hashlib as _hl
+
+    index_dir = os.path.join(index_root, _hl.md5(key.encode()).hexdigest()[:16])
+    counts_path = os.path.join(index_dir, "group_counts.npy")
+    if os.path.exists(counts_path):
+        return index_dir, np.load(counts_path)
+
+    _, Q = _read_queries(sf_dir)  # dim from the tiny query read, not the corpus
+    planes = _lsh_planes(Q.shape[1])
+    pref = ray.put(planes)
+
+    class Sign:
+        def __init__(self, r):
+            self.planes = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            sig = _sign_rows(V, self.planes)
+            grp = (sig >> np.uint64(N_PLANES - GROUP_BITS)).astype(np.int64)
+            return t.append_column("sig", pa.array(sig, type=pa.uint64())) \
+                    .append_column("grp", pa.array(grp, type=pa.int64()))
+
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    signed = ds.map_batches(Sign, fn_constructor_args=(pref,),
+                            batch_format="pyarrow", batch_size=4096,
+                            concurrency=(1, 4))
+    tmp_dir = index_dir + ".building"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    signed.write_parquet(tmp_dir, partition_cols=["grp"])
+    # per-group counts from the parquet FOOTERS (no data read)
+    counts = np.zeros(N_GROUPS, dtype=np.int64)
+    for g in os.listdir(tmp_dir):
+        if not g.startswith("grp="):
+            continue
+        gi = int(g.split("=", 1)[1])
+        for f in os.listdir(os.path.join(tmp_dir, g)):
+            if f.endswith(".parquet"):
+                counts[gi] += pq.read_metadata(os.path.join(tmp_dir, g, f)).num_rows
+    os.makedirs(os.path.dirname(counts_path), exist_ok=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
+    np.save(counts_path, counts)
+    return index_dir, counts
+
+
+def _select_groups(qsigs: np.ndarray, counts: np.ndarray, fetch_target: float) -> set:
+    """Greedy per-query partition-group selection: rank the 2^GROUP_BITS
+    groups by prefix hamming to the query signature and take the closest
+    until their sidecar row counts cover ``fetch_target``; the probe reads
+    the union over queries — O(matching buckets), never the whole index."""
+    grp_ids = np.arange(N_GROUPS, dtype=np.uint64)
+    qprefix = (qsigs >> np.uint64(N_PLANES - GROUP_BITS)).astype(np.uint64)
+    selected = set()
+    for qp in qprefix:
+        gh = _POPCOUNT8[(grp_ids ^ qp).astype(np.uint8)]
+        order = np.argsort(gh, kind="stable")
+        cum = np.cumsum(counts[order])
+        n_g = int(np.searchsorted(cum, fetch_target) + 1)
+        selected.update(order[:n_g].tolist())
+    return selected
+
+
 def q_emb_lsh_search(sf_dir: str):
-    """Approximate top-k via random-hyperplane signatures, fully
-    distributed: only the query matrix (+ its signatures and the plane
-    matrix) is broadcast.  Each batch signs its own rows, masks to rows
-    within hamming distance 2 of a query's signature (vectorized popcount
-    over the XOR), computes cosine against the masked rows only, and emits
-    block-local top-k partials; ``_topk_reduce`` merges the tiny partials.
-    Shuffle volume O(blocks × queries × k) — never O(corpus)."""
-    rng = np.random.RandomState(7)
+    """Approximate top-k via BUCKET-ROUTED multi-probe LSH (the scale
+    path).  The corpus lives in a signature-partitioned index (one-time
+    shuffle, cached — ``build_lsh_index``); a probe
+    1. signs the queries and ranks the 2^8 partition groups by prefix
+       hamming distance, selecting greedily (using the count sidecar)
+       until LSH_FETCH_FRACTION of rows are covered → reads ONLY those
+       grp=K/ dirs;
+    2. per fetched batch, refines by FULL 32-bit signature hamming
+       (vectorized popcount) keeping the closest LSH_BUDGET_FRACTION of
+       rows per query, cosines only those, and emits block-local top-k
+       partials;
+    3. merges the tiny partials with ``_topk_reduce``.
+    Only the query matrix + signatures are broadcast; read volume is
+    O(matching buckets) and cosine work is budget-bounded.  Approximate →
+    rows-only for the driver, recall vs brute force asserted in pytest."""
     qids, Q = _read_queries(sf_dir)
-    dim = Q.shape[1]
-    planes = rng.normal(size=(N_PLANES, dim))
-    qbits = (Q @ planes.T) > 0
-    qsigs = (qbits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+    planes = _lsh_planes(Q.shape[1])
+    qsigs = _sign_rows(Q, planes)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    ref = ray.put((qids, Qn, qsigs, planes))
+
+    index_dir, counts = build_lsh_index(sf_dir)
+    total = int(counts.sum())
+    fetch_target = max(LSH_FETCH_FRACTION * total, 4.0 * TOP_K)
+
+    selected = _select_groups(qsigs, counts, fetch_target)
+    paths = []
+    for g in sorted(selected):
+        gd = os.path.join(index_dir, f"grp={g}")
+        if counts[g] > 0 and os.path.isdir(gd):
+            paths.extend(
+                os.path.join(gd, f) for f in sorted(os.listdir(gd))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return _topk_reduce(
+            pa.schema(
+                [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                 ("cos", pa.float64())]
+            ).empty_table().to_pandas()
+        )
+
+    ref = ray.put((qids, Qn, qsigs))
 
     class Probe:
         def __init__(self, r):
-            self.qids, self.Qn, self.qsigs, self.planes = ray.get(r)
+            self.qids, self.Qn, self.qsigs = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["vec_id"].to_numpy()
+            sig = t["sig"].to_numpy().astype(np.uint64)
             V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            bits = (V @ self.planes.T) > 0
-            sig = (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
-            # rows × queries hamming distances (8-bit sigs → one popcount LUT)
-            ham = _POPCOUNT8[(sig[:, None] ^ self.qsigs[None, :]) & 0xFF]
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # per-batch refine budget (approximates the global budget —
+            # signature hamming is homogeneous across batches); floor keeps
+            # tiny batches useful
+            budget = max(int(LSH_BUDGET_FRACTION * len(ids)), 2 * TOP_K)
             out_q, out_v, out_c = [], [], []
             for qi, qid in enumerate(self.qids):
-                probe = (ham[:, qi] <= 2) & (ids != qid)
-                if not probe.any():
+                ham = _popcount64(sig ^ self.qsigs[qi])
+                ham[ids == qid] = 99
+                cand = np.argsort(ham, kind="stable")[:budget]
+                cand = cand[ham[cand] < 99]
+                if len(cand) == 0:
                     continue
-                cand_ids = ids[probe]
-                sims = Vn[probe] @ self.Qn[qi]
+                sims = Vn[cand] @ self.Qn[qi]
+                cand_ids = ids[cand]
                 top = np.lexsort((cand_ids, -sims))[:TOP_K]
                 out_q.extend([int(qid)] * len(top))
                 out_v.extend(cand_ids[top].tolist())
@@ -157,9 +288,7 @@ def q_emb_lsh_search(sf_dir: str):
                 }
             )
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "sig"])
     partials = ds.map_batches(
         Probe, fn_constructor_args=(ref,), batch_format="pyarrow",
         batch_size=4096, concurrency=(1, 4),

@@ -257,3 +257,37 @@ def test_cosine_exact_guard_refuses_large_corpora(monkeypatch, tmp_path):
     monkeypatch.setattr(dd, "COSINE_EXACT_MAX_VECTORS", n - 1)
     with _pytest.raises(ValueError, match="q_emb_cosine_dedup_lsh"):
         dd.q_emb_cosine_dedup(str(tmp_path))
+
+
+def test_lsh_group_routing_prunes():
+    """Bucket routing must read O(matching buckets): with a uniform
+    corpus and a small fetch budget, each query selects only the groups
+    nearest its signature prefix — far fewer than all 2^GROUP_BITS."""
+    from gcflow.ops.similarity import N_GROUPS, N_PLANES, _select_groups
+
+    counts = np.full(N_GROUPS, 1000, dtype=np.int64)  # uniform, 256k rows
+    total = counts.sum()
+    qsigs = np.array([0, (1 << N_PLANES) - 1], dtype=np.uint64)
+    sel = _select_groups(qsigs, counts, fetch_target=0.05 * total)
+    # 5% of a uniform corpus → ≈13 groups per query, ≤ ~28 for two
+    assert len(sel) < N_GROUPS / 4
+    # the query's own group is always probed
+    assert 0 in sel and N_GROUPS - 1 in sel
+    # a bigger budget fetches more groups, never fewer
+    sel2 = _select_groups(qsigs, counts, fetch_target=0.2 * total)
+    assert sel <= sel2
+
+
+def test_lsh_index_cached_and_partitioned(ray_session):
+    """The LSH index is a one-time bucket shuffle: partition dirs keyed by
+    signature prefix, a count sidecar, and a cache hit on rebuild."""
+    import os
+
+    from gcflow.ops.similarity import build_lsh_index
+
+    d1, c1 = build_lsh_index(SF)
+    d2, c2 = build_lsh_index(SF)
+    assert d1 == d2 and (c1 == c2).all()
+    assert c1.sum() == 500  # every corpus row landed in exactly one group
+    groups = [g for g in os.listdir(d1) if g.startswith("grp=")]
+    assert len(groups) == int((c1 > 0).sum())
