@@ -98,6 +98,10 @@ def stitch_bucket(group: pa.Table, mode: str = MODE_BASIC, impl: str = "py") -> 
         from .stitch_vec import stitch_bucket_vec
 
         return stitch_bucket_vec(group)
+    if impl == "vec" and mode == MODE_HEAP_STATS:
+        from .stitch_vec_heap import stitch_bucket_vec_heap
+
+        return stitch_bucket_vec_heap(group)
     return stitch_bucket_py(group, mode)
 
 

@@ -439,6 +439,7 @@ def _make_table(
     src: pa.Table, take: pa.Array, sink: str, event_type, gc_cause,
     ts, tz, age, pause, hb, ha, hc, gens, promoted,
     stopped=None, to_stop=None, tenuring_des=None, tenuring_thr=None,
+    regions=None,
 ) -> pa.Table:
     n = len(take)
 
@@ -476,7 +477,7 @@ def _make_table(
             pc.subtract(hb_a, ha_a) if hb is not None else nulls(pa.int64())
         ),
         "generations": arr(gens, EVENT_SCHEMA.field("generations").type),
-        "regions": nulls(EVENT_SCHEMA.field("regions").type),
+        "regions": arr(regions, EVENT_SCHEMA.field("regions").type),
         "tenuring_desired_bytes": arr(tenuring_des, pa.int64()),
         "tenuring_new_threshold": arr(tenuring_thr, pa.int32()),
         "stopped_seconds": arr(stopped, pa.float64()),
