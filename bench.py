@@ -46,7 +46,24 @@ def _scaling_main():
             # single-box run-to-run variance is ±15-30%; min over repeats is
             # the stable capability estimator for the efficiency ratio
             GRAFT_BENCH_RUNS=os.environ.get("GRAFT_SCALE_RUNS", "3"),
+            # scaling legs time the headline only — the per-operator queries
+            # would just add identical constants to both legs
+            GRAFT_BENCH_HEADLINE_ONLY="1",
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            # Pin every un-scheduled thread pool to 1 thread per worker
+            # process.  `ray.init(num_cpus=N)` bounds task SCHEDULING, not
+            # Arrow kernel/IO pools (default: 8 IO threads per worker) or
+            # BLAS — on a 32-core box a 4-CPU leg otherwise borrows host
+            # cores through those pools and every N→4N ratio reads LOW
+            # (see BASELINE.md round-2 confound; the 2-CPU leg measured an
+            # impossible 58.8k turns/s per scheduled core).  The env
+            # propagates to raylet → workers under address="local".
+            OMP_NUM_THREADS="1",
+            ARROW_IO_THREADS="1",
+            ARROW_NUM_THREADS="1",
+            OPENBLAS_NUM_THREADS="1",
+            MKL_NUM_THREADS="1",
+            NUMEXPR_NUM_THREADS="1",
         )
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -143,6 +160,25 @@ def main():
     queries["gc_pipeline"] = headline
     if n_runs > 1:
         queries["gc_pipeline_runs"] = runs
+
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        print(
+            json.dumps(
+                {
+                    "metric": "parse→enrich→route→aggregate throughput",
+                    "value": round(headline, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                    "num_cpus": NUM_CPUS,
+                    "turns": int(turns),
+                    "turns_per_sec": round(turns / headline, 1),
+                    "replicate": REPLICATE,
+                }
+            )
+        )
+        ray.shutdown()
+        return
 
     # heap-stats-mode headline (events ≪ lines: ~23 lines/event {}-blocks)
     heap_path = tr.materialize_heap_transcripts(n_convs=8000, reps=5)

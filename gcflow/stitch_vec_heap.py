@@ -88,6 +88,20 @@ def _np_bool(arr) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _concat_ranges(starts: np.ndarray, lens: np.ndarray):
+    """Concatenated ``[s, s+l)`` index ranges plus per-row segment ids —
+    the vectorized replacement for ``[np.arange(s, s+l) for ...]``."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(off, lens)
+    return starts[seg] + pos, seg
+
+
 def _rest_guard(struct, extra: str = "") -> np.ndarray:
     """Valid match AND the line remainder can't start another top-level
     event after the driver resumes mid-line ('{' opens a block, a digit
@@ -201,18 +215,18 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
         valid &= all_rs(a + 1, np.maximum(c, a + 1))
         valid &= (c <= a + 1) | (kind[np.minimum(a + 1, n - 1)] == K_REG)
         valid &= codes[o] == codes[np.minimum(c, n - 1)]
+        # interiors ≥2^20 lines would overflow the packed ordinal key in
+        # build_deltas — route such degenerate blocks to the descent
+        valid &= (int1_end - o < (1 << 20)) & (c - a < (1 << 20))
     else:
         int1_end = np.zeros(0, dtype=np.int64)
 
     vb = np.flatnonzero(valid)
 
     # ---- pre-extract region/subspace values (vectorized, whole array)
-    any_reg = (kind == K_REG).any()
-    any_sub = (kind == K_SUB).any()
-    if any_reg:
-        reg_names = [
-            s.strip() if s is not None else "" for s in _field(s_reg, "name").to_pylist()
-        ]
+    mask_reg = kind == K_REG
+    mask_sub = kind == K_SUB
+    if mask_reg.any() or mask_sub.any():
         ones = np.ones(n, dtype=bool)
         reg_tot = _bytes_col(
             pc.fill_null(_field(s_reg, "tot"), "0"), _field(s_reg, "tots"), ones
@@ -220,9 +234,6 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
         reg_used = _bytes_col(
             pc.fill_null(_field(s_reg, "used"), "0"), _field(s_reg, "useds"), ones
         )
-    if any_sub:
-        sub_names = _field(s_sub, "name").to_pylist()
-        ones = np.ones(n, dtype=bool)
         sub_cap = _bytes_col(
             pc.fill_null(_field(s_sub, "cap"), "0"), _field(s_sub, "caps"), ones
         )
@@ -230,70 +241,91 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
         sub_pct = pc.cast(
             pc.if_else(pc.equal(pct_raw, ""), "0", pct_raw), pa.int64()
         ).to_numpy(zero_copy_only=False)
+        # unified per-row (name, value, capacity): region rows carry
+        # (trimmed name, used bytes, total bytes), sub rows (name, pct,
+        # capacity bytes) — exactly the RegionDelta payloads
+        names_all = pc.if_else(
+            pa.array(mask_reg),
+            pc.utf8_trim(pc.fill_null(_field(s_reg, "name"), ""), " "),
+            pc.fill_null(_field(s_sub, "name"), ""),
+        )
+        val_all = np.where(mask_reg, reg_used, sub_pct)
+        cap_all = np.where(mask_reg, reg_tot, sub_cap)
+        # 'object' subspaces are filtered before the zip (Parser.scala:89)
+        drop_obj = mask_sub & _np_bool(
+            pc.equal(pc.fill_null(_field(s_sub, "name"), ""), "object")
+        )
+    else:
+        names_all = pa.nulls(n, pa.string())
+        val_all = cap_all = np.zeros(n, dtype=np.int64)
+        drop_obj = np.zeros(n, dtype=bool)
 
-    def side_regions(lo: int, hi: int):
-        """[(name, cap_bytes, used_val, [(sub_name, sub_cap, sub_pct)])]
-        for the REGION/SUB rows in [lo, hi) — 'object' subspaces filtered
-        (Parser.scala:89)."""
-        out = []
-        for j in range(lo, hi):
-            if kind[j] == K_REG:
-                out.append((reg_names[j], reg_tot[j], reg_used[j], []))
-            else:  # K_SUB (validated)
-                if sub_names[j] != "object":
-                    out[-1][3].append((sub_names[j], sub_cap[j], sub_pct[j]))
-        return out
-
-    # ---- per-block region zip → flat delta arrays (+ crash detection).
+    # ---- vectorized region zip → flat delta arrays (+ crash detection).
     # A name mismatch in the before/after zip is a GrammarCrash in the
     # reference (MatchError, Parser.scala:104-110) with CONVERSATION
     # granularity: mark the conv, roll back all its rows below.
     zip_crashed: set = set()
 
+    def _side_keys(starts: np.ndarray, lens: np.ndarray):
+        """(row idx, block id, composite ordinal key) for one side of the
+        selected blocks.  Key = (block, region ordinal, sub ordinal+1) —
+        identical keys on the two sides pair exactly like the reference's
+        nested zip (both zips truncate to the shorter list, so a pair
+        exists iff BOTH sides have that (region, sub) ordinal)."""
+        idx, blk = _concat_ranges(starts, lens)
+        keep = ~drop_obj[idx]
+        idx, blk = idx[keep], blk[keep]
+        if len(idx) == 0:
+            return idx, blk, np.zeros(0, dtype=np.int64)
+        isr = mask_reg[idx]
+        csr = np.cumsum(isr)
+        # region ordinal within block: validated interiors start with a
+        # region row, so per-segment rebasing is exact
+        seg_start = np.concatenate(([True], blk[1:] != blk[:-1]))
+        first = np.flatnonzero(seg_start)
+        base = np.repeat((csr - isr)[first], np.diff(np.append(first, len(idx))))
+        r_ord = csr - base - 1
+        # sub ordinal within region (-1 for the region row itself); the
+        # accumulate never leaks across blocks because every segment
+        # starts with a region row
+        p = np.arange(len(idx), dtype=np.int64)
+        last_reg = np.maximum.accumulate(np.where(isr, p, -1))
+        s_ord = np.where(isr, -1, p - last_reg - 1)
+        key = (blk << 32) | ((r_ord + 1) << 12) | (s_ord + 1)
+        return idx, blk, key
+
     def build_deltas(blocks: np.ndarray):
-        names: list = []
-        before_v: list = []
-        after_v: list = []
-        capb: list = []
-        capa: list = []
-        offs = np.zeros(len(blocks) + 1, dtype=np.int32)
-        crashed = np.zeros(len(blocks), dtype=bool)
-        for bi, ob in enumerate(blocks):
-            mark = len(names)
-            crash = False
-            before = side_regions(int(o[ob]) + 1, int(int1_end[ob]))
-            after = side_regions(int(a[ob]) + 1, int(c[ob]))
-            for (bn, bcap, bused, bsubs), (an, acap, aused, asubs) in zip(
-                before, after
-            ):
-                if bn != an:
-                    crash = True
-                    break
-                names.append(bn)
-                before_v.append(bused)
-                after_v.append(aused)
-                capb.append(bcap)
-                capa.append(acap)
-                for (sbn, sbcap, sbpct), (san, sacap, sapct) in zip(bsubs, asubs):
-                    if sbn != san:
-                        crash = True
-                        break
-                    names.append(sbn)
-                    before_v.append(sbpct)
-                    after_v.append(sapct)
-                    capb.append(sbcap)
-                    capa.append(sacap)
-                if crash:
-                    break
-            if crash:
-                crashed[bi] = True
-                del names[mark:]
-                del before_v[mark:]
-                del after_v[mark:]
-                del capb[mark:]
-                del capa[mark:]
-            offs[bi + 1] = len(names)
-        return names, before_v, after_v, capb, capa, offs, crashed
+        nb = len(blocks)
+        offs = np.zeros(nb + 1, dtype=np.int32)
+        crashed = np.zeros(nb, dtype=bool)
+        z64 = np.zeros(0, dtype=np.int64)
+        if nb == 0:
+            return pa.array([], type=pa.string()), z64, z64, z64, z64, offs, crashed
+        ob, ab, cb, ib = o[blocks], a[blocks], c[blocks], int1_end[blocks]
+        idx_b, blk_b, key_b = _side_keys(ob + 1, np.maximum(ib - ob - 1, 0))
+        idx_a, _, key_a = _side_keys(ab + 1, np.maximum(cb - ab - 1, 0))
+        if len(key_b) == 0 or len(key_a) == 0:
+            return pa.array([], type=pa.string()), z64, z64, z64, z64, offs, crashed
+        # keys are strictly increasing on both sides → sorted-merge pair
+        ins = np.searchsorted(key_a, key_b)
+        hit = ins < len(key_a)
+        hit[hit] = key_a[ins[hit]] == key_b[hit]
+        pb = np.flatnonzero(hit)
+        pa_rows = ins[pb]
+        rb = idx_b[pb]
+        ra = idx_a[pa_rows]
+        names_b = names_all.take(pa.array(rb))
+        mismatch = _np_bool(
+            pc.not_equal(names_b, names_all.take(pa.array(ra)))
+        )
+        if mismatch.any():
+            crashed[np.unique(blk_b[pb[mismatch]])] = True
+            keep = ~crashed[blk_b[pb]]
+            pb, pa_rows, rb, ra = pb[keep], pa_rows[keep], rb[keep], ra[keep]
+            names_b = names_all.take(pa.array(rb))
+        counts = np.bincount(blk_b[pb], minlength=nb)
+        np.cumsum(counts, out=offs[1:])
+        return names_b, val_all[rb], val_all[ra], cap_all[rb], cap_all[ra], offs, crashed
 
     d_names, d_before, d_after, d_capb, d_capa, d_offsets, first_crashed = (
         build_deltas(vb)
@@ -310,8 +342,9 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
 
     # ---- claimed rows
     fast = np.zeros(n, dtype=bool)
-    for ob in vb:
-        fast[int(o[ob]): int(c[ob]) + 1] = True
+    if len(vb):
+        claim, _ = _concat_ranges(o[vb], c[vb] + 1 - o[vb])
+        fast[claim] = True
     m_app = kind == K_APP
     if zip_crashed:
         m_app &= ~np.isin(codes, np.fromiter(zip_crashed, dtype=codes.dtype))
@@ -321,8 +354,21 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
     slow_idx = np.flatnonzero(~fast)
     cols = EventColumns()
     descent_crashed: set = set()
-    conv_all = t["conv_id"].to_pylist()
     from .stitch import MODE_HEAP_STATS, _stitch_one, parse_segment
+
+    conv_arr = _as_array(t["conv_id"])
+    role_arr = _as_array(t["role"])
+    tool_arr = _as_array(t["tool"])
+
+    def _conv_rows(full: np.ndarray):
+        tk = pa.array(full)
+        return (
+            conv_arr[int(full[0])].as_py(),
+            text.take(tk).to_pylist(),
+            turn[full],
+            role_arr.take(tk).to_pylist(),
+            tool_arr.take(tk).to_pylist(),
+        )
 
     if len(slow_idx):
         slow_codes = codes[slow_idx]
@@ -331,14 +377,18 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
         ) + 1
         seg_starts = np.concatenate(([0], brk))
         seg_ends = np.concatenate((brk, [len(slow_idx)]))
-        text_all = text.to_pylist()
-        role_all = t["role"].to_pylist()
-        tool_all = t["tool"].to_pylist()
+        # materialize ONLY the slow rows to python (the fast majority
+        # never leaves Arrow)
+        slow_take = pa.array(slow_idx)
+        text_sl = text.take(slow_take).to_pylist()
+        role_sl = role_arr.take(slow_take).to_pylist()
+        tool_sl = tool_arr.take(slow_take).to_pylist()
+        conv_seg = conv_arr.take(pa.array(slow_idx[seg_starts])).to_pylist()
 
         cur_code = -1
         cur_mark = 0
         cur_crashed = False
-        for s, e in zip(seg_starts, seg_ends):
+        for si, (s, e) in enumerate(zip(seg_starts, seg_ends)):
             idxs = slow_idx[s:e]
             code = slow_codes[s]
             if code != cur_code:
@@ -350,11 +400,11 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
             try:
                 parse_segment(
                     cols,
-                    conv_all[idxs[0]],
-                    [text_all[j] for j in idxs],
+                    conv_seg[si],
+                    text_sl[s:e],
                     turn[idxs],
-                    [role_all[j] for j in idxs],
-                    [tool_all[j] for j in idxs],
+                    role_sl[s:e],
+                    tool_sl[s:e],
                     MODE_HEAP_STATS,
                     raise_on_crash=True,
                 )
@@ -362,35 +412,15 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
                 cur_crashed = True
                 descent_crashed.add(code)
                 cols.truncate(cur_mark)
-                full = np.flatnonzero(codes == code)
-                _stitch_one(
-                    cols,
-                    conv_all[full[0]],
-                    [text_all[j] for j in full],
-                    turn[full],
-                    [role_all[j] for j in full],
-                    [tool_all[j] for j in full],
-                    MODE_HEAP_STATS,
-                )
+                cid, txts, trns, rls, tls = _conv_rows(np.flatnonzero(codes == code))
+                _stitch_one(cols, cid, txts, trns, rls, tls, MODE_HEAP_STATS)
 
     # whole-conv python reparse for the zip-crashed conversations (their
     # descent runs were skipped above; this emits their single error row
     # or full event set exactly as the reference path would)
-    if zip_crashed:
-        text_all2 = text.to_pylist()
-        role_all2 = t["role"].to_pylist()
-        tool_all2 = t["tool"].to_pylist()
-        for cc in sorted(zip_crashed):
-            full = np.flatnonzero(codes == cc)
-            _stitch_one(
-                cols,
-                conv_all[full[0]],
-                [text_all2[j] for j in full],
-                turn[full],
-                [role_all2[j] for j in full],
-                [tool_all2[j] for j in full],
-                MODE_HEAP_STATS,
-            )
+    for cc in sorted(zip_crashed):
+        cid, txts, trns, rls, tls = _conv_rows(np.flatnonzero(codes == cc))
+        _stitch_one(cols, cid, txts, trns, rls, tls, MODE_HEAP_STATS)
 
     tables = [cols.to_table()]
 
@@ -406,7 +436,7 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
     # ---- regions list column for the surviving blocks
     region_struct = pa.StructArray.from_arrays(
         [
-            pa.array(d_names, type=pa.string()),
+            d_names.combine_chunks() if isinstance(d_names, pa.ChunkedArray) else d_names,
             pa.array(np.asarray(d_before, dtype=np.int64), type=pa.int64()),
             pa.array(np.asarray(d_after, dtype=np.int64), type=pa.int64()),
             pa.array(np.asarray(d_capb, dtype=np.int64), type=pa.int64()),
@@ -427,12 +457,9 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
                 return None
             # per-block list slices re-packed for the selected subset
             lens = np.diff(d_offsets)
-            starts = d_offsets[:-1][sel]
             offs = np.zeros(len(sel) + 1, dtype=np.int32)
             np.cumsum(lens[sel], out=offs[1:])
-            take = np.concatenate(
-                [np.arange(s, s + l) for s, l in zip(starts, lens[sel])]
-            ) if len(sel) else np.zeros(0, dtype=np.int64)
+            take, _ = _concat_ranges(d_offsets[:-1][sel], lens[sel])
             return pa.ListArray.from_arrays(
                 pa.array(offs), region_struct.take(pa.array(take, type=pa.int64()))
             )
