@@ -65,8 +65,18 @@ def _scaling_main():
             MKL_NUM_THREADS="1",
             NUMEXPR_NUM_THREADS="1",
         )
+        # CPU-affinity-pin the whole leg (Ray raylet/object-store/workers all
+        # inherit) to exactly N physical cores: the env vars above bound
+        # per-process THREAD pools, but an un-pinned 4-CPU leg still spreads
+        # its ~10 processes across all 32 host cores and reads an impossibly
+        # high per-core throughput, biasing every N→4N ratio LOW (round-2
+        # confound, BASELINE.md).  `taskset -c 0..N-1` emulates an N-core
+        # node faithfully — everything the leg runs timeshares N cores.
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", "0-%d" % (ncpu - 1)] + cmd
         r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

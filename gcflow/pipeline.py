@@ -357,6 +357,7 @@ def parse_events_runlocal(
     prefilter: bool = True,
     enrich: bool = True,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    stitch_impl: str = "vec",
 ) -> rd.Dataset:
     """Shuffle-light variant (see the run-local design note in
     gcflow/stitch.py): parses each input block in place, shuffles only
@@ -382,7 +383,8 @@ def parse_events_runlocal(
 
     staged = ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
     stage_a = staged.map_batches(
-        lambda t: stitch_runlocal_block(t, mode), batch_format="pyarrow"
+        lambda t: stitch_runlocal_block(t, mode, impl=stitch_impl),
+        batch_format="pyarrow",
     )
 
     def conv_bucket(t: pa.Table) -> pa.Table:

@@ -108,7 +108,9 @@ def main(argv=None) -> int:
 
     ds = pl.read_transcripts(args.input)
     if args.run_local:
-        events = pl.parse_events_runlocal(ds, mode=mode, enrich=not args.no_enrich)
+        events = pl.parse_events_runlocal(
+            ds, mode=mode, enrich=not args.no_enrich, stitch_impl=args.stitch_impl
+        )
     elif args.auto_salt:
         events = pl.parse_events_auto(ds, mode=mode, enrich=not args.no_enrich)
     elif args.salt_turns:

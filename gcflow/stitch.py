@@ -166,9 +166,11 @@ RESIDUE_SINK = "__residue"
 
 
 def _safe_starts(texts: list, mode: str) -> list:
+    # ASCII digits only (GC logs are ASCII; str.isdigit would also claim
+    # Unicode digits and diverge from the vec twin's RE2 ``^[0-9]``)
     if mode == MODE_HEAP_STATS:
         return [i for i, t in enumerate(texts) if t.startswith("{")]
-    return [i for i, t in enumerate(texts) if t[:1].isdigit()]
+    return [i for i, t in enumerate(texts) if t[:1] in "0123456789"]
 
 
 def parse_segment(
@@ -406,8 +408,18 @@ def stitch_residue_runs(group: pa.Table, mode: str) -> pa.Table:
 MARKER_SINK = "__marker"
 
 
-def stitch_runlocal_block(batch: pa.Table, mode: str) -> pa.Table:
-    """Stage A (run-local): parse one input block in place."""
+def stitch_runlocal_block(batch: pa.Table, mode: str, impl: str = "vec") -> pa.Table:
+    """Stage A (run-local): parse one input block in place.
+
+    ``impl="vec"`` (default) routes every fragment's safe interior
+    through the vectorized stitcher in ONE call per block
+    (``interior=True`` variant of stitch_vec / stitch_vec_heap: fast
+    regex claims, python descent only for residual runs, rates left to
+    stage C) — stage A was the last per-fragment pure-python hot loop on
+    the run-local path.  ``impl="py"`` keeps the parse_segment-per-
+    fragment reference twin (proven equal in tests/test_runlocal.py)."""
+    if impl == "vec":
+        return _stitch_runlocal_block_vec(batch, mode)
     df = pd.DataFrame(
         {
             "conv_id": batch["conv_id"].to_pylist(),
@@ -485,6 +497,113 @@ def stitch_runlocal_block(batch: pa.Table, mode: str) -> pa.Table:
         out = pa.concat_tables([events, res_tab])
     else:
         out = events
+    return out.append_column("res_text", res_text_col)
+
+
+def _stitch_runlocal_block_vec(batch: pa.Table, mode: str) -> pa.Table:
+    """Vec twin of the py stage A: classify safe starts with one Arrow
+    kernel, slice every fragment's interior [first_safe, last_safe) and
+    stitch ALL interiors in one ``interior=True`` vec-stitcher call;
+    only the (few) boundary residue/marker rows touch python."""
+    import pyarrow.compute as pc
+
+    from .schema import EVENT_SCHEMA
+    from .stitch_vec import _as_array, stitch_bucket_vec
+    from .stitch_vec_heap import _concat_ranges, stitch_bucket_vec_heap
+
+    n = len(batch)
+    if n == 0:
+        return EVENT_SCHEMA.empty_table().append_column(
+            "res_text", pa.array([], type=pa.string())
+        )
+    order = pc.sort_indices(
+        batch, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    t = batch.take(order)
+    text = _as_array(t["text"])
+    conv_arr = _as_array(t["conv_id"])
+    role_arr = _as_array(t["role"])
+    tool_arr = _as_array(t["tool"])
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+    codes = _as_array(pc.dictionary_encode(t["conv_id"])).indices.to_numpy(
+        zero_copy_only=False
+    )
+
+    # fragment bounds (one contiguous fragment per conversation per block)
+    change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+
+    # vectorized safe-start classification — same cut rule as _safe_starts
+    if mode == MODE_HEAP_STATS:
+        safe = pc.starts_with(text, "{")
+    else:
+        safe = pc.match_substring_regex(text, r"^[0-9]")
+    safe_idx = np.flatnonzero(
+        pc.fill_null(safe, False).to_numpy(zero_copy_only=False)
+    )
+
+    if len(safe_idx):
+        lo_pos = np.searchsorted(safe_idx, starts)  # first safe ≥ start
+        hi_pos = np.searchsorted(safe_idx, ends) - 1  # last safe < end
+        has_int = hi_pos > lo_pos  # ≥2 safe lines → non-empty interior
+        int_lo = safe_idx[np.clip(lo_pos, 0, len(safe_idx) - 1)]
+        int_hi = safe_idx[np.clip(hi_pos, 0, len(safe_idx) - 1)]
+    else:
+        has_int = np.zeros(len(starts), dtype=bool)
+        int_lo = int_hi = np.zeros(len(starts), dtype=np.int64)
+
+    idx_int, _ = _concat_ranges(int_lo[has_int], (int_hi - int_lo)[has_int])
+    if len(idx_int):
+        sub = t.take(pa.array(idx_int))
+        if mode == MODE_HEAP_STATS:
+            events = stitch_bucket_vec_heap(sub, interior=True)
+        else:
+            events = stitch_bucket_vec(sub, interior=True)
+    else:
+        events = EVENT_SCHEMA.empty_table()
+
+    # boundary residues = complement of the interiors; one marker per
+    # parsed interior at its first line's turn
+    res_mask = np.ones(n, dtype=bool)
+    res_mask[idx_int] = False
+    res_rows = np.flatnonzero(res_mask)
+    mark_rows = int_lo[has_int]
+    n_resid = len(res_rows)
+    n_mark = len(mark_rows)
+    n_aux = n_resid + n_mark
+    n_ev = len(events)
+    if n_aux:
+        aux_rows = np.concatenate((res_rows, mark_rows))
+        aux_conv = conv_arr.take(pa.array(aux_rows)).to_pylist()
+        aux_turn = turn[aux_rows]
+        res_take = pa.array(res_rows)
+        aux_role = role_arr.take(res_take).to_pylist() + [None] * n_mark
+        aux_tool = tool_arr.take(res_take).to_pylist() + [None] * n_mark
+        res_texts = text.take(res_take).to_pylist() + [None] * n_mark
+
+        res_cols = EventColumns()
+        for i in range(n_aux):
+            res_cols.append_error(aux_conv[i], int(aux_turn[i]), "")
+        res_tab = res_cols.to_table()
+
+        def set_col(tab, name, arr, typ):
+            return tab.set_column(
+                tab.schema.get_field_index(name), name, pa.array(arr, type=typ)
+            )
+
+        res_tab = set_col(
+            res_tab, "sink",
+            [RESIDUE_SINK] * n_resid + [MARKER_SINK] * n_mark, pa.string(),
+        )
+        res_tab = set_col(res_tab, "role", aux_role, pa.string())
+        res_tab = set_col(res_tab, "tool", aux_tool, pa.string())
+        res_tab = set_col(res_tab, "event_type", [""] * n_aux, pa.string())
+        out = pa.concat_tables([events, res_tab])
+    else:
+        res_texts = []
+        out = events
+    res_text_col = pa.array([None] * n_ev + res_texts, type=pa.string())
     return out.append_column("res_text", res_text_col)
 
 

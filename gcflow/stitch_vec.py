@@ -131,8 +131,16 @@ def _parse_ts_rows(ts_strs: list) -> tuple:
     return epochs, offsets
 
 
-def stitch_bucket_vec(group: pa.Table) -> pa.Table:
-    """Basic-mode bucket stitcher (vectorized fast path)."""
+def stitch_bucket_vec(group: pa.Table, interior: bool = False) -> pa.Table:
+    """Basic-mode bucket stitcher (vectorized fast path).
+
+    ``interior=True`` is the run-local stage-A variant: the table holds
+    per-conversation contiguous *safe interiors* (not whole
+    conversations), so events are emitted with rates/event_seq left for
+    stage C's :func:`gcflow.stitch.apply_rates_bucket`, and a descent
+    crash re-parses the conversation's interior with
+    :func:`gcflow.stitch.parse_segment` semantics (one rates-zeroed
+    error row) instead of the whole-conversation ``_stitch_one``."""
     order = pc.sort_indices(
         group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
@@ -246,7 +254,8 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
                 crashed_codes.append(code)
                 cols.truncate(cur_mark)
                 full = np.flatnonzero(codes == code)  # ALL rows of the conv
-                _stitch_one(
+                reparse = parse_segment if interior else _stitch_one
+                reparse(
                     cols,
                     conv_all[full[0]],
                     [text_all[j] for j in full],
@@ -372,6 +381,8 @@ def stitch_bucket_vec(group: pa.Table) -> pa.Table:
     out = pa.concat_tables([x for x in tables if len(x)]) if any(
         len(x) for x in tables
     ) else EVENT_SCHEMA.empty_table()
+    if interior:
+        return out  # stage C applies rates over the whole conversation
     from .stitch import apply_rates_bucket
 
     return apply_rates_bucket(out)

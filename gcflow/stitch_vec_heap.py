@@ -112,8 +112,14 @@ def _rest_guard(struct, extra: str = "") -> np.ndarray:
     return _np_bool(pc.and_(valid, pc.invert(bad)))
 
 
-def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
-    """Heap-stats-mode bucket stitcher (vectorized block fast path)."""
+def stitch_bucket_vec_heap(group: pa.Table, interior: bool = False) -> pa.Table:
+    """Heap-stats-mode bucket stitcher (vectorized block fast path).
+
+    ``interior=True``: run-local stage-A variant (see
+    :func:`gcflow.stitch_vec.stitch_bucket_vec`) — rates/event_seq are
+    left for stage C, and both crash paths (region-zip mismatch,
+    descent) re-parse the conversation's interior with ``parse_segment``
+    semantics instead of the whole-conversation ``_stitch_one``."""
     order = pc.sort_indices(
         group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
@@ -413,14 +419,16 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
                 descent_crashed.add(code)
                 cols.truncate(cur_mark)
                 cid, txts, trns, rls, tls = _conv_rows(np.flatnonzero(codes == code))
-                _stitch_one(cols, cid, txts, trns, rls, tls, MODE_HEAP_STATS)
+                reparse = parse_segment if interior else _stitch_one
+                reparse(cols, cid, txts, trns, rls, tls, MODE_HEAP_STATS)
 
     # whole-conv python reparse for the zip-crashed conversations (their
     # descent runs were skipped above; this emits their single error row
     # or full event set exactly as the reference path would)
     for cc in sorted(zip_crashed):
         cid, txts, trns, rls, tls = _conv_rows(np.flatnonzero(codes == cc))
-        _stitch_one(cols, cid, txts, trns, rls, tls, MODE_HEAP_STATS)
+        reparse = parse_segment if interior else _stitch_one
+        reparse(cols, cid, txts, trns, rls, tls, MODE_HEAP_STATS)
 
     tables = [cols.to_table()]
 
@@ -562,6 +570,8 @@ def stitch_bucket_vec_heap(group: pa.Table) -> pa.Table:
     out = pa.concat_tables([x for x in tables if len(x)]) if any(
         len(x) for x in tables
     ) else EVENT_SCHEMA.empty_table()
+    if interior:
+        return out  # stage C applies rates over the whole conversation
     from .stitch import apply_rates_bucket
 
     return apply_rates_bucket(out)

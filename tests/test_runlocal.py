@@ -16,17 +16,21 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
 
 
+@pytest.mark.parametrize("impl", ["py", "vec"])
 @pytest.mark.parametrize("mode", [MODE_BASIC, MODE_HEAP_STATS])
 @pytest.mark.parametrize("blocks", [1, 13, 64])
-def test_runlocal_equals_unsalted_fixtures(ray_session, mode, blocks):
+def test_runlocal_equals_unsalted_fixtures(ray_session, mode, blocks, impl):
     """Small block counts force many conversation fragments per block;
-    large ones slice every conversation across block boundaries."""
+    large ones slice every conversation across block boundaries.  Both
+    stage-A impls (parse_segment-per-fragment py twin, one-call vec
+    interior stitcher) must match the unsalted reference path."""
     import ray.data as rd
 
     table = tr.fixture_transcripts()
     a = pl.parse_events(rd.from_arrow(table), mode=mode, enrich=False).to_pandas()
     b = pl.parse_events_runlocal(
-        rd.from_arrow(table).repartition(blocks), mode=mode, enrich=False
+        rd.from_arrow(table).repartition(blocks), mode=mode, enrich=False,
+        stitch_impl=impl,
     ).to_pandas()
     na, nb = _norm(a), _norm(b)
     assert len(na) == len(nb)
