@@ -186,11 +186,19 @@ def _attach_enrich(events: rd.Dataset) -> rd.Dataset:
         return events.map_batches(
             lambda t: stage(t), batch_format="pyarrow", zero_copy_batch=True
         )
+    # autoscaling (1, max) rather than a fixed-size pool: the stitch
+    # groupby is a sort BARRIER, so during the entire read/classify phase
+    # a fixed pool's actors sit idle while RESERVING their CPUs from the
+    # streaming executor — at 16 pinned CPUs the enrich(8) + sink(4)
+    # pools left phase 1 running near-sequentially (60.8s of read task
+    # time over a 68s span, parallelism ≈ 1; ds.stats() diag, round 3).
+    # With min=1 the pool holds one CPU until post-shuffle blocks queue,
+    # then scales to the swept maximum.
     return events.map_batches(
         EnrichStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=_enrich_pool_size(),
+        concurrency=(1, _enrich_pool_size()),
     )
 
 
@@ -509,7 +517,9 @@ def run_pipeline(
             fn_constructor_args=(out_dir,),
             batch_format="pyarrow",
             batch_size=32768,
-            concurrency=_pool_size(),
+            # autoscaling: see _attach_enrich — a fixed pool reserves its
+            # CPUs through the pre-shuffle phase it can't help with
+            concurrency=(1, _pool_size()),
         )
         out = partials.groupby(["sink", "event_type"]).sum("n_partial")
         t = pa.Table.from_pandas(out.to_pandas())
