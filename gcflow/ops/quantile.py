@@ -1,0 +1,207 @@
+"""Exact distributed quantiles over ``events.value`` — order statistics
+without a global sort.
+
+A full ``ds.sort`` moves every row through an all-to-all exchange to
+answer three scalars; the selection algorithm here instead runs
+**histogram-refinement passes** (the distributed analogue of quickselect):
+
+1. Bounds come from the parquet ROW-GROUP STATS (no data read).
+2. Each pass scans the column with ``map_batches``, bucketing values into
+   ``QTL_BINS`` bins over the current interval and emitting only the
+   NONZERO (bin, count) rows; a ``groupby(bin).sum`` merges them — the
+   shuffle is O(bins × batches) tiny rows, never O(rows).
+3. The driver walks the cumulative counts to locate each still-unresolved
+   order statistic's bin.  Bins whose population fits the driver budget
+   are resolved exactly (one filtered collect + sort of just that bin's
+   values); oversized bins become the next pass's interval.  Each pass
+   shrinks a bin's population by ~QTL_BINS×, so 10^12 rows resolve in
+   ≤3 scans with a ≤5M-value collect.
+
+Bin membership is defined ONCE per interval by an explicit driver-built
+edge array + ``np.searchsorted`` (bit-exact on every worker), so the set
+of values counted in a bin is literally the set a later pass or collect
+sees for that bin — no float-edge drift between passes.
+
+Quantile convention matches DuckDB ``quantile_disc``: the element at
+sorted index ``max(ceil(q*n) - 1, 0)`` (verified empirically over n=4,5,
+10,101 and q∈{0,.5,.9,.99,1}).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+QTL_QS = (0.5, 0.9, 0.99)
+QTL_BINS = 8192
+QTL_COLLECT_BUDGET = 5_000_000   # max values the driver will sort exactly
+QTL_MAX_PASSES = 6
+
+
+def _value_bounds(src: str) -> tuple:
+    """(lo, hi, n) from parquet footer statistics — zero data read."""
+    md = pq.read_metadata(src)
+    col = None
+    for i in range(len(md.schema)):
+        if md.schema.column(i).name == "value":
+            col = i
+            break
+    lo, hi, n = math.inf, -math.inf, 0
+    for rg in range(md.num_row_groups):
+        c = md.row_group(rg).column(col)
+        n += md.row_group(rg).num_rows
+        st = c.statistics
+        if st is not None and st.has_min_max:
+            lo, hi = min(lo, st.min), max(hi, st.max)
+    return lo, hi, n
+
+
+def _member_mask(v: np.ndarray, lo: float, hi: float, closed: bool) -> np.ndarray:
+    """Interval membership: [lo, hi] when ``closed`` (the root / a last
+    bin), else [lo, hi)."""
+    return (v >= lo) & ((v <= hi) if closed else (v < hi))
+
+
+def _hist_pass(ds: rd.Dataset, intervals: list, bins: int = QTL_BINS) -> np.ndarray:
+    """One scan: per-batch counts for every (interval, bin), merged by a
+    tiny groupby.  ``intervals`` rows are (lo, hi, closed); each splits
+    into QTL_BINS bins via a shared edge array.  Returns
+    counts[len(intervals), QTL_BINS]."""
+    edge_sets = [np.linspace(lo, hi, bins + 1) for lo, hi, _ in intervals]
+    ivs = list(intervals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        keys, cnts = [], []
+        for j, ((lo, hi, closed), edges) in enumerate(zip(ivs, edge_sets)):
+            sel = v[_member_mask(v, lo, hi, closed)]
+            if len(sel) == 0:
+                continue
+            b = np.clip(
+                np.searchsorted(edges, sel, side="right") - 1, 0, bins - 1
+            )
+            bc = np.bincount(b, minlength=bins)
+            nz = np.flatnonzero(bc)
+            keys.append(j * bins + nz)
+            cnts.append(bc[nz])
+        if not keys:
+            return pa.schema(
+                [("k", pa.int64()), ("cnt", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(keys), type=pa.int64()),
+                "cnt": pa.array(np.concatenate(cnts), type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("cnt")
+        .to_pandas()
+    )
+    out = np.zeros((len(intervals), bins), dtype=np.int64)
+    if len(merged):
+        k = merged["k"].to_numpy()
+        out[k // bins, k % bins] = merged["sum(cnt)"].to_numpy()
+    return out
+
+
+def _bin_interval(lo: float, hi: float, closed: bool, b: int, bins: int = QTL_BINS) -> tuple:
+    """The sub-interval holding exactly the values counted in bin ``b``
+    (same edges, same searchsorted semantics)."""
+    edges = np.linspace(lo, hi, bins + 1)
+    blo = float(edges[b])
+    if b == bins - 1:
+        return blo, hi, closed  # clip makes the top bin inherit the bound
+    return blo, float(edges[b + 1]), False
+
+
+def _collect_interval(ds: rd.Dataset, lo: float, hi: float, closed: bool) -> np.ndarray:
+    """Filtered collect of one (tiny) interval's values, sorted."""
+
+    def sel(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v) & _member_mask(np.nan_to_num(v, nan=math.inf), lo, hi, closed)
+        return t.filter(pa.array(m))
+
+    vals = ds.map_batches(sel, batch_format="pyarrow").to_pandas()["value"].to_numpy()
+    return np.sort(vals)
+
+
+def q_evt_value_percentiles(
+    sf_dir: str, bins: int = QTL_BINS, budget: int = QTL_COLLECT_BUDGET
+):
+    """Exact p50/p90/p99 of ``events.value`` by distributed selection
+    (histogram refinement — see module docstring).  Matches DuckDB
+    ``quantile_disc`` element-for-element, so the driver check is a full
+    ✓SQL oracle despite no global sort ever running."""
+    src = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(src, columns=["value"])
+    lo, hi, n = _value_bounds(src)
+
+    if n == 0 or not math.isfinite(lo):
+        return pa.table(
+            {"q": pa.array([], type=pa.float64()),
+             "value": pa.array([], type=pa.float64())}
+        )
+
+    # target 0-indexed order statistics (ascending)
+    resolved: dict = {}
+    state = {q: (lo, hi, True, max(int(math.ceil(q * n)) - 1, 0)) for q in QTL_QS}
+    for _ in range(QTL_MAX_PASSES):
+        # degenerate intervals are single-valued — resolve without a scan
+        for q in [q for q, s in state.items() if s[1] <= s[0]]:
+            resolved[q] = state.pop(q)[0]
+        if not state:
+            break
+        intervals = sorted({(s[0], s[1], s[2]) for s in state.values()})
+        hist = _hist_pass(ds, intervals, bins)
+        iv_index = {iv: j for j, iv in enumerate(intervals)}
+        nxt = {}
+        for q, (qlo, qhi, closed, k) in state.items():
+            counts = hist[iv_index[(qlo, qhi, closed)]]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, k + 1))
+            in_bin_rank = k - (int(cum[b - 1]) if b else 0)
+            blo, bhi, bclosed = _bin_interval(qlo, qhi, closed, b, bins)
+            if counts[b] <= budget:
+                vals = _collect_interval(ds, blo, bhi, bclosed)
+                resolved[q] = float(vals[in_bin_rank])
+            else:
+                nxt[q] = (blo, bhi, bclosed, in_bin_rank)
+        state = nxt
+    for q, (qlo, qhi, qcl, k) in state.items():  # pass cap hit: collect anyway
+        vals = _collect_interval(ds, qlo, qhi, qcl)
+        resolved[q] = float(vals[min(k, len(vals) - 1)])
+
+    qs = sorted(resolved)
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "value": pa.array([resolved[q] for q in qs], type=pa.float64()),
+        }
+    )
+
+
+QUANTILE_QUERIES = {
+    "evt_value_percentiles": q_evt_value_percentiles,
+}
+
+QUANTILE_ORACLES = {
+    "evt_value_percentiles": """
+SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
+""",
+}

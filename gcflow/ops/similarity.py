@@ -15,6 +15,11 @@
   corpus never leaves the distributed plane; only the 8-query matrix is
   broadcast.  Approximate, so rows-only for the driver, with recall vs
   brute force asserted in pytest.
+- ``emb_ivf_search``: the inverted-file twin — a spherical-k-means
+  codebook (trained on a strided, driver-bounded sample) partitions the
+  corpus into cells; probes scan only each query's nearest IVF_NPROBE
+  cells.  Same partitioned-parquet index layout and scale properties as
+  the LSH path.
 """
 
 from __future__ import annotations
@@ -296,12 +301,202 @@ def q_emb_lsh_search(sf_dir: str):
     return _topk_reduce(partials)
 
 
+# --------------------------------------------------------------- IVF
+# The inverted-file (coarse-quantizer) twin of the LSH index: a small
+# k-means codebook partitions the corpus into NLIST cells; a probe scans
+# only the NPROBE cells whose centroids are most cosine-similar to each
+# query.  Same storage layout as the LSH index (partitioned parquet +
+# count sidecar) so the scale properties are identical: one streaming
+# build pass, probes read O(probed cells), only the codebook + query
+# matrix are broadcast.
+
+IVF_NLIST = int(os.environ.get("GCFLOW_IVF_NLIST", "64"))
+IVF_NPROBE = int(os.environ.get("GCFLOW_IVF_NPROBE", "24"))
+IVF_TRAIN_MAX = 20_000   # codebook training sample ceiling (driver-side)
+IVF_KMEANS_ITERS = 8
+
+
+def _train_centroids(src: str, nlist: int) -> np.ndarray:
+    """Spherical k-means codebook from a bounded, deterministic corpus
+    sample: every ``stride``-th row (stride from the parquet FOOTER row
+    count, so the sample is spread across the whole corpus, not a
+    prefix of one shard) is filtered distributed-side; only ≤
+    IVF_TRAIN_MAX vectors ever reach the driver — O(sample × dim), not
+    O(corpus)."""
+    total = pq.read_metadata(src).num_rows
+    stride = max(1, total // IVF_TRAIN_MAX)
+
+    def take_stride(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        return t.filter(pa.array(ids % stride == 0))
+
+    samp = (
+        rd.read_parquet(src, columns=["vec_id", "embedding"])
+        .map_batches(take_stride, batch_format="pyarrow")
+        .to_pandas()
+    )
+    X = np.vstack(samp["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rs = np.random.RandomState(7)
+    k = min(nlist, len(Xn))
+    C = Xn[rs.choice(len(Xn), size=k, replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / np.linalg.norm(c)
+            else:  # re-seed empty cells
+                C[j] = Xn[rs.randint(len(Xn))]
+    if k < nlist:  # degenerate tiny corpus: pad with re-used rows
+        C = np.vstack([C, Xn[rs.choice(len(Xn), size=nlist - k)]])
+    return C
+
+
+def build_ivf_index(sf_dir: str, index_root: str = "/tmp/gcflow_ivf_index"):
+    """One-time cell shuffle of the embedding corpus: train the codebook
+    on a strided sample, assign every row to its nearest centroid
+    (cosine) in ``map_batches``, write parquet PARTITIONED BY CELL
+    (cell=K/ dirs) plus the codebook + per-cell row-count sidecars.
+    Cached per (path, mtime, params) exactly like the LSH index."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|ivf{IVF_NLIST}|it{IVF_KMEANS_ITERS}|seed7"
+    )
+    import hashlib as _hl
+
+    index_dir = os.path.join(index_root, _hl.md5(key.encode()).hexdigest()[:16])
+    counts_path = os.path.join(index_dir, "cell_counts.npy")
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(counts_path) and os.path.exists(cent_path):
+        return index_dir, np.load(counts_path), np.load(cent_path)
+
+    C = _train_centroids(src, IVF_NLIST)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self, r):
+            self.C = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cell = np.argmax(Vn @ self.C.T, axis=1).astype(np.int64)
+            arr = pa.array(cell, type=pa.int64())
+            # `cell` routes the hive partitioning (dropped from file
+            # contents by write_parquet); `cell_id` is the same value as a
+            # real data column so probes can read it back from file paths
+            return t.append_column("cell", arr).append_column("cell_id", arr)
+
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        Assign, fn_constructor_args=(cref,), batch_format="pyarrow",
+        batch_size=4096, concurrency=(1, 4),
+    )
+    tmp_dir = index_dir + ".building"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    assigned.write_parquet(tmp_dir, partition_cols=["cell"])
+    counts = np.zeros(IVF_NLIST, dtype=np.int64)
+    for g in os.listdir(tmp_dir):
+        if not g.startswith("cell="):
+            continue
+        gi = int(g.split("=", 1)[1])
+        for f in os.listdir(os.path.join(tmp_dir, g)):
+            if f.endswith(".parquet"):
+                counts[gi] += pq.read_metadata(os.path.join(tmp_dir, g, f)).num_rows
+    os.makedirs(os.path.dirname(counts_path), exist_ok=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
+    np.save(counts_path, counts)
+    np.save(cent_path, C)
+    return index_dir, counts, C
+
+
+def q_emb_ivf_search(sf_dir: str):
+    """Approximate top-k via an IVF index (k-means cells): probe the
+    IVF_NPROBE cells nearest each query, brute-force cosine ONLY inside
+    the fetched cells (each query restricted to ITS probed cells), merge
+    block-local top-k partials.  Approximate → rows-only for the driver,
+    recall vs brute force asserted in pytest."""
+    qids, Q = _read_queries(sf_dir)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    index_dir, counts, C = build_ivf_index(sf_dir)
+
+    nprobe = min(IVF_NPROBE, IVF_NLIST)
+    cell_order = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((len(qids), IVF_NLIST), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, cell_order[qi]] = True
+    selected = sorted(set(cell_order.ravel().tolist()))
+
+    paths = []
+    for g in selected:
+        gd = os.path.join(index_dir, f"cell={g}")
+        if counts[g] > 0 and os.path.isdir(gd):
+            paths.extend(
+                os.path.join(gd, f) for f in sorted(os.listdir(gd))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return _topk_reduce(
+            pa.schema(
+                [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                 ("cos", pa.float64())]
+            ).empty_table().to_pandas()
+        )
+
+    ref = ray.put((qids, Qn, probe_mask))
+
+    class Probe:
+        def __init__(self, r):
+            self.qids, self.Qn, self.probe_mask = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            cells = t["cell_id"].to_numpy().astype(np.int64)
+            V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims_all = self.Qn @ Vn.T  # queries × block
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                keep = self.probe_mask[qi, cells] & (ids != qid)
+                if not keep.any():
+                    continue
+                sel = np.flatnonzero(keep)
+                s = sims_all[qi, sel]
+                top = np.lexsort((ids[sel], -s))[:TOP_K]
+                out_q.extend([int(qid)] * len(top))
+                out_v.extend(ids[sel][top].tolist())
+                out_c.extend(s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_v, type=pa.int64()),
+                    "cos": pa.array(out_c, type=pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "cell_id"])
+    partials = ds.map_batches(
+        Probe, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    return _topk_reduce(partials)
+
+
 SIMILARITY_QUERIES = {
     "emb_ann_topk": q_emb_ann_topk,
     "emb_lsh_search": q_emb_lsh_search,
+    "emb_ivf_search": q_emb_ivf_search,
 }
 
 SIMILARITY_ORACLES = {
+    # emb_lsh_search / emb_ivf_search: approximate → rows-only
     "emb_ann_topk": f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

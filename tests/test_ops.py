@@ -35,6 +35,22 @@ def test_lsh_search_recall_vs_bruteforce(ray_session):
     assert np.mean(recall) >= 0.3
 
 
+def test_ivf_search_recall_vs_bruteforce(ray_session):
+    from gcflow.ops.similarity import q_emb_ann_topk, q_emb_ivf_search
+
+    exact = q_emb_ann_topk(SF).to_pandas()
+    approx = q_emb_ivf_search(SF).to_pandas()
+    recall = []
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recall.append(len(e & a) / len(e))
+    # near-orthogonal corpus is IVF's worst case (true neighbours spread
+    # uniformly over cells → expected recall ≈ the probed-cell fraction,
+    # 24/64 ≈ 0.375); deterministic given the fixed k-means seed
+    assert np.mean(recall) >= 0.3
+
+
 def test_multimodal_decode_plumbing(ray_session):
     from gcflow.ops.multimodal import DecodeStage, decode_documents
 
@@ -291,3 +307,37 @@ def test_lsh_index_cached_and_partitioned(ray_session):
     assert c1.sum() == 500  # every corpus row landed in exactly one group
     groups = [g for g in os.listdir(d1) if g.startswith("grp=")]
     assert len(groups) == int((c1 > 0).sum())
+
+
+def test_quantiles_match_duckdb(ray_session):
+    import duckdb
+
+    from gcflow.ops.quantile import q_evt_value_percentiles
+
+    got = q_evt_value_percentiles(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    for q in (0.5, 0.9, 0.99):
+        want = con.execute("SELECT quantile_disc(value, ?) FROM events", [q]).fetchone()[0]
+        assert float(got[got.q == q].value.iloc[0]) == want
+
+
+def test_quantiles_refinement_path(ray_session):
+    """Force the multi-pass histogram-refinement branch (tiny collect
+    budget + tiny bin count — threaded as parameters, since module-global
+    monkeypatches would not reach Ray workers) and assert it still lands
+    on the exact order statistics."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops import quantile as qt
+
+    got = qt.q_evt_value_percentiles(SF, bins=16, budget=50).to_pandas()
+    vals = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    n = len(vals)
+    for q in (0.5, 0.9, 0.99):
+        want = vals[max(int(np.ceil(q * n)) - 1, 0)]
+        assert float(got[got.q == q].value.iloc[0]) == want
