@@ -87,13 +87,19 @@ def _pool_size() -> int:
 
 
 def _enrich_pool_size() -> int:
-    """Enrich actor-pool size.  Ray fuses the preceding stitch map_groups
-    INTO this actor pool, so this also bounds stitch parallelism.  Sweep
-    at 10M turns/32 CPUs (post shuffle-packing): pool 8 → 25.7s, 16 →
-    20.2s, 24 → 20.0s, 30 → 25.4s (oversubscription with the sink pool).
-    n/2 capped by what leaves the sink pool + scheduler headroom free."""
+    """Enrich actor-pool MAX (pools autoscale from 1 — see
+    _attach_enrich).  Ray fuses the preceding stitch map_groups INTO
+    this actor pool, so this also bounds stitch parallelism — the
+    dominant phase-2 compute.  Round-2 sweep at 32 CPUs: pool 8 →
+    25.7s, 16 → 20.2s, 24 ≈ 20.0s, 30 → 25.4s (oversubscription) —
+    and raising the cap to n - sink - 1 measured WORSE at 16 pinned
+    CPUs too (106.7s vs 77.7s, round-3 diag), so n/2 stays the max.
+    Floor of 2 once the session has ≥4 CPUs: at exactly 4 the old
+    formula allowed a single enrich actor, capping stitch
+    parallelism at 1 of 4 cores (the round-3 ladder's 4-leg
+    bottleneck)."""
     n = _ncpu()
-    return max(1, min(n // 2, n - _pool_size() - 2))
+    return max(2 if n >= 4 else 1, min(n // 2, n - _pool_size() - 2))
 
 
 def _tune_context() -> None:
