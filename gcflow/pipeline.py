@@ -200,11 +200,16 @@ def _attach_enrich(events: rd.Dataset) -> rd.Dataset:
     # time over a 68s span, parallelism ≈ 1; ds.stats() diag, round 3).
     # With min=1 the pool holds one CPU until post-shuffle blocks queue,
     # then scales to the swept maximum.
+    emax = _enrich_pool_size()
     return events.map_batches(
         EnrichStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, _enrich_pool_size()),
+        # min = max/2: enough pre-started actors that short jobs don't
+        # pay the full autoscaling ramp (10M-turn headline regressed
+        # 16.7 -> 21.8s with min=1), while phase 1 still gets the other
+        # half of the pool's cores back during the sort barrier
+        concurrency=(max(1, emax // 2), emax),
     )
 
 
@@ -525,7 +530,7 @@ def run_pipeline(
             batch_size=32768,
             # autoscaling: see _attach_enrich — a fixed pool reserves its
             # CPUs through the pre-shuffle phase it can't help with
-            concurrency=(1, _pool_size()),
+            concurrency=(max(1, _pool_size() // 2), _pool_size()),
         )
         out = partials.groupby(["sink", "event_type"]).sum("n_partial")
         t = pa.Table.from_pandas(out.to_pandas())

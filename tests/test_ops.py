@@ -341,3 +341,37 @@ def test_quantiles_refinement_path(ray_session):
     for q in (0.5, 0.9, 0.99):
         want = vals[max(int(np.ceil(q * n)) - 1, 0)]
         assert float(got[got.q == q].value.iloc[0]) == want
+
+
+def test_kmeans_matches_numpy_twin(ray_session):
+    """Distributed Lloyd rounds must agree with an in-memory numpy twin:
+    same deterministic init (vec_id < k), same iteration count — cluster
+    sizes equal exactly, centroids to fp tolerance (summation order
+    differs across batches)."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.cluster import KM_ITERS, KM_K, kmeans_fit, q_emb_kmeans
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids)
+    V = V[order]
+    C = V[np.searchsorted(ids[order], np.arange(KM_K))]
+    for _ in range(KM_ITERS):
+        d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        for j in range(KM_K):
+            if (a == j).any():
+                C[j] = V[a == j].mean(axis=0)
+    d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+    a = np.argmin(d, axis=1)
+    want = np.bincount(a, minlength=KM_K)
+
+    got = q_emb_kmeans(SF).to_pandas()
+    got_n = np.zeros(KM_K, dtype=np.int64)
+    got_n[got.cluster.to_numpy()] = got.n.to_numpy()
+    assert (got_n == want).all()
+
+    Cd = kmeans_fit(SF)
+    assert np.allclose(Cd, C, atol=1e-9)
