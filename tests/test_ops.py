@@ -375,3 +375,37 @@ def test_kmeans_matches_numpy_twin(ray_session):
 
     Cd = kmeans_fit(SF)
     assert np.allclose(Cd, C, atol=1e-9)
+
+
+def test_quantiles_duplicate_heavy_distribution(ray_session, tmp_path):
+    """Duplicate-heavy + skewed values: masses of identical values pile
+    into single bins and sit exactly on bin edges — the adversarial case
+    for histogram-refinement selection.  Checked against numpy order
+    statistics for several bins/budget shapes, including ones that force
+    recursion into a degenerate (single-value) interval."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import q_evt_value_percentiles
+
+    rs = np.random.RandomState(11)
+    vals = np.concatenate(
+        [
+            np.full(4000, 1.0),
+            np.full(3000, 2.5),
+            rs.exponential(10.0, 2500),
+            np.full(500, 1000.0),
+        ]
+    )
+    rs.shuffle(vals)
+    pq.write_table(
+        pa.table({"value": pa.array(vals, type=pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    s = np.sort(vals)
+    n = len(s)
+    for bins, budget in [(8192, 5_000_000), (16, 50), (4, 10)]:
+        got = q_evt_value_percentiles(str(tmp_path), bins=bins, budget=budget).to_pandas()
+        for q in (0.5, 0.9, 0.99):
+            want = s[max(int(np.ceil(q * n)) - 1, 0)]
+            assert float(got[got.q == q].value.iloc[0]) == want, (bins, budget, q)
