@@ -123,6 +123,63 @@ def read_transcripts(path, override_num_blocks: Optional[int] = None) -> rd.Data
     )
 
 
+def _compress_packed_text(packed: pa.Table) -> pa.Table:
+    """Replace the packed ``list<string>`` text column with per-bucket-row
+    ``(text_z, text_lens)``: the row's strings concatenated and
+    lz4-compressed + their int32 lengths.  GC-log text is extremely
+    repetitive (measured on the bench corpus: lz4 ratio ~44× at 3.3 GB/s
+    compress / 1.9 GB/s decompress, tools-level probe, round 3), so this
+    cuts the exchange's dominant payload 10–40× — on a multi-node
+    cluster that is NETWORK shuffle volume.  ≤ num_buckets rows per
+    block → the per-row python loop is bounded and cheap."""
+    codec = pa.Codec("lz4")
+    col = packed["text"]
+    blobs, lens = [], []
+    for i in range(len(packed)):
+        arr = col[i].values
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        bufs = arr.buffers()
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+            if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        lens.append((off[1:] - off[:-1]).astype(np.int32).tobytes())
+        blobs.append(codec.compress(data.tobytes(), asbytes=True))
+    out = packed.drop_columns(["text"])
+    return out.append_column("text_z", pa.array(blobs, type=pa.binary())) \
+              .append_column("text_lens", pa.array(lens, type=pa.binary()))
+
+
+def _decompress_packed_text(group: pa.Table) -> pa.Array:
+    """Inverse of :func:`_compress_packed_text` for one bucket group:
+    rebuild the flattened utf8 text array straight from offset/data
+    buffers (no per-string python)."""
+    codec = pa.Codec("lz4")
+    parts, lens_parts = [], []
+    zcol, lcol = group["text_z"], group["text_lens"]
+    for i in range(len(group)):
+        ln = np.frombuffer(lcol[i].as_py(), dtype=np.int32)
+        total = int(ln.sum())
+        parts.append(codec.decompress(zcol[i].as_py(), decompressed_size=total,
+                                      asbytes=True))
+        lens_parts.append(ln)
+    data = b"".join(parts)
+    ln = (np.concatenate(lens_parts) if lens_parts
+          else np.empty(0, dtype=np.int32))
+    # int32 offsets: a bucket group is bounded by the bucket's share of
+    # the corpus block (~tens of MB), far under the 2 GiB offset limit
+    offsets = np.zeros(len(ln) + 1, dtype=np.int32)
+    np.cumsum(ln, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(), len(ln),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
+
+
 def parse_events(
     ds: rd.Dataset,
     mode: str = MODE_BASIC,
@@ -130,6 +187,7 @@ def parse_events(
     enrich: bool = True,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     stitch_impl: str = "vec",
+    compress_exchange: Optional[bool] = None,
 ) -> rd.Dataset:
     """transcripts Dataset → wide event-row Dataset (lazy).
 
@@ -138,7 +196,15 @@ def parse_events(
     ``map_groups`` call per bucket sweeps all its conversations (per-conv
     group calls pay ~1ms of machinery each — ruinous at 10^5+ convs).
     ``ts`` is dropped before the shuffle (events re-derive time from the
-    parsed text; no reason to ship it)."""
+    parsed text; no reason to ship it).
+
+    ``compress_exchange`` (default: the ``GCFLOW_EXCHANGE_COMPRESS=1``
+    env toggle, else off) lz4-compresses the packed text payload across
+    the shuffle — a 10–40× network-volume lever for multi-node
+    deployments (see :func:`_compress_packed_text`); output is
+    equivalent either way (asserted in tests)."""
+    if compress_exchange is None:
+        compress_exchange = os.environ.get("GCFLOW_EXCHANGE_COMPRESS", "0") == "1"
 
     def classify(batch: pa.Table) -> pa.Table:
         """Prefilter + bucket, then PACK: group the batch by bucket and
@@ -159,16 +225,24 @@ def parse_events(
                 "bucket": pa.array(bucket, type=pa.int32()),
             }
         )
-        return flat.group_by(["bucket"]).aggregate(
+        packed = flat.group_by(["bucket"]).aggregate(
             [(c, "list") for c in ("conv_id", "turn_idx", "role", "text", "tool")]
         ).rename_columns(["bucket", "conv_id", "turn_idx", "role", "text", "tool"])
+        if compress_exchange:
+            packed = _compress_packed_text(packed)
+        return packed
 
     def unpack_and_stitch(group: pa.Table) -> pa.Table:
+        cols = {
+            c: pc.list_flatten(group[c])
+            for c in ("conv_id", "turn_idx", "role", "tool")
+        }
+        if "text_z" in group.column_names:
+            cols["text"] = _decompress_packed_text(group)
+        else:
+            cols["text"] = pc.list_flatten(group["text"])
         flat = pa.table(
-            {
-                c: pc.list_flatten(group[c])
-                for c in ("conv_id", "turn_idx", "role", "text", "tool")
-            }
+            {c: cols[c] for c in ("conv_id", "turn_idx", "role", "text", "tool")}
         )
         return stitch_bucket(flat, mode, impl=stitch_impl)
 

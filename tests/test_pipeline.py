@@ -136,3 +136,26 @@ def test_events_pipeline_on_synthetic(ray_session):
     t4 = df[df["tenuring_new_threshold"].notna()]
     assert len(t4) == int((t == 4).sum())
     assert (t4["tenuring_desired_bytes"] == 129368064).all()
+
+
+@pytest.mark.parametrize("mode", [MODE_BASIC, MODE_HEAP_STATS])
+def test_compressed_exchange_equivalent(ray_session, mode):
+    """The lz4-compressed exchange (opt-in, the multi-node network-volume
+    lever) must produce frame-identical events to the default path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gcflow import transcripts as tr
+
+    table = tr.fixture_transcripts()
+    a = pl.parse_events(
+        rd.from_arrow(table), mode=mode, enrich=False, compress_exchange=False
+    ).to_pandas()
+    b = pl.parse_events(
+        rd.from_arrow(table), mode=mode, enrich=False, compress_exchange=True
+    ).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, kind="stable").reset_index(drop=True)
+    b = b.sort_values(key, kind="stable").reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b)
