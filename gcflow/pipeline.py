@@ -123,44 +123,55 @@ def read_transcripts(path, override_num_blocks: Optional[int] = None) -> rd.Data
     )
 
 
-def _compress_packed_text(packed: pa.Table) -> pa.Table:
-    """Replace the packed ``list<string>`` text column with per-bucket-row
-    ``(text_z, text_lens)``: the row's strings concatenated and
-    lz4-compressed + their int32 lengths.  GC-log text is extremely
-    repetitive (measured on the bench corpus: lz4 ratio ~44× at 3.3 GB/s
-    compress / 1.9 GB/s decompress, tools-level probe, round 3), so this
-    cuts the exchange's dominant payload 10–40× — on a multi-node
-    cluster that is NETWORK shuffle volume.  ≤ num_buckets rows per
-    block → the per-row python loop is bounded and cheap."""
+# string columns lz4-packed across the exchange when compression is on;
+# turn_idx (int64 list) ships raw
+_EXCHANGE_ZCOLS = ("text", "conv_id", "role", "tool")
+
+
+def _compress_packed_strcols(packed: pa.Table) -> pa.Table:
+    """Replace each packed ``list<string>`` exchange column with
+    per-bucket-row ``(<col>_z, <col>_lens)``: the row's strings
+    concatenated and lz4-compressed + their int32 lengths.  GC-log text
+    is extremely repetitive and conv_id/role/tool are near-constant
+    within a bucket row (measured on the bench corpus: text alone 5.7×,
+    all four string columns 3.64× total exchange reduction (73.8 → 20.2 MB per corpus block), lz4 at
+    ~3.3/1.9 GB/s compress/decompress) — on a multi-node cluster that is
+    NETWORK shuffle volume.  ≤ num_buckets rows per block → the per-row
+    python loop is bounded and cheap."""
     codec = pa.Codec("lz4")
-    col = packed["text"]
-    blobs, lens = [], []
-    for i in range(len(packed)):
-        arr = col[i].values
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        bufs = arr.buffers()
-        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-        off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
-        data = (
-            np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
-            if bufs[2] is not None
-            else np.empty(0, dtype=np.uint8)
-        )
-        lens.append((off[1:] - off[:-1]).astype(np.int32).tobytes())
-        blobs.append(codec.compress(data.tobytes(), asbytes=True))
-    out = packed.drop_columns(["text"])
-    return out.append_column("text_z", pa.array(blobs, type=pa.binary())) \
-              .append_column("text_lens", pa.array(lens, type=pa.binary()))
+    out = packed
+    for name in _EXCHANGE_ZCOLS:
+        col = packed[name]
+        blobs, lens = [], []
+        for i in range(len(packed)):
+            arr = col[i].values
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            bufs = arr.buffers()
+            odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+            off = np.frombuffer(bufs[1], dtype=odt)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            lens.append((off[1:] - off[:-1]).astype(np.int32).tobytes())
+            blobs.append(codec.compress(data.tobytes(), asbytes=True))
+        out = out.drop_columns([name]) \
+                 .append_column(f"{name}_z", pa.array(blobs, type=pa.binary())) \
+                 .append_column(f"{name}_lens", pa.array(lens, type=pa.binary()))
+    return out
 
 
-def _decompress_packed_text(group: pa.Table) -> pa.Array:
-    """Inverse of :func:`_compress_packed_text` for one bucket group:
-    rebuild the flattened utf8 text array straight from offset/data
-    buffers (no per-string python)."""
+def _decompress_packed_strcol(group: pa.Table, name: str) -> pa.Array:
+    """Inverse of :func:`_compress_packed_strcols` for one column of one
+    bucket group: rebuild the flattened utf8 array straight from
+    offset/data buffers (no per-string python)."""
     codec = pa.Codec("lz4")
     parts, lens_parts = [], []
-    zcol, lcol = group["text_z"], group["text_lens"]
+    zcol, lcol = group[f"{name}_z"], group[f"{name}_lens"]
     for i in range(len(group)):
         ln = np.frombuffer(lcol[i].as_py(), dtype=np.int32)
         total = int(ln.sum())
@@ -229,18 +240,17 @@ def parse_events(
             [(c, "list") for c in ("conv_id", "turn_idx", "role", "text", "tool")]
         ).rename_columns(["bucket", "conv_id", "turn_idx", "role", "text", "tool"])
         if compress_exchange:
-            packed = _compress_packed_text(packed)
+            packed = _compress_packed_strcols(packed)
         return packed
 
     def unpack_and_stitch(group: pa.Table) -> pa.Table:
-        cols = {
-            c: pc.list_flatten(group[c])
-            for c in ("conv_id", "turn_idx", "role", "tool")
-        }
-        if "text_z" in group.column_names:
-            cols["text"] = _decompress_packed_text(group)
-        else:
-            cols["text"] = pc.list_flatten(group["text"])
+        zipped = "text_z" in group.column_names
+        cols = {"turn_idx": pc.list_flatten(group["turn_idx"])}
+        for c in _EXCHANGE_ZCOLS:
+            cols[c] = (
+                _decompress_packed_strcol(group, c) if zipped
+                else pc.list_flatten(group[c])
+            )
         flat = pa.table(
             {c: cols[c] for c in ("conv_id", "turn_idx", "role", "text", "tool")}
         )
