@@ -83,6 +83,10 @@ H_APP = (
 K_OTHER, K_OPEN, K_REG, K_SUB, K_GC, K_TOPEN, K_DES, K_AGE, K_TCLOSE, \
     K_AFTER, K_CLOSE, K_APP = range(12)
 
+# blk field width in the packed region-zip merge key (tests shrink this to
+# exercise the chunked build_deltas path)
+MAX_ZIP_BLOCKS = 1 << 23
+
 
 def _np_bool(arr) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
@@ -297,11 +301,40 @@ def stitch_bucket_vec_heap(group: pa.Table, interior: bool = False) -> pa.Table:
         p = np.arange(len(idx), dtype=np.int64)
         last_reg = np.maximum.accumulate(np.where(isr, p, -1))
         s_ord = np.where(isr, -1, p - last_reg - 1)
-        key = (blk << 32) | ((r_ord + 1) << 12) | (s_ord + 1)
+        # 20 bits per ordinal: both r_ord+1 and s_ord+1 are < interior
+        # length, which the block validity guard bounds at 2^20; blk gets
+        # the remaining 23 bits (callers chunk above 2^23 blocks)
+        key = (blk << 40) | ((r_ord + 1) << 20) | (s_ord + 1)
         return idx, blk, key
+
+    _MAX_BLK = MAX_ZIP_BLOCKS
 
     def build_deltas(blocks: np.ndarray):
         nb = len(blocks)
+        if nb > _MAX_BLK:
+            # keep blk inside its 23-bit key field: independent chunks,
+            # re-based offsets (blocks never share delta rows)
+            parts = [
+                build_deltas(blocks[i : i + _MAX_BLK])
+                for i in range(0, nb, _MAX_BLK)
+            ]
+            names = pa.concat_arrays(
+                [p[0].combine_chunks() if isinstance(p[0], pa.ChunkedArray) else p[0]
+                 for p in parts]
+            )
+            befores, afters, capbs, capas = (
+                np.concatenate([p[j] for p in parts]) for j in (1, 2, 3, 4)
+            )
+            offs = np.zeros(nb + 1, dtype=np.int32)
+            pos = 0
+            base = 0
+            for p in parts:
+                po = p[5]
+                offs[pos + 1 : pos + len(po)] = po[1:] + base
+                pos += len(po) - 1
+                base += po[-1]
+            crashed = np.concatenate([p[6] for p in parts])
+            return names, befores, afters, capbs, capas, offs, crashed
         offs = np.zeros(nb + 1, dtype=np.int32)
         crashed = np.zeros(nb, dtype=bool)
         z64 = np.zeros(0, dtype=np.int64)
@@ -337,7 +370,10 @@ def stitch_bucket_vec_heap(group: pa.Table, interior: bool = False) -> pa.Table:
         build_deltas(vb)
     )
     if first_crashed.any():
-        zip_crashed.update(codes[vb[first_crashed]].tolist())
+        # conv code of each crashed block via its OPEN-LINE index (vb is a
+        # block ordinal into o, not a line index — indexing codes with it
+        # would roll back an unrelated conversation)
+        zip_crashed.update(codes[o[vb[first_crashed]]].tolist())
         # drop every block of a zip-crashed conversation (the whole conv
         # is rolled back, not just the offending block) and rebuild
         conv_bad = np.isin(codes, np.fromiter(zip_crashed, dtype=codes.dtype))

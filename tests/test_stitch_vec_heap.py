@@ -112,6 +112,73 @@ def test_heap_vec_region_mismatch_crashes_conversation():
     assert len(da) == 1  # crash granularity: whole conversation → one row
 
 
+def test_heap_vec_region_mismatch_rolls_back_right_conversation():
+    """Multi-conversation bucket: only the conversation OWNING the
+    mismatched block crashes; the neighbour's valid blocks stay fast.
+    Regression for block-ordinal vs line-index rollback (codes must be
+    indexed via the block's open line, not the block ordinal)."""
+    bad_block = list(_BLOCK)
+    bad_block[8] = " OtherGen       total 100K, used 10K [0x0,0x1,0x2)"
+    ta = _mk(_BLOCK, conv="a")
+    tb = _mk(_BLOCK + bad_block, conv="b")
+    da = _compare(pa.concat_tables([ta, tb]))
+    a_rows = da[da.conv_id == "a"]
+    b_rows = da[da.conv_id == "b"]
+    # a is untouched: its good block emits one detailed event, no errors
+    assert (a_rows["sink"] == "detailed").sum() == 1
+    assert (a_rows["sink"] == "error").sum() == 0
+    # b crashes whole-conversation: exactly one error row, nothing else
+    assert (b_rows["sink"] == "error").sum() == 1
+    assert len(b_rows) == 1
+
+
+def test_heap_vec_many_subspaces_no_ordinal_overflow():
+    """A region with ≥4096 subspace rows followed by ANOTHER region: a
+    12-bit sub-ordinal would overflow into the region-ordinal bits, so
+    sub #4096's key collides with the next region row's key and the
+    sorted-merge zip mis-pairs rows. The colliding rows share the name
+    'eden' so the mis-pair is a silent wrong delta, not a name-mismatch
+    crash (which would mask the bug by rolling back to python)."""
+    n_sub = 4096
+    subs_b = [f"  eden space {80 + i}K, 100% used [0x0,0x1,0x1)" for i in range(n_sub)]
+    subs_a = [f"  eden space {80 + i}K, 0% used [0x0,0x0,0x1)" for i in range(n_sub)]
+    # every row named "eden" so a mis-pair can't hide behind the
+    # name-mismatch crash/rollback path
+    reg1_b = " eden            total 100K, used 90K [0x0,0x1,0x2)"
+    reg1_a = " eden            total 100K, used 10K [0x0,0x1,0x2)"
+    reg2 = " eden            total 200K, used 150K [0x2,0x3,0x4)"
+    texts = (
+        [_BLOCK[0], reg1_b]
+        + subs_b
+        + [reg2, _BLOCK[6], _BLOCK[7], reg1_a]
+        + subs_a
+        + [reg2, "}"]
+    )
+    da = _compare(_mk(texts))
+    assert (da["sink"] == "detailed").sum() == 1
+    assert (da["sink"] == "error").sum() == 0
+    regions = da[da["sink"] == "detailed"].iloc[0]["regions"]
+    assert len(regions) == 2 + n_sub  # 2 region rows + every paired subspace
+
+
+def test_heap_vec_chunked_build_deltas(monkeypatch):
+    """Shrinking the blk key field forces the chunked build_deltas path;
+    results must be identical to the single-call path."""
+    from gcflow import stitch_vec_heap as svh
+
+    texts = []
+    for i in range(5):
+        blk = list(_BLOCK)
+        blk[6] = blk[6].replace("1.5:", f"{i + 1}.5:")
+        texts += blk
+    flat = _mk(texts)
+    expected = stitch_bucket_vec_heap(flat)
+    monkeypatch.setattr(svh, "MAX_ZIP_BLOCKS", 2)
+    chunked = stitch_bucket_vec_heap(flat)
+    assert expected.sort_by("turn_idx").equals(chunked.sort_by("turn_idx"))
+    _compare(flat)  # and both agree with the python reference path
+
+
 def test_heap_vec_metaspace_block_descends_correctly():
     """Blocks with Metaspace stats aren't fast-shaped — the descent must
     still produce the exact reference event."""
