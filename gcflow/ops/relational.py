@@ -10,7 +10,6 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -87,49 +86,77 @@ def q_rel_q1(sf_dir: str):
     return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
+# ceiling for tables attached via driver-side broadcast: nation is bounded
+# at 25 rows by the data model; anything that GROWS with scale (customer,
+# orders, lineitem) must go through the repartition join instead
+BROADCAST_MAX_ROWS = 10_000
+
+
 def q_rel_nation_revenue(sf_dir: str):
-    """orders ⋈ customer ⋈ nation via broadcast small side (ray.put once,
-    dict lookup per batch — no shuffle join)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    """orders ⋈ customer ⋈ nation, scale-first: orders are pre-aggregated
+    per custkey inside each batch (the combiner keeps the shuffle at one
+    row per (batch, custkey)), then joined to the customer projection with
+    a hash-partitioned repartition join — per-node memory is
+    O(rows / partitions), nothing scale-growing ever reaches the driver.
+    Only the 25-row nation table is attached driver-side, behind an
+    enforced broadcast ceiling."""
+    from .dedup import _ensure_schema, _join_partitions
+
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = cust.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    ).set_index("c_custkey")["n_name"]
-    lookup_ref = ray.put(cust_to_nation.to_dict())
-
-    class AttachNation:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in t["o_custkey"].to_pylist()]
-            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-            t2 = pa.table(
-                {"n_name": pa.array(names, type=pa.string()), "cents": cents}
-            )
-            g = t2.group_by(["n_name"]).aggregate([("cents", "sum"), ([], "count_all")])
-            return g.rename_columns(["n_name", "sp", "cnt"])
+    if len(nation) > BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"nation has {len(nation)} rows — exceeds the "
+            f"{BROADCAST_MAX_ROWS}-row broadcast ceiling; route it through "
+            "the repartition join instead"
+        )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = (
-        orders.map_batches(
-            AttachNation,
-            fn_constructor_args=(lookup_ref,),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    # both counts come from parquet metadata (pre-transform), no execution;
+    # orders bounds the partial row count from above
+    nparts = _join_partitions(orders.count(), cust.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+            }
         )
-        .groupby("n_name")
-        .aggregate(Sum("sp", alias_name="sp"), Sum("cnt", alias_name="cnt"))
-        .to_pandas()
+        g = t2.group_by(["o_custkey"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_custkey", "sp", "cnt"])
+
+    partials = _ensure_schema(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        pa.schema(
+            [("o_custkey", pa.int64()), ("sp", pa.int64()), ("cnt", pa.int64())]
+        ),
     )
-    out = pa.Table.from_pydict(
+    joined = partials.join(
+        cust, "inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"n_nationkey": t["c_nationkey"], "sp": t["sp"], "cnt": t["cnt"]}
+        ).group_by(["n_nationkey"]).aggregate([("sp", "sum"), ("cnt", "sum")])
+        return g.rename_columns(["n_nationkey", "sp", "cnt"])
+
+    agg = (
+        joined.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("sp", alias_name="sp"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ 25 rows
+    ).merge(nation, on="n_nationkey")
+    agg = agg.sort_values("n_name")
+    return pa.Table.from_pydict(
         {
             "n_name": agg["n_name"],
             "n_orders": agg["cnt"].astype("int64"),
             "total_price_cents": agg["sp"].astype("int64"),
         }
     )
-    return out.sort_by([("n_name", "ascending")])
 
 
 def q_rel_topk_orders(sf_dir: str):

@@ -409,3 +409,16 @@ def test_quantiles_duplicate_heavy_distribution(ray_session, tmp_path):
         for q in (0.5, 0.9, 0.99):
             want = s[max(int(np.ceil(q * n)) - 1, 0)]
             assert float(got[got.q == q].value.iloc[0]) == want, (bins, budget, q)
+
+
+def test_nation_revenue_broadcast_ceiling(monkeypatch, ray_session):
+    """The only driver-side table in rel_nation_revenue is nation, behind
+    an enforced broadcast ceiling — a scale-growing side must raise, not
+    silently materialize on the driver."""
+    import pytest
+
+    from gcflow.ops import relational
+
+    monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="broadcast ceiling"):
+        relational.q_rel_nation_revenue(SF)
