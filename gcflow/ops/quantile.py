@@ -146,25 +146,46 @@ def q_evt_value_percentiles(
     ✓SQL oracle despite no global sort ever running."""
     src = os.path.join(sf_dir, "events.parquet")
     ds = rd.read_parquet(src, columns=["value"])
-    lo, hi, n = _value_bounds(src)
+    lo, hi, n_rows = _value_bounds(src)
 
-    if n == 0 or not math.isfinite(lo):
+    empty = pa.table(
+        {"q": pa.array([], type=pa.float64()),
+         "value": pa.array([], type=pa.float64())}
+    )
+    if n_rows == 0 or not math.isfinite(lo):
+        return empty
+    if hi <= lo:  # all non-null values equal — no scan needed
         return pa.table(
-            {"q": pa.array([], type=pa.float64()),
-             "value": pa.array([], type=pa.float64())}
+            {"q": pa.array(sorted(QTL_QS), type=pa.float64()),
+             "value": pa.array([lo] * len(QTL_QS), type=pa.float64())}
         )
 
-    # target 0-indexed order statistics (ascending)
+    # Rank targets need n = the NON-NULL count (quantile_disc ignores
+    # NULLs; parquet row counts include them), so the first pass doubles
+    # as the counter: its root interval [lo, hi] closed covers every
+    # value the later passes/collects can see, and its histogram sum IS
+    # the denominator — no extra scan.
     resolved: dict = {}
-    state = {q: (lo, hi, True, max(int(math.ceil(q * n)) - 1, 0)) for q in QTL_QS}
+    state: dict | None = None  # q -> (lo, hi, closed, k); set after pass 1
     for _ in range(QTL_MAX_PASSES):
-        # degenerate intervals are single-valued — resolve without a scan
-        for q in [q for q, s in state.items() if s[1] <= s[0]]:
-            resolved[q] = state.pop(q)[0]
-        if not state:
-            break
-        intervals = sorted({(s[0], s[1], s[2]) for s in state.values()})
+        if state is not None:
+            # degenerate intervals are single-valued — resolve without a scan
+            for q in [q for q, s in state.items() if s[1] <= s[0]]:
+                resolved[q] = state.pop(q)[0]
+            if not state:
+                break
+            intervals = sorted({(s[0], s[1], s[2]) for s in state.values()})
+        else:
+            intervals = [(lo, hi, True)]
         hist = _hist_pass(ds, intervals, bins)
+        if state is None:
+            n = int(hist[0].sum())
+            if n == 0:  # column is entirely NULL/NaN
+                return empty
+            state = {
+                q: (lo, hi, True, max(int(math.ceil(q * n)) - 1, 0))
+                for q in QTL_QS
+            }
         iv_index = {iv: j for j, iv in enumerate(intervals)}
         nxt = {}
         for q, (qlo, qhi, closed, k) in state.items():

@@ -130,19 +130,24 @@ _EXCHANGE_ZCOLS = ("text", "conv_id", "role", "tool")
 
 def _compress_packed_strcols(packed: pa.Table) -> pa.Table:
     """Replace each packed ``list<string>`` exchange column with
-    per-bucket-row ``(<col>_z, <col>_lens)``: the row's strings
-    concatenated and lz4-compressed + their int32 lengths.  GC-log text
-    is extremely repetitive and conv_id/role/tool are near-constant
-    within a bucket row (measured on the bench corpus: text alone 5.7×,
-    all four string columns 3.64× total exchange reduction (73.8 → 20.2 MB per corpus block), lz4 at
-    ~3.3/1.9 GB/s compress/decompress) — on a multi-node cluster that is
-    NETWORK shuffle volume.  ≤ num_buckets rows per block → the per-row
-    python loop is bounded and cheap."""
+    per-bucket-row ``(<col>_z, <col>_lens, <col>_nulls)``: the row's
+    strings concatenated and lz4-compressed + their int32 lengths + a
+    bit-packed validity mask (empty bytes when the row has no nulls, so
+    the common all-valid case costs nothing).  GC-log text is extremely
+    repetitive and conv_id/role/tool are near-constant within a bucket
+    row (measured on the bench corpus: text alone 5.7×, all four string
+    columns 3.64× total exchange reduction, 73.8 → 20.2 MB per corpus
+    block, lz4 at ~3.3/1.9 GB/s compress/decompress) — on a multi-node
+    cluster that is NETWORK shuffle volume.  ``turn_idx`` is
+    delta-encoded within the bucket row then lz4'd: turns are consecutive
+    within a conversation run, so the delta stream is almost all 1s.
+    ≤ num_buckets rows per block → the per-row python loop is bounded
+    and cheap."""
     codec = pa.Codec("lz4")
     out = packed
     for name in _EXCHANGE_ZCOLS:
         col = packed[name]
-        blobs, lens = [], []
+        blobs, lens, nulls = [], [], []
         for i in range(len(packed)):
             arr = col[i].values
             if isinstance(arr, pa.ChunkedArray):
@@ -159,25 +164,59 @@ def _compress_packed_strcols(packed: pa.Table) -> pa.Table:
             )
             lens.append((off[1:] - off[:-1]).astype(np.int32).tobytes())
             blobs.append(codec.compress(data.tobytes(), asbytes=True))
+            if arr.null_count:
+                m = arr.is_valid().to_numpy(zero_copy_only=False)
+                nulls.append(np.packbits(m, bitorder="little").tobytes())
+            else:
+                nulls.append(b"")
         out = out.drop_columns([name]) \
                  .append_column(f"{name}_z", pa.array(blobs, type=pa.binary())) \
-                 .append_column(f"{name}_lens", pa.array(lens, type=pa.binary()))
+                 .append_column(f"{name}_lens", pa.array(lens, type=pa.binary())) \
+                 .append_column(f"{name}_nulls", pa.array(nulls, type=pa.binary()))
+    # turn_idx: frame-of-reference (delta within the bucket row) + lz4.
+    # The transcript schema requires turn_idx non-null, so only values
+    # travel (asserted — a null here would corrupt the cumsum rebuild).
+    tcol = packed["turn_idx"]
+    tblobs, tcounts = [], []
+    for i in range(len(packed)):
+        arr = tcol[i].values
+        assert arr.null_count == 0, "turn_idx must be non-null on the exchange"
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        d = np.diff(v, prepend=np.int64(0))
+        tblobs.append(codec.compress(d.tobytes(), asbytes=True))
+        tcounts.append(len(v))
+    out = out.drop_columns(["turn_idx"]) \
+             .append_column("turn_idx_z", pa.array(tblobs, type=pa.binary())) \
+             .append_column("turn_idx_n", pa.array(tcounts, type=pa.int32()))
     return out
 
 
 def _decompress_packed_strcol(group: pa.Table, name: str) -> pa.Array:
     """Inverse of :func:`_compress_packed_strcols` for one column of one
     bucket group: rebuild the flattened utf8 array straight from
-    offset/data buffers (no per-string python)."""
+    offset/data buffers (no per-string python), restoring nulls from the
+    bit-packed validity mask when present."""
     codec = pa.Codec("lz4")
-    parts, lens_parts = [], []
-    zcol, lcol = group[f"{name}_z"], group[f"{name}_lens"]
+    parts, lens_parts, masks = [], [], []
+    any_null = False
+    zcol, lcol, ncol = group[f"{name}_z"], group[f"{name}_lens"], group[f"{name}_nulls"]
     for i in range(len(group)):
         ln = np.frombuffer(lcol[i].as_py(), dtype=np.int32)
         total = int(ln.sum())
         parts.append(codec.decompress(zcol[i].as_py(), decompressed_size=total,
                                       asbytes=True))
         lens_parts.append(ln)
+        nb = ncol[i].as_py()
+        if nb:
+            any_null = True
+            masks.append(
+                np.unpackbits(
+                    np.frombuffer(nb, dtype=np.uint8),
+                    count=len(ln), bitorder="little",
+                ).astype(bool)
+            )
+        else:
+            masks.append(np.ones(len(ln), dtype=bool))
     data = b"".join(parts)
     ln = (np.concatenate(lens_parts) if lens_parts
           else np.empty(0, dtype=np.int32))
@@ -185,10 +224,35 @@ def _decompress_packed_strcol(group: pa.Table, name: str) -> pa.Array:
     # the corpus block (~tens of MB), far under the 2 GiB offset limit
     offsets = np.zeros(len(ln) + 1, dtype=np.int32)
     np.cumsum(ln, out=offsets[1:])
+    validity = None
+    null_count = 0
+    if any_null:
+        vm = np.concatenate(masks)
+        null_count = int(len(vm) - vm.sum())
+        validity = pa.py_buffer(np.packbits(vm, bitorder="little").tobytes())
     return pa.Array.from_buffers(
         pa.utf8(), len(ln),
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        null_count=null_count,
     )
+
+
+def _decompress_packed_turn_idx(group: pa.Table) -> pa.Array:
+    """Rebuild turn_idx from the per-bucket-row delta+lz4 stream."""
+    codec = pa.Codec("lz4")
+    zcol, ncol = group["turn_idx_z"], group["turn_idx_n"]
+    parts = []
+    for i in range(len(group)):
+        cnt = ncol[i].as_py()
+        d = np.frombuffer(
+            codec.decompress(
+                zcol[i].as_py(), decompressed_size=cnt * 8, asbytes=True
+            ),
+            dtype=np.int64,
+        )
+        parts.append(np.cumsum(d))
+    vals = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    return pa.array(vals, type=pa.int64())
 
 
 def parse_events(
@@ -245,7 +309,12 @@ def parse_events(
 
     def unpack_and_stitch(group: pa.Table) -> pa.Table:
         zipped = "text_z" in group.column_names
-        cols = {"turn_idx": pc.list_flatten(group["turn_idx"])}
+        cols = {
+            "turn_idx": (
+                _decompress_packed_turn_idx(group) if zipped
+                else pc.list_flatten(group["turn_idx"])
+            )
+        }
         for c in _EXCHANGE_ZCOLS:
             cols[c] = (
                 _decompress_packed_strcol(group, c) if zipped

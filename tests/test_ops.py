@@ -422,3 +422,47 @@ def test_nation_revenue_broadcast_ceiling(monkeypatch, ray_session):
     monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="broadcast ceiling"):
         relational.q_rel_nation_revenue(SF)
+
+
+def test_quantiles_ignore_nulls(ray_session, tmp_path):
+    """NULL values must not shift the rank targets: quantile_disc ignores
+    NULLs, so n must be the non-null count (parquet row counts include
+    nulls). Also covers the all-null and all-equal-plus-nulls columns."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import QUANTILE_ORACLES, q_evt_value_percentiles
+
+    rs = np.random.RandomState(7)
+    vals = list(rs.exponential(5.0, 3000)) + [None] * 2000
+    rs.shuffle(vals)
+    pq.write_table(
+        pa.table({"value": pa.array(vals, type=pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    for bins, budget in [(8192, 5_000_000), (16, 50)]:
+        got = q_evt_value_percentiles(str(tmp_path), bins=bins, budget=budget).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        want = con.execute(QUANTILE_ORACLES["evt_value_percentiles"]).df()
+        merged = got.merge(want, on="q", suffixes=("_got", "_want"))
+        assert (merged.value_got == merged.value_want).all(), (bins, budget, merged)
+
+    # all-null column → empty result, no crash
+    pq.write_table(
+        pa.table({"value": pa.array([None] * 100, type=pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    assert len(q_evt_value_percentiles(str(tmp_path))) == 0
+
+    # all-equal values with interleaved nulls → every quantile is that value
+    pq.write_table(
+        pa.table({"value": pa.array([3.5, None] * 50, type=pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    got = q_evt_value_percentiles(str(tmp_path)).to_pandas()
+    assert (got.value == 3.5).all() and len(got) == 3

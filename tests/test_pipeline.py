@@ -159,3 +159,65 @@ def test_compressed_exchange_equivalent(ray_session, mode):
     b = b.sort_values(key, kind="stable").reset_index(drop=True)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_compressed_exchange_preserves_nulls(ray_session):
+    """Null string columns must round-trip the lz4 exchange codec as
+    nulls, not coerce to "" (repo generators never emit nulls, so the
+    fixture-based equivalence test can't catch this)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    table = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2", "c2"],
+            "turn_idx": [0, 1, 0, 1],
+            "role": ["user", None, "user", "agent"],
+            "text": [
+                "1.5: [GC (Allocation Failure) [PSYoungGen: 90K->10K(100K)]"
+                " 240K->160K(300K), 0.0100000 secs]"
+                " [Times: user=0.1 sys=0.0, real=0.1 secs]",
+                "junk",
+                "junk",
+                "2.0: Total time for which application threads were stopped:"
+                " 0.5000000 seconds, Stopping threads took: 0.0010000 seconds",
+            ],
+            "tool": [None, "jvm", "jvm", None],
+        }
+    )
+    a = pl.parse_events(
+        rd.from_arrow(table), enrich=False, prefilter=False,
+        compress_exchange=False,
+    ).to_pandas()
+    b = pl.parse_events(
+        rd.from_arrow(table), enrich=False, prefilter=False,
+        compress_exchange=True,
+    ).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, kind="stable").reset_index(drop=True)
+    b = b.sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_compressed_exchange_turn_idx_delta_roundtrip():
+    """Delta-encoded turn_idx must rebuild exactly, including
+    non-monotonic jumps at conversation boundaries within a bucket row."""
+    import pyarrow as pa
+
+    packed = pa.table(
+        {
+            "bucket": pa.array([0, 1], type=pa.int32()),
+            "conv_id": [["a", "a", "b"], ["c"]],
+            "turn_idx": [[5, 6, 0], [2_147_500_000]],  # > int32 value
+            "role": [["u", "u", "u"], ["u"]],
+            "text": [["x", "y", "z"], ["w"]],
+            "tool": [["t", "t", "t"], ["t"]],
+        }
+    )
+    z = pl._compress_packed_strcols(packed)
+    got = pl._decompress_packed_turn_idx(z)
+    assert got.to_pylist() == [5, 6, 0, 2_147_500_000]
+    assert pl._decompress_packed_strcol(z, "conv_id").to_pylist() == [
+        "a", "a", "b", "c",
+    ]
