@@ -211,10 +211,12 @@ def main():
         ("doc_minhash_lsh", q_doc_minhash_lsh),
         ("emb_ann_topk", q_emb_ann_topk),
     ]:
-        # min over the same repeat count as the headline: single-shot op
-        # timings on this box swing ±50%+ (session worker-pool state)
+        # min over at least 3 repeats: single-shot op timings on this box
+        # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for
+        # the SAME minhash job in one warm session — the r2→r3
+        # "regression" on this op was exactly this noise band)
         op_runs = []
-        for _ in range(n_runs):
+        for _ in range(max(n_runs, 3)):
             t0 = time.perf_counter()
             res = fn(SF_DIR)
             if hasattr(res, "to_pandas") and not isinstance(
