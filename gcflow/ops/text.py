@@ -172,57 +172,60 @@ def q_doc_sample_stratified(sf_dir: str):
     the smallest content hash per predicted-language class — per-batch
     partial top-k (associative), then a final per-class reduce
     (``groupby(pred_lang).map_groups`` — class cardinality is tiny, so
-    per-group machinery is fine here, unlike per-user/per-conv keys)."""
-    import pandas as pd
+    per-group machinery is fine here, unlike per-user/per-conv keys).
+    Arrow end to end (sort_indices + ranked prefix filter)."""
+    import numpy as np
 
     stop_re = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
 
-    def classify_hash(t: pa.Table) -> pd.DataFrame:
+    def classify_hash(t: pa.Table) -> pa.Table:
         n_stop = pc.count_substring_regex(t["text"], stop_re)
         n_tok = pc.add(pc.count_substring(t["text"], " "), 1)
         ratio = pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(n_tok, pa.float64()))
         pred = pc.if_else(
             pc.greater_equal(ratio, LANG_THRESHOLD), pa.scalar("en"), pa.scalar("unk")
         )
-        return pd.DataFrame(
-            {
-                "doc_id": t["doc_id"].to_numpy(),
-                "pred_lang": pred.to_numpy(zero_copy_only=False),
-                "h": [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()],
-            }
-        )
-
-    def head_per_class(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(["pred_lang", "h", "doc_id"], kind="stable")
-            .groupby("pred_lang", sort=False)
-            .head(STRAT_PER_CLASS)
-            .reset_index(drop=True)
-        )
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        return head_per_class(classify_hash(t))
-
-    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    final = partials.groupby("pred_lang").map_groups(
-        head_per_class, batch_format="pandas"
-    )
-
-    def project(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.schema(
-                [("doc_id", pa.int64()), ("pred_lang", pa.string())]
-            ).empty_table()
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "pred_lang": pc.cast(t["pred_lang"], pa.string()),
+                "pred_lang": pred,
+                "h": pa.array(
+                    [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()],
+                    type=pa.string(),
+                ),
             }
         )
 
-    return final.map_batches(project, batch_format="pyarrow")
+    def head_per_class(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("pred_lang", pa.string()),
+                 ("h", pa.string())]
+            ).empty_table()
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("pred_lang", "ascending"), ("h", "ascending"),
+                           ("doc_id", "ascending")],
+            )
+        )
+        lang = t["pred_lang"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], lang[1:] != lang[:-1]))
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(lang)) - np.repeat(
+            starts, np.diff(np.append(starts, len(lang)))
+        )
+        return t.filter(pa.array(rank < STRAT_PER_CLASS))
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: head_per_class(classify_hash(t)), batch_format="pyarrow"
+    )
+    final = partials.groupby("pred_lang").map_groups(
+        head_per_class, batch_format="pyarrow"
+    )
+    return final.map_batches(
+        lambda t: t.select(["doc_id", "pred_lang"]), batch_format="pyarrow"
+    )
 
 
 _STOP_SQL = "', '".join(STOPWORDS)

@@ -120,29 +120,186 @@ def write_tsv(
                 f.write(delimiter.join(v for _, v in seq) + "\n")
 
 
+_GRAPHITE_EMPTY = pa.schema(
+    [("path", pa.string()), ("value", pa.string()), ("epoch", pa.int64())]
+)
+
+
 def graphite_table(batch: pa.Table, prefix: str = "gc", with_rates: bool = True) -> pa.Table:
-    """Wide→long unpivot: one row per (event × attribute), excluding
-    datetime; epoch = UTC seconds (OutputFormat.scala:24-36)."""
-    paths, values, epochs = [], [], []
-    for row in batch.to_pylist():
-        ts = row["ts"]
-        if not _present(ts):
-            # the reference NPEs on a null event time (event.time.getMillis,
-            # OutputFormat.scala:27); we skip the event instead — graphite
-            # lines are meaningless without an epoch
-            continue
-        epoch = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 1000
-        for k, v in arrow_export_seq(row, with_rates):
-            if k == "datetime":
-                continue
-            paths.append(f"{prefix}.{k}")
-            values.append(v)
-            epochs.append(epoch)
+    """Wide→long unpivot, vectorized: one row per (event × attribute),
+    excluding datetime; epoch = UTC seconds (OutputFormat.scala:24-36).
+    Null-ts events are skipped (the reference NPEs there — graphite lines
+    are meaningless without an epoch).
+
+    Column-granular Arrow/numpy kernels build (parent, order, path,
+    value) quadruples per attribute class; a stable lexsort restores the
+    reference's per-event toExport order and a grouped first-occurrence
+    filter reproduces the regions dedup (DetailedGCEvent.scala pair
+    distinct).  Tested element-equal to the per-row ``arrow_export_seq``
+    twin on the conformance corpus — no per-row python remains."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    t = batch.filter(pc.is_valid(batch["ts"]))
+    n = len(t)
+    if n == 0:
+        return _GRAPHITE_EMPTY.empty_table()
+    epoch = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) // 1000
+
+    parents, orders, paths, values = [], [], [], []
+
+    def _chunked(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    def emit(parent_idx, order, path, value):
+        m = len(parent_idx)
+        if m == 0:
+            return
+        parents.append(np.asarray(parent_idx, dtype=np.int64))
+        orders.append(
+            np.full(m, order, dtype=np.int64)
+            if np.isscalar(order) else np.asarray(order, dtype=np.int64)
+        )
+        paths.append(
+            pa.array([f"{prefix}.{path}"] * m, type=pa.string())
+            if isinstance(path, str) else _chunked(path)
+        )
+        values.append(_chunked(value))
+
+    def _jd_col(col: str, idx: np.ndarray) -> pa.Array:
+        # java_double_str is inherently scalar formatting; applied per
+        # COLUMN over just the selected values, never per event row
+        v = t[col].to_numpy(zero_copy_only=False)[idx]
+        return pa.array([java_double_str(float(x)) for x in v], type=pa.string())
+
+    def _int_col(col: str, idx: np.ndarray) -> pa.Array:
+        return _chunked(pc.cast(t[col].take(pa.array(idx)), pa.string()))
+
+    all_rows = np.arange(n, dtype=np.int64)
+    is_app = pc.equal(t["sink"], "app_stopped").to_numpy(zero_copy_only=False)
+    app_idx = np.flatnonzero(is_app)
+    gc_idx = np.flatnonzero(~is_app)
+
+    emit(all_rows, 0, "age", _jd_col("jvm_age_seconds", all_rows))
+    emit(all_rows, 1, "type", t["event_type"])
+    if len(app_idx):
+        for j, col, nm in ((2, "stopped_seconds", "stoppedSeconds"),
+                           (3, "seconds_to_stop", "secondsToStop")):
+            v = t[col].to_numpy(zero_copy_only=False)[app_idx]
+            emit(app_idx, j, nm, pa.array(np.char.mod("%f", v), type=pa.string()))
+    if len(gc_idx):
+        cause_i = np.flatnonzero(
+            pc.is_valid(t["gc_cause"]).to_numpy(zero_copy_only=False) & ~is_app
+        )
+        emit(cause_i, 4, "cause", t["gc_cause"].take(pa.array(cause_i)))
+        emit(gc_idx, 5, "pause", _jd_col("pause_seconds", gc_idx))
+        heap_i = np.flatnonzero(
+            pc.is_valid(t["heap_before_bytes"]).to_numpy(zero_copy_only=False)
+            & ~is_app
+        )
+        for j, (nm, col) in enumerate(
+            [("heapBefore", "heap_before_bytes"), ("heapAfter", "heap_after_bytes"),
+             ("heapReclaimed", "heap_reclaimed_bytes"), ("heapMax", "heap_capacity_bytes")]
+        ):
+            emit(heap_i, 6 + j, nm, _int_col(col, heap_i))
+        prom_i = np.flatnonzero(
+            pc.is_valid(t["promoted_bytes"]).to_numpy(zero_copy_only=False) & ~is_app
+        )
+        emit(prom_i, 10_000, "promoted", _int_col("promoted_bytes", prom_i))
+        ten_i = np.flatnonzero(
+            pc.is_valid(t["tenuring_new_threshold"]).to_numpy(zero_copy_only=False)
+            & ~is_app
+        )
+        emit(ten_i, 10_001, "desiredSurvivorSize", _int_col("tenuring_desired_bytes", ten_i))
+        emit(ten_i, 10_002, "newThreshold", _int_col("tenuring_new_threshold", ten_i))
+
+    def emit_list(col: str, base: int, fields: list):
+        """fields = [(suffix, struct_field | callable(flat)->Array)]."""
+        arr = _chunked(t[col])
+        flat = pc.list_flatten(arr)
+        par = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        if len(par) == 0:
+            return
+        keep = ~is_app[par]
+        sel = np.flatnonzero(keep)
+        if len(sel) == 0:
+            return
+        par = par[sel]
+        flat = flat.take(pa.array(sel))
+        # ordinal within parent (parent indices are nondecreasing)
+        first = np.concatenate(([True], par[1:] != par[:-1]))
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(par)))
+        ordinal = np.arange(len(par), dtype=np.int64) - np.repeat(starts, lens)
+        m = len(par)
+        names = pc.struct_field(flat, "name")
+        pre = pa.array([f"{prefix}."] * m, type=pa.string())
+        for j, (suffix, getter) in enumerate(fields):
+            val = getter(flat) if callable(getter) else pc.struct_field(flat, getter)
+            emit(
+                par, base + ordinal * len(fields) + j,
+                pc.binary_join_element_wise(
+                    pre, names, pa.array([suffix] * m, type=pa.string()), ""
+                ),
+                pc.cast(val, pa.string()),
+            )
+
+    emit_list(
+        "generations", 100,
+        [("Before", "before_bytes"), ("After", "after_bytes"),
+         ("Reclaimed", lambda f: pc.subtract(
+             pc.struct_field(f, "before_bytes"), pc.struct_field(f, "after_bytes"))),
+         ("Max", "capacity_bytes")],
+    )
+    emit_list(
+        "regions", 20_000,
+        [("Before", "before"), ("After", "after"),
+         ("CapacityBefore", "capacity_before"), ("CapacityAfter", "capacity_after")],
+    )
+
+    if with_rates:
+        for j, (nm, col) in enumerate(
+            [("heapAllocated", "allocated_bytes"),
+             ("heapAllocationRate", "alloc_rate"),
+             ("promotionRate", "promotion_rate")]
+        ):
+            emit(
+                all_rows, 1_000_000 + j, nm,
+                pc.fill_null(pc.cast(t[col], pa.string()), "0"),
+            )
+
+    par = np.concatenate(parents)
+    orr = np.concatenate(orders)
+    path_arr = pa.concat_arrays(paths)
+    val_arr = pa.concat_arrays(values)
+    sortidx = np.lexsort((orr, par))
+    par, orr = par[sortidx], orr[sortidx]
+    take = pa.array(sortidx)
+    path_arr, val_arr = path_arr.take(take), val_arr.take(take)
+
+    # regions dedup: the reference distincts (name, value) pairs WITHIN an
+    # event iff it has regions, before the rates suffix is appended
+    reg_len = pc.fill_null(
+        pc.list_value_length(t["regions"]), 0
+    ).to_numpy(zero_copy_only=False)
+    scope = (reg_len[par] > 0) & (orr < 1_000_000)
+    if scope.any():
+        import pandas as pd
+
+        dup = pd.DataFrame(
+            {"p": par, "k": path_arr.to_pandas(), "v": val_arr.to_pandas()}
+        ).duplicated(["p", "k", "v"], keep="first").to_numpy()
+        keep = ~(dup & scope)
+        if not keep.all():
+            par = par[keep]
+            take = pa.array(np.flatnonzero(keep))
+            path_arr, val_arr = path_arr.take(take), val_arr.take(take)
+
     return pa.table(
         {
-            "path": pa.array(paths, type=pa.string()),
-            "value": pa.array(values, type=pa.string()),
-            "epoch": pa.array(epochs, type=pa.int64()),
+            "path": path_arr,
+            "value": val_arr,
+            "epoch": pa.array(epoch[par], type=pa.int64()),
         }
     )
 

@@ -295,7 +295,7 @@ def stitch_bucket_vec(group: pa.Table, interior: bool = False) -> pa.Table:
         )
         epochs, offsets = _parse_ts_rows(f["ts"].to_pylist())
         gens_col, promoted_col = _gens_promoted(
-            f["gt"].to_pylist(), f["pre"].to_pylist(), f["post"].to_pylist(), hb_b, ha_b
+            f["gt"], f["pre"], f["post"], hb_b, ha_b
         )
         tables.append(
             _make_table(
@@ -325,8 +325,7 @@ def stitch_bucket_vec(group: pa.Table, interior: bool = False) -> pa.Table:
         hc_b = _bytes_col(cl["hc"], cl["hcs"], ones)
         epochs, offsets = _parse_ts_rows(o["ts"].to_pylist())
         gens_col, promoted_col = _gens_promoted(
-            o["gt"].to_pylist(), cl["pre"].to_pylist(), cl["post"].to_pylist(),
-            hb_b, ha_b,
+            o["gt"], cl["pre"], cl["post"], hb_b, ha_b,
         )
         tables.append(
             _make_table(
@@ -388,36 +387,83 @@ def stitch_bucket_vec(group: pa.Table, interior: bool = False) -> pa.Table:
     return apply_rates_bucket(out)
 
 
-def _gens_promoted(gt: list, pre: list, post: list, hb_b, ha_b) -> tuple:
+# Arrow twin of _GEN_RE with digits/suffix split so size conversion stays
+# columnar (_bytes_col)
+_GEN_ARROW_RE = (
+    r"\[(?P<gnm>[a-zA-Z0-9 \-]+): (?P<gb>\d+)(?P<gbs>[KM])"
+    r"->(?P<ga>\d+)(?P<gas>[KM])\((?P<gc>\d+)(?P<gcs>[KM])\)"
+    r"(?:, \d+\.\d+ secs)?\]"
+)
+
+
+def _gens_promoted(gt, pre, post, hb_b, ha_b) -> tuple:
     """Generation structs + the promotedBytes quirk (BasicGCEvent.scala:
     promoted = first-non-'young'-generation delta − heap delta, GC only).
 
-    Columnar build: ONE regex pass over the row-joined pre+post strings
-    (match → row attribution via searchsorted on row-end offsets), size
-    strings converted once, and the list<struct> column assembled from
-    flat arrays (ListArray.from_arrays) — no per-row findall, no per-gen
-    python dicts."""
-    n = len(gt)
-    combined = [(pre[i] or "") + "\x00" + (post[i] or "") for i in range(n)]
-    big = "\n".join(combined)
-    row_ends = np.cumsum(np.fromiter((len(c) + 1 for c in combined), dtype=np.int64, count=n))
-    names, b_s, a_s, c_s, rows = [], [], [], [], []
-    for m in _GEN_RE.finditer(big):
-        names.append(m.group(1))
-        b_s.append(m.group(2))
-        a_s.append(m.group(3))
-        c_s.append(m.group(4))
-        rows.append(m.start())
-    row_of = np.searchsorted(row_ends, np.asarray(rows, dtype=np.int64), side="right")
-    before = np.fromiter((ev.to_bytes(s) for s in b_s), dtype=np.int64, count=len(b_s))
-    after = np.fromiter((ev.to_bytes(s) for s in a_s), dtype=np.int64, count=len(a_s))
-    cap = np.fromiter((ev.to_bytes(s) for s in c_s), dtype=np.int64, count=len(c_s))
+    Fully columnar: the k-th generation of every row is pulled by one
+    C-speed ``pc.extract_regex`` pass over the still-matching rows, the
+    match is stripped (``replace_substring_regex`` max_replacements=1)
+    and the pass repeats — rows have ≤~4 generations, so the whole batch
+    costs a handful of Arrow kernel calls instead of a python finditer
+    loop over every match.  Inputs may be Arrow arrays or python lists."""
+
+    def _arr(v):
+        if isinstance(v, pa.ChunkedArray):
+            return v.combine_chunks()
+        if isinstance(v, pa.Array):
+            return v
+        return pa.array(v, type=pa.string())
+
+    gt_a = _arr(gt)
+    n = len(gt_a)
+    cur = pc.binary_join_element_wise(
+        pc.fill_null(_arr(pre), ""), pc.fill_null(_arr(post), ""), "\x00"
+    )
+    rows = np.arange(n, dtype=np.int64)
+    f_names, f_b, f_a, f_c, f_rows, f_pass = [], [], [], [], [], []
+    pass_k = 0
+    while len(cur):
+        s = pc.extract_regex(cur, _GEN_ARROW_RE)
+        sel = np.flatnonzero(pc.is_valid(s).to_numpy(zero_copy_only=False))
+        if len(sel) == 0:
+            break
+        tk = pa.array(sel)
+        ss = s.take(tk)
+        ones = np.ones(len(sel), dtype=bool)
+        f_names.append(pc.struct_field(ss, "gnm"))
+        f_b.append(_bytes_col(pc.struct_field(ss, "gb"), pc.struct_field(ss, "gbs"), ones))
+        f_a.append(_bytes_col(pc.struct_field(ss, "ga"), pc.struct_field(ss, "gas"), ones))
+        f_c.append(_bytes_col(pc.struct_field(ss, "gc"), pc.struct_field(ss, "gcs"), ones))
+        rows = rows[sel]
+        f_rows.append(rows)
+        f_pass.append(np.full(len(sel), pass_k, dtype=np.int64))
+        cur = pc.replace_substring_regex(
+            cur.take(tk), _GEN_ARROW_RE, "", max_replacements=1
+        )
+        pass_k += 1
+
+    if f_rows:
+        rows_all = np.concatenate(f_rows)
+        pass_all = np.concatenate(f_pass)
+        order = np.lexsort((pass_all, rows_all))  # flat arrays in (row, match) order
+        row_of = rows_all[order]
+        names_arr = pa.concat_arrays(
+            [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in f_names]
+        ).take(pa.array(order))
+        before = np.concatenate(f_b)[order]
+        after = np.concatenate(f_a)[order]
+        cap = np.concatenate(f_c)[order]
+    else:
+        row_of = np.zeros(0, dtype=np.int64)
+        names_arr = pa.array([], type=pa.string())
+        before = after = cap = np.zeros(0, dtype=np.int64)
+
     counts = np.bincount(row_of, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(counts, out=offsets[1:])
     struct = pa.StructArray.from_arrays(
         [
-            pa.array(names, type=pa.string()),
+            names_arr,
             pa.array(before, type=pa.int64()),
             pa.array(after, type=pa.int64()),
             pa.array(cap, type=pa.int64()),
@@ -428,13 +474,13 @@ def _gens_promoted(gt: list, pre: list, post: list, hb_b, ha_b) -> tuple:
     # promotedBytes quirk: first gen whose lowered name != 'young', GC only
     promoted = np.zeros(n, dtype=np.int64)
     has_prom = np.zeros(n, dtype=bool)
-    if len(names):
-        not_young = np.fromiter(
-            (nm.lower() != "young" for nm in names), dtype=bool, count=len(names)
-        )
-        is_gc = np.fromiter((g == "GC" for g in gt), dtype=bool, count=n)
+    if len(row_of):
+        not_young = pc.not_equal(
+            pc.utf8_lower(names_arr), "young"
+        ).to_numpy(zero_copy_only=False)
+        is_gc = pc.equal(gt_a, "GC").to_numpy(zero_copy_only=False)
         sel = not_young & is_gc[row_of]
-        # first qualifying match per row: matches are in ascending position
+        # first qualifying match per row: flat arrays are in (row, match)
         # order, so the first occurrence of each row id wins
         rows_sel, first_idx = np.unique(row_of[sel], return_index=True)
         src = np.flatnonzero(sel)[first_idx]

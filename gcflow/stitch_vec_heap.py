@@ -528,8 +528,7 @@ def stitch_bucket_vec_heap(group: pa.Table, interior: bool = False) -> pa.Table:
             )
             epochs, offsets = _parse_ts_rows(f["ts"].to_pylist())
             gens_col, promoted_col = _gens_promoted(
-                f["gt"].to_pylist(), f["pre"].to_pylist(), f["post"].to_pylist(),
-                hb_b, ha_b,
+                f["gt"], f["pre"], f["post"], hb_b, ha_b,
             )
             tables.append(
                 _make_table(
@@ -569,8 +568,7 @@ def stitch_bucket_vec_heap(group: pa.Table, interior: bool = False) -> pa.Table:
             hc_b = _bytes_col(fc["hc"], fc["hcs"], ones)
             epochs, offsets = _parse_ts_rows(fo["ts"].to_pylist())
             gens_col, promoted_col = _gens_promoted(
-                fo["gt"].to_pylist(), fc["pre"].to_pylist(), fc["post"].to_pylist(),
-                hb_b, ha_b,
+                fo["gt"], fc["pre"], fc["post"], hb_b, ha_b,
             )
             tables.append(
                 _make_table(

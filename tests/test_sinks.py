@@ -183,3 +183,39 @@ def test_checkpoint_rerun_output_not_duplicated(ray_session, tmp_path):
     assert _total_sink_rows(out) == want2
     assert not os.path.isdir(os.path.join(out, "shard=2"))
     assert cp.completed_shards(out) == {0, 1}
+
+
+def test_graphite_table_matches_rowwise_export(ray_session):
+    """The vectorized graphite unpivot must emit exactly the per-row
+    arrow_export_seq lines (order, formatting, regions dedup, rates) over
+    both basic and heap-stats conformance corpora."""
+    import pyarrow as pa
+
+    import gcflow.pipeline as pl
+    from gcflow import transcripts as tr
+    from ray.data import from_arrow
+
+    for mode in ("basic", "heap"):
+        events = pl.parse_events(
+            from_arrow(tr.fixture_transcripts()), mode=mode
+        ).to_arrow_refs()
+        import ray as _ray
+
+        table = pa.concat_tables([_ray.get(r) for r in events])
+        for with_rates in (True, False):
+            got = sinks.graphite_table(table, with_rates=with_rates)
+            want_rows = []
+            for row in table.to_pylist():
+                ts = row["ts"]
+                if ts is None or ts != ts:
+                    continue
+                epoch = int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts) // 1000
+                for k, v in sinks.arrow_export_seq(row, with_rates):
+                    if k == "datetime":
+                        continue
+                    want_rows.append((f"gc.{k}", v, epoch))
+            got_rows = list(
+                zip(got["path"].to_pylist(), got["value"].to_pylist(),
+                    got["epoch"].to_pylist())
+            )
+            assert got_rows == want_rows, (mode, with_rates, len(got_rows), len(want_rows))
