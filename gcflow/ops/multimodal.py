@@ -1,14 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video libraries are not available in this environment, so the
-*decode kernel* is stubbed (clearly marked), while everything Ray-side —
+IMAGE/VIDEO libraries are not available in this environment, so those
+decode kernels are stubbed (clearly marked), while everything Ray-side —
 binary schema, actor-pool stage signature, small batches for large rows,
 metadata extraction, output layout — is real and tested.
 
+AUDIO decode is REAL: the stdlib ``wave``/``audioop`` modules decode
+WAV/PCM payloads (``AudioDecodeStage`` — header params, frame counts,
+RMS/peak amplitude), driven by ``mm_audio_meta`` over deterministic
+synthesized tones whose header metadata is a closed form of doc_id, so
+the real kernel is FULL-SQL-oracled (the oracle computes the same closed
+form; the kernel must reproduce it from the bytes).
+
 ``mm_payload_meta`` treats the documents' text bytes as an opaque binary
-payload and extracts (byte length, digest) — SQL-oracled.  The decode
-stage (``DecodeStage``) is an actor-pool class whose real path raises
-``NotImplementedError`` unless a decoder import succeeds; its
+payload and extracts (byte length, digest) — SQL-oracled.  The image
+decode stage (``DecodeStage``) is an actor-pool class whose real path
+raises ``NotImplementedError`` unless a decoder import succeeds; its
 deterministic fake path derives fake width/height from the digest so the
 distributed plumbing is exercised end-to-end in pytest.
 """
@@ -16,6 +23,7 @@ distributed plumbing is exercised end-to-end in pytest.
 from __future__ import annotations
 
 import hashlib
+import io
 import os
 
 import pyarrow as pa
@@ -238,8 +246,119 @@ def media_pipeline(sf_dir: str, concurrency=(1, 4), batch_size: int = 64) -> rd.
     )
 
 
+# --------------------------------------------------------------- audio
+# Deterministic WAV synthesis: every header/shape parameter is a CLOSED
+# FORM of doc_id, so the SQL oracle can state the expected decode output
+# without decoding — the real kernel must recover it from the bytes.
+
+AUDIO_AMP = 12000
+
+
+def _audio_params(doc_id: int) -> dict:
+    sr = 8000 * (1 + doc_id % 2)
+    n_channels = 1 + doc_id % 2
+    n_frames = (sr // 10) * (1 + doc_id % 4)          # 100ms steps → exact ms
+    return {
+        "sample_rate": sr,
+        "n_channels": n_channels,
+        "sample_width": 2,                            # 16-bit PCM
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sr,
+        "freq": 200 + (doc_id % 20) * 50,
+    }
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """16-bit PCM sine tone with doc_id-derived header params."""
+    import wave
+
+    import numpy as np
+
+    p = _audio_params(doc_id)
+    t = np.arange(p["n_frames"], dtype=np.float64) / p["sample_rate"]
+    mono = (AUDIO_AMP * np.sin(2 * np.pi * p["freq"] * t)).astype(np.int16)
+    pcm = np.repeat(mono, p["n_channels"]).tobytes()  # interleave channels
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(p["n_channels"])
+        w.setsampwidth(p["sample_width"])
+        w.setframerate(p["sample_rate"])
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+class AudioDecodeStage:
+    """REAL audio decode kernel (stdlib ``wave`` + ``audioop``, WAV/PCM):
+    payload bytes → header params + frame count + RMS/peak amplitude.
+    Same actor-pool shape as the gated image stages — decoder modules
+    bound once in ``__init__`` (per actor), per-batch work in
+    ``__call__``."""
+
+    def __init__(self):
+        import audioop
+        import wave
+
+        self._wave, self._audioop = wave, audioop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {
+            k: [] for k in ("sample_rate", "n_channels", "sample_width",
+                            "n_frames", "duration_ms", "rms", "peak")
+        }
+        for b in batch["payload"].to_pylist():
+            with self._wave.open(io.BytesIO(b), "rb") as w:
+                sr, nch, sw, nf = (
+                    w.getframerate(), w.getnchannels(), w.getsampwidth(),
+                    w.getnframes(),
+                )
+                pcm = w.readframes(nf)
+            rows["sample_rate"].append(sr)
+            rows["n_channels"].append(nch)
+            rows["sample_width"].append(sw)
+            rows["n_frames"].append(nf)
+            rows["duration_ms"].append(nf * 1000 // sr)
+            rows["rms"].append(self._audioop.rms(pcm, sw))
+            rows["peak"].append(self._audioop.max(pcm, sw))
+        out = batch.drop_columns(["payload"])
+        for k, v in rows.items():
+            out = out.append_column(k, pa.array(v, type=pa.int64()))
+        return out
+
+
+def q_mm_audio_meta(sf_dir: str):
+    """Synthesized WAV payloads → REAL wave/audioop decode in an actor
+    pool → header metadata.  Oracled: every output column is a closed
+    form of doc_id that the kernel must recover from the bytes (rms/peak
+    are asserted separately in pytest — no SQL closed form)."""
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array([synth_wav(i) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(to_wav, batch_format="pyarrow", batch_size=256)
+    decoded = ds.map_batches(
+        AudioDecodeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+    return decoded.map_batches(
+        lambda t: t.select(
+            ["doc_id", "sample_rate", "n_channels", "sample_width",
+             "n_frames", "duration_ms"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 MULTIMODAL_QUERIES = {
     "mm_payload_meta": q_mm_payload_meta,
+    "mm_audio_meta": q_mm_audio_meta,
 }
 
 MULTIMODAL_ORACLES = {
@@ -247,6 +366,18 @@ MULTIMODAL_ORACLES = {
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS digest
+FROM documents
+""",
+    # the closed-form twin of _audio_params — the Ray side must RECOVER
+    # these values from the WAV bytes via the real wave/audioop kernel
+    "mm_audio_meta": """
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 2) AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+       CAST(2 AS BIGINT) AS sample_width,
+       CAST((8000 * (1 + doc_id % 2) // 10) * (1 + doc_id % 4) AS BIGINT) AS n_frames,
+       CAST((8000 * (1 + doc_id % 2) // 10) * (1 + doc_id % 4) * 1000
+            // (8000 * (1 + doc_id % 2)) AS BIGINT) AS duration_ms
 FROM documents
 """,
 }

@@ -582,3 +582,30 @@ def test_ivf_recall_clustered(ray_session, tmp_path):
     st = {}
     rec8 = _recall_at_10(exact, q_emb_ivf_search(sf, nprobe=8, stats_out=st).to_pandas())
     assert rec8 >= 0.9, (rec8, st)
+
+
+def test_audio_decode_real_kernel(ray_session):
+    """The REAL wave/audioop decode kernel: header params recovered from
+    the bytes match the synthesis closed form, and the signal stats are
+    physically right (sine RMS ≈ amp/√2, peak ≈ amp)."""
+    import pyarrow as pa
+
+    from gcflow.ops.multimodal import (
+        AUDIO_AMP, AudioDecodeStage, _audio_params, synth_wav,
+    )
+
+    ids = [0, 1, 2, 3, 7, 42]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([synth_wav(i) for i in ids], type=pa.binary()),
+        }
+    )
+    out = AudioDecodeStage()(batch).to_pandas()
+    for _, row in out.iterrows():
+        p = _audio_params(int(row.doc_id))
+        for k in ("sample_rate", "n_channels", "sample_width", "n_frames",
+                  "duration_ms"):
+            assert int(row[k]) == p[k], (row.doc_id, k)
+        assert abs(row.rms - AUDIO_AMP / np.sqrt(2)) / AUDIO_AMP < 0.02, row
+        assert abs(row.peak - AUDIO_AMP) / AUDIO_AMP < 0.01, row
