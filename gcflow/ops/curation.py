@@ -1,0 +1,206 @@
+"""Corpus-curation operators for training-data assembly: benchmark
+decontamination and GPT-style sequence packing.
+
+Decontamination (Brown et al. 2020 §C / Gao et al. 2021 style): a small
+"benchmark" set's n-grams are swept against the training corpus and any
+training document containing one is flagged.  The benchmark side is tiny
+by construction (eval sets are thousands of docs, the corpus is
+billions), so the scale-correct shape is a bounded driver collect of the
+n-gram set + a ``ray.put`` broadcast probed vectorized inside
+``map_batches`` — never a shuffle join of the full corpus.  Patterns are
+swept as ONE RE2 alternation via ``pc.count_substring_regex`` (RE2
+compiles alternations into a single DFA pass); a production-size bench
+set (≥10^5 n-grams) would swap in an Aho-Corasick automaton built once
+per actor in ``__init__`` — the stage shape stays identical.
+
+Sequence packing (the pretraining concat-and-cut layout): documents are
+concatenated in deterministic ``doc_id`` order and cut every ``budget``
+tokens; each document reports the sequence range it lands in.  The
+global token prefix-sum is computed WITHOUT a global sort:
+
+1. one ``map_batches`` pass bins rows into ``doc_id``-range buckets
+   (bounds from the parquet footer stats — zero data read) and emits
+   per-(batch, bucket) partial token sums;
+2. a tiny ``groupby(bucket).sum`` (≤ n_buckets rows) reaches the driver,
+   which takes the exclusive prefix sum over bucket totals;
+3. one ``groupby(bucket).map_groups`` pass orders each bucket locally by
+   ``doc_id`` and adds its broadcast offset — the only shuffle moves each
+   row once, keyed by a range-partitioned key (no skew: doc_id is dense).
+
+``n_buckets`` bounds both the driver collect and the per-group sort;
+size it ~corpus_rows / 10^6 at scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+# --------------------------------------------------------- decontamination
+BENCH_MOD = 29          # benchmark membership: doc_id % BENCH_MOD == 0
+BENCH_NGRAM = 6         # leading n-gram length swept against the corpus
+BENCH_MAX_PATTERNS = 50_000  # ceiling on the broadcast small side
+
+
+def _docs(sf_dir: str, columns) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+class ContaminationFilter:
+    """Actor-pool stage: flags training docs containing any benchmark
+    n-gram.  The alternation regex is broadcast once (``ray.put``) and
+    fetched once per actor in ``__init__`` (enrich.py:35 pattern)."""
+
+    def __init__(self, regex_ref):
+        self.regex = ray.get(regex_ref) if not isinstance(regex_ref, str) else regex_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        train = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MOD != 0)
+        if not self.regex:
+            return t.select(["doc_id"]).filter(pa.array([False] * len(t)))
+        hit = pc.greater(pc.count_substring_regex(t["text"], self.regex), 0)
+        return t.select(["doc_id"]).filter(pc.and_(train, hit))
+
+
+def bench_ngrams(sf_dir: str) -> list[str]:
+    """The benchmark side's leading n-grams — a bounded driver collect of
+    the SMALL side (≤ BENCH_MAX_PATTERNS, enforced)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MOD == 0
+        sub = t.filter(pa.array(keep))
+        toks = pc.split_pattern(sub["text"], " ")
+        ng = pc.binary_join(pc.list_slice(toks, 0, BENCH_NGRAM), " ")
+        return pa.table({"ng": ng})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow"
+    ).take_all()
+    if len(rows) > BENCH_MAX_PATTERNS:
+        raise ValueError(
+            f"benchmark side has {len(rows)} n-grams, over the "
+            f"{BENCH_MAX_PATTERNS} broadcast ceiling; use an Aho-Corasick "
+            "actor stage for bench sets this large"
+        )
+    return sorted({r["ng"] for r in rows})
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Training docs contaminated by a benchmark n-gram (doc_ids)."""
+    regex = "|".join(re.escape(p) for p in bench_ngrams(sf_dir))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ContaminationFilter,
+        fn_constructor_args=[ray.put(regex)],
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# --------------------------------------------------------- sequence packing
+PACK_BUDGET = 512       # tokens per packed training sequence
+PACK_BUCKETS = 64       # doc_id-range buckets (driver collect ≤ this)
+
+
+def _id_bounds(src: str) -> tuple[int, int]:
+    """(lo, hi) of doc_id from parquet footer stats — zero data read
+    (quantile.py:_value_bounds shape)."""
+    md = pq.read_metadata(src)
+    col = next(
+        i for i in range(len(md.schema)) if md.schema.column(i).name == "doc_id"
+    )
+    lo, hi = math.inf, -math.inf
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col).statistics
+        if st is not None and st.has_min_max:
+            lo, hi = min(lo, st.min), max(hi, st.max)
+    if not math.isfinite(lo):
+        raise ValueError(f"no doc_id min/max statistics in {src}")
+    return int(lo), int(hi)
+
+
+def q_doc_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                         n_buckets: int = PACK_BUCKETS):
+    """Concat-and-cut sequence packing: per-doc (seq_first, seq_last,
+    n_seqs) under a ``budget``-token cut, docs ordered by doc_id."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    lo, hi = _id_bounds(src)
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    def tok(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        n = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        bucket = (ids.to_numpy(zero_copy_only=False) - lo) // width
+        return pa.table(
+            {"doc_id": ids, "n_tokens": n,
+             "bucket": pa.array(bucket, type=pa.int64())}
+        )
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok, batch_format="pyarrow")
+
+    # pass 1: bucket token totals → exclusive prefix sum on the driver
+    # (≤ n_buckets rows cross to the driver — bounded by construction)
+    totals = toks.groupby("bucket").sum("n_tokens").to_pandas()
+    totals = totals.sort_values("bucket")
+    excl = totals["sum(n_tokens)"].cumsum().shift(fill_value=0).to_numpy()
+    offsets = dict(zip(totals["bucket"].to_numpy(), excl.astype(np.int64)))
+
+    # pass 2: within-bucket doc_id order + local cumsum + bucket offset
+    def pack(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n) + offsets[g["bucket"][0].as_py()]
+        first = (cum - n) // budget
+        last = (cum - 1) // budget
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "seq_first": pa.array(first, type=pa.int64()),
+                "seq_last": pa.array(last, type=pa.int64()),
+                "n_seqs": pa.array(last - first + 1, type=pa.int64()),
+            }
+        )
+
+    return toks.groupby("bucket").map_groups(pack, batch_format="pyarrow")
+
+
+CURATION_QUERIES = {
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_pack_sequences": q_doc_pack_sequences,
+}
+
+CURATION_ORACLES = {
+    "doc_decontaminate": f"""
+WITH bench AS (
+  SELECT array_to_string(string_split(text, ' ')[1:{BENCH_NGRAM}], ' ') AS ng
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % {BENCH_MOD} <> 0
+  AND EXISTS (SELECT 1 FROM bench b WHERE contains(d.text, b.ng))
+""",
+    "doc_pack_sequences": f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+           OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (cum - n_tokens) // {PACK_BUDGET} AS seq_first,
+       (cum - 1) // {PACK_BUDGET} AS seq_last,
+       (cum - 1) // {PACK_BUDGET} - (cum - n_tokens) // {PACK_BUDGET} + 1 AS n_seqs
+FROM s
+""",
+}

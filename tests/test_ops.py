@@ -609,3 +609,68 @@ def test_audio_decode_real_kernel(ray_session):
             assert int(row[k]) == p[k], (row.doc_id, k)
         assert abs(row.rms - AUDIO_AMP / np.sqrt(2)) / AUDIO_AMP < 0.02, row
         assert abs(row.peak - AUDIO_AMP) / AUDIO_AMP < 0.01, row
+
+
+def test_decontaminate_broadcast_ceiling(monkeypatch, ray_session):
+    """The benchmark n-gram set is the only driver-side collect in
+    decontamination, behind an enforced ceiling — a scale-growing bench
+    side must raise, not silently materialize on the driver."""
+    from gcflow.ops import curation
+
+    monkeypatch.setattr(curation, "BENCH_MAX_PATTERNS", 1)
+    with pytest.raises(ValueError, match="broadcast ceiling"):
+        curation.bench_ngrams(SF)
+
+
+def test_pack_sequences_matches_serial_twin(ray_session):
+    """Distributed prefix-sum packing == a single-process numpy twin over
+    the same corpus (exact, all columns), plus the tiling invariants."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import PACK_BUDGET, q_doc_pack_sequences
+
+    out = q_doc_pack_sequences(SF).to_pandas().sort_values("doc_id")
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    df = t.to_pandas().sort_values("doc_id")
+    n = df["text"].str.count(" ").to_numpy() + 1
+    cum = np.cumsum(n)
+    first, last = (cum - n) // PACK_BUDGET, (cum - 1) // PACK_BUDGET
+
+    assert (out["doc_id"].to_numpy() == df["doc_id"].to_numpy()).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["seq_first"].to_numpy() == first).all()
+    assert (out["seq_last"].to_numpy() == last).all()
+    assert (out["n_seqs"].to_numpy() == last - first + 1).all()
+    # tiling: consecutive docs' sequence ranges abut (never a gap)
+    assert (out["seq_first"].to_numpy()[1:] - out["seq_last"].to_numpy()[:-1] <= 1).all()
+    assert (out["seq_first"].to_numpy()[1:] >= out["seq_last"].to_numpy()[:-1]).all()
+
+
+def test_pack_sequences_multi_bucket_offsets(ray_session, tmp_path):
+    """A tiny corpus packed at n_buckets=4 with a 7-token budget — every
+    bucket boundary exercises the broadcast exclusive-offset path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import q_doc_pack_sequences
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": ["w " * (i % 5 + 1) for i in range(12)],  # 2..6 tokens
+        }
+    )
+    docs["text"] = docs["text"].str.strip() + " x"  # +1 token, no trailing sep
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+
+    out = (
+        q_doc_pack_sequences(str(tmp_path), budget=7, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    n = docs["text"].str.count(" ").to_numpy() + 1
+    cum = np.cumsum(n)
+    assert (out["seq_first"].to_numpy() == (cum - n) // 7).all()
+    assert (out["seq_last"].to_numpy() == (cum - 1) // 7).all()
