@@ -1,16 +1,23 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-IMAGE/VIDEO libraries are not available in this environment, so those
-decode kernels are stubbed (clearly marked), while everything Ray-side —
-binary schema, actor-pool stage signature, small batches for large rows,
-metadata extraction, output layout — is real and tested.
+One REAL decode kernel per modality, each FULL-SQL-oracled over
+deterministic synthesized payloads whose decoded values are closed forms
+of doc_id (the kernel must recover them from the bytes):
 
-AUDIO decode is REAL: the stdlib ``wave``/``audioop`` modules decode
-WAV/PCM payloads (``AudioDecodeStage`` — header params, frame counts,
-RMS/peak amplitude), driven by ``mm_audio_meta`` over deterministic
-synthesized tones whose header metadata is a closed form of doc_id, so
-the real kernel is FULL-SQL-oracled (the oracle computes the same closed
-form; the kernel must reproduce it from the bytes).
+- AUDIO: stdlib ``wave``/``audioop`` decode WAV/PCM
+  (``AudioDecodeStage`` — header params, frame counts, RMS/peak).
+- IMAGE: binary netpbm (P5/P6) decoded with numpy alone
+  (``ImageDecodeStage`` — header params + exact pixel sum).
+- VIDEO: YUV4MPEG2 container walked with numpy alone
+  (``VideoFrameSampleStage`` — dims, frame counts, strided frame
+  sampling, sampled-luma sum).
+
+COMPRESSED containers (JPEG/PNG/MP4…) need codec libraries absent from
+this environment; the generic ``DecodeStage``/``ResizeStage``/
+``FrameSampleStage``/``FeatureExtractStage`` chain keeps those behind
+clearly-marked ``NotImplementedError`` gates with deterministic fake
+kernels so the Ray-side plumbing — binary schema, actor-pool signature,
+small batches for large rows, struct output — is exercised end to end.
 
 ``mm_payload_meta`` treats the documents' text bytes as an opaque binary
 payload and extracts (byte length, digest) — SQL-oracled.  The image
@@ -356,9 +363,242 @@ def q_mm_audio_meta(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------- image
+# Deterministic netpbm (P5 gray / P6 RGB) synthesis: header params and the
+# checkerboard pixel sum are CLOSED FORMS of doc_id.  netpbm is a real
+# on-disk image format decodable with numpy alone, so — like the WAV
+# kernel — the decode stage is REAL, not a digest fake: it must recover
+# width/height/maxval from the header bytes and the pixel sum from the
+# raster.
+
+IMG_MAXVAL = 255
+
+
+def _image_params(doc_id: int) -> dict:
+    w = 8 + 2 * (doc_id % 8)            # even → exact half-and-half checker
+    h = 8 + 2 * (doc_id % 4)
+    ch = 1 if doc_id % 2 == 0 else 3
+    a = doc_id % 256
+    b = (7 * doc_id + 13) % 256
+    return {
+        "format": "P5" if ch == 1 else "P6",
+        "width": w,
+        "height": h,
+        "maxval": IMG_MAXVAL,
+        "n_channels": ch,
+        "a": a,
+        "b": b,
+        "pixel_sum": (a + b) * (w * h // 2) * ch,
+    }
+
+
+def synth_netpbm(doc_id: int) -> bytes:
+    """Binary netpbm checkerboard with doc_id-derived header params."""
+    import numpy as np
+
+    p = _image_params(doc_id)
+    y, x = np.mgrid[0 : p["height"], 0 : p["width"]]
+    plane = np.where((x + y) % 2 == 0, p["a"], p["b"]).astype(np.uint8)
+    raster = np.repeat(plane[:, :, None], p["n_channels"], axis=2)
+    header = f"{p['format']}\n# gcflow synthetic\n{p['width']} {p['height']}\n{p['maxval']}\n"
+    return header.encode() + raster.tobytes()
+
+
+def parse_netpbm(b: bytes):
+    """Real binary-netpbm decode: whitespace/comment-tolerant header
+    tokenizer + zero-copy numpy raster view.
+    Returns (magic, width, height, maxval, pixels[h, w, ch])."""
+    import numpy as np
+
+    toks, i = [], 0
+    while len(toks) < 4:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    magic = toks[0].decode()
+    ch = {"P5": 1, "P6": 3}[magic]
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i)
+    return magic, w, h, maxval, px.reshape(h, w, ch)
+
+
+class ImageDecodeStage:
+    """REAL image decode kernel (binary netpbm, numpy): payload bytes →
+    header params + exact pixel sum.  Actor-pool shape identical to the
+    gated generic DecodeStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = {k: [] for k in ("format", "width", "height", "maxval",
+                                "n_channels", "pixel_sum")}
+        for b in batch["payload"].to_pylist():
+            magic, w, h, maxval, px = parse_netpbm(b)
+            rows["format"].append(magic)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["maxval"].append(maxval)
+            rows["n_channels"].append(px.shape[2])
+            rows["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("format", pa.array(rows["format"], type=pa.string()))
+        for k in ("width", "height", "maxval", "n_channels", "pixel_sum"):
+            out = out.append_column(k, pa.array(rows[k], type=pa.int64()))
+        return out
+
+
+def q_mm_image_meta(sf_dir: str):
+    """Synthesized netpbm payloads → REAL numpy decode in an actor pool →
+    header metadata + pixel sum.  Oracled: every output column is a
+    closed form of doc_id the kernel must recover from the bytes."""
+
+    def to_img(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array([synth_netpbm(i) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(to_img, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+# --------------------------------------------------------------- video
+# Deterministic YUV4MPEG2 synthesis: a real raw-video container (plain
+# header + FRAME-delimited C420 planes) whose frame count and per-frame
+# luma are closed forms of doc_id — the REAL frame-sampling kernel walks
+# the container, samples every ``stride``-th frame and sums sampled luma.
+
+VIDEO_STRIDE = 2
+
+
+def _video_params(doc_id: int) -> dict:
+    w = 16 + 2 * (doc_id % 4)
+    h = 8 + 2 * (doc_id % 2)
+    nf = 1 + doc_id % 5
+    k = doc_id % 200                     # luma base; k + nf - 1 < 256
+    ns = (nf + VIDEO_STRIDE - 1) // VIDEO_STRIDE
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": nf,
+        "luma_base": k,
+        "n_sampled": ns,
+        # sampled frames i ∈ {0, s, 2s, …}: Σ (k + i) · w·h
+        "luma_sum": w * h * (ns * k + VIDEO_STRIDE * (ns * (ns - 1) // 2)),
+    }
+
+
+def synth_y4m(doc_id: int) -> bytes:
+    """YUV4MPEG2 C420 clip: frame i's Y plane is constant (base + i),
+    chroma planes neutral 128."""
+    p = _video_params(doc_id)
+    w, h = p["width"], p["height"]
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()]
+    for i in range(p["n_frames"]):
+        out.append(b"FRAME\n")
+        out.append(bytes([p["luma_base"] + i]) * (w * h))
+        out.append(bytes([128]) * (2 * (w // 2) * (h // 2)))
+    return b"".join(out)
+
+
+def parse_y4m(b: bytes):
+    """Real YUV4MPEG2 parse: stream-header tags + FRAME-delimited C420
+    planes.  Returns (width, height, [Y plane per frame])."""
+    import numpy as np
+
+    nl = b.index(b"\n")
+    parts = b[:nl].decode().split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    tags = {t[0]: t[1:] for t in parts[1:] if t}
+    w, h = int(tags["W"]), int(tags["H"])
+    frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+    frames, i = [], nl + 1
+    while i < len(b):
+        fn = b.index(b"\n", i)
+        if b[i : i + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        frames.append(np.frombuffer(b, np.uint8, count=w * h, offset=fn + 1))
+        i = fn + 1 + frame_bytes
+    return w, h, frames
+
+
+class VideoFrameSampleStage:
+    """REAL video frame-sampling kernel (YUV4MPEG2, numpy): walk the
+    container, keep every ``stride``-th frame, report dims / frame counts
+    / sampled-luma sum.  Same actor-pool shape as the gated generic
+    FrameSampleStage (which still covers compressed containers needing
+    ffmpeg)."""
+
+    def __init__(self, stride: int = VIDEO_STRIDE):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = {k: [] for k in ("width", "height", "n_frames", "n_sampled",
+                                "luma_sum")}
+        for b in batch["payload"].to_pylist():
+            w, h, frames = parse_y4m(b)
+            picked = frames[:: self.stride]
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_frames"].append(len(frames))
+            rows["n_sampled"].append(len(picked))
+            rows["luma_sum"].append(
+                int(sum(f.sum(dtype=np.int64) for f in picked))
+            )
+        out = batch.drop_columns(["payload"])
+        for k, v in rows.items():
+            out = out.append_column(k, pa.array(v, type=pa.int64()))
+        return out
+
+
+def q_mm_video_frames(sf_dir: str):
+    """Synthesized y4m payloads → REAL frame-sampling decode in an actor
+    pool.  Oracled: dims, frame counts and the sampled-luma sum are
+    closed forms of doc_id recovered from the container bytes."""
+
+    def to_vid(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array([synth_y4m(i) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(to_vid, batch_format="pyarrow", batch_size=128)
+    return ds.map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
 MULTIMODAL_QUERIES = {
     "mm_payload_meta": q_mm_payload_meta,
     "mm_audio_meta": q_mm_audio_meta,
+    "mm_image_meta": q_mm_image_meta,
+    "mm_video_frames": q_mm_video_frames,
 }
 
 MULTIMODAL_ORACLES = {
@@ -379,5 +619,37 @@ SELECT doc_id,
        CAST((8000 * (1 + doc_id % 2) // 10) * (1 + doc_id % 4) * 1000
             // (8000 * (1 + doc_id % 2)) AS BIGINT) AS duration_ms
 FROM documents
+""",
+    # closed-form twin of _image_params — recovered from netpbm bytes
+    "mm_image_meta": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'P5' ELSE 'P6' END AS format,
+       CAST(8 + 2 * (doc_id % 8) AS BIGINT) AS width,
+       CAST(8 + 2 * (doc_id % 4) AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_channels,
+       CAST(((doc_id % 256) + ((7 * doc_id + 13) % 256))
+            * ((8 + 2 * (doc_id % 8)) * (8 + 2 * (doc_id % 4)) // 2)
+            * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS BIGINT) AS pixel_sum
+FROM documents
+""",
+    # closed-form twin of _video_params (stride 2) — recovered from y4m bytes
+    "mm_video_frames": """
+WITH p AS (
+  SELECT doc_id,
+         16 + 2 * (doc_id % 4) AS w,
+         8 + 2 * (doc_id % 2) AS h,
+         1 + doc_id % 5 AS nf,
+         (1 + doc_id % 5 + 1) // 2 AS ns,
+         doc_id % 200 AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(ns AS BIGINT) AS n_sampled,
+       CAST(w * h * (ns * k + ns * (ns - 1)) AS BIGINT) AS luma_sum
+FROM p
 """,
 }

@@ -674,3 +674,70 @@ def test_pack_sequences_multi_bucket_offsets(ray_session, tmp_path):
     cum = np.cumsum(n)
     assert (out["seq_first"].to_numpy() == (cum - n) // 7).all()
     assert (out["seq_last"].to_numpy() == (cum - 1) // 7).all()
+
+
+def test_image_decode_real_kernel():
+    """The REAL netpbm decode kernel: header params + pixel sum recovered
+    from the bytes match the synthesis closed form; the header tokenizer
+    survives comments and arbitrary whitespace."""
+    import pyarrow as pa
+
+    from gcflow.ops.multimodal import (
+        ImageDecodeStage, _image_params, parse_netpbm, synth_netpbm,
+    )
+
+    ids = [0, 1, 2, 3, 7, 42, 255, 511]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([synth_netpbm(i) for i in ids], type=pa.binary()),
+        }
+    )
+    out = ImageDecodeStage()(batch).to_pandas()
+    for _, row in out.iterrows():
+        p = _image_params(int(row.doc_id))
+        for k in ("format", "width", "height", "maxval", "n_channels",
+                  "pixel_sum"):
+            assert row[k] == p[k], (row.doc_id, k, row[k], p[k])
+
+    # header-robustness: multi-comment, tab/space-soup header
+    raw = b"P5\t# c1\n  #c2\n 2\n3 \n255 " + bytes(range(6))
+    magic, w, h, maxval, px = parse_netpbm(raw)
+    assert (magic, w, h, maxval) == ("P5", 2, 3, 255)
+    assert px.sum() == sum(range(6))
+
+
+def test_video_frame_sample_real_kernel():
+    """The REAL y4m frame-sampling kernel: dims / frame counts / sampled
+    luma recovered from the container match the synthesis closed form,
+    and a stride-3 sample picks exactly frames {0, 3, …}."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gcflow.ops.multimodal import (
+        VideoFrameSampleStage, _video_params, parse_y4m, synth_y4m,
+    )
+
+    ids = [0, 1, 2, 3, 4, 9, 199, 404]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([synth_y4m(i) for i in ids], type=pa.binary()),
+        }
+    )
+    out = VideoFrameSampleStage()(batch).to_pandas()
+    for _, row in out.iterrows():
+        p = _video_params(int(row.doc_id))
+        for k in ("width", "height", "n_frames", "n_sampled", "luma_sum"):
+            assert int(row[k]) == p[k], (row.doc_id, k, int(row[k]), p[k])
+
+    # stride-3 sampling over a 5-frame clip picks frames 0 and 3
+    clip = synth_y4m(4)  # nf = 5, base luma 4
+    w, h, frames = parse_y4m(clip)
+    assert len(frames) == 5
+    out3 = VideoFrameSampleStage(stride=3)(
+        pa.table({"payload": pa.array([clip], type=pa.binary())})
+    ).to_pandas()
+    assert int(out3.n_sampled.iloc[0]) == 2
+    assert int(out3.luma_sum.iloc[0]) == w * h * (4 + 7)
+    np.testing.assert_array_equal(frames[1], np.full(w * h, 5, np.uint8))
