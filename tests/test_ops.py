@@ -741,3 +741,41 @@ def test_video_frame_sample_real_kernel():
     assert int(out3.n_sampled.iloc[0]) == 2
     assert int(out3.luma_sum.iloc[0]) == w * h * (4 + 7)
     np.testing.assert_array_equal(frames[1], np.full(w * h, 5, np.uint8))
+
+
+def test_quantize_int8_kernel_properties():
+    """Pure-kernel checks (no Ray): codes bounded, max-|x| element hits
+    ±127, dequantized reconstruction within scale/2 per element, and the
+    zero-/empty-vector edges produce scale 0 + all-zero codes."""
+    import pyarrow as pa
+
+    from gcflow.ops.quantize import _flat_f64, _quant_codes
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=d).astype(np.float32).tolist() for d in (4, 64, 17)]
+    vecs += [[0.0, 0.0, 0.0], []]
+    col = pa.chunked_array([pa.array(vecs, type=pa.list_(pa.float32()))])
+    vals, offs = _flat_f64(col)
+    codes, scale = _quant_codes(vals, offs)
+
+    assert len(scale) == 5 and scale[3] == 0.0 and scale[4] == 0.0
+    assert np.abs(codes).max() <= 127
+    for i in range(3):
+        v = np.asarray(vecs[i], dtype=np.float64)
+        c = codes[offs[i]:offs[i + 1]].astype(np.float64)
+        assert np.abs(c).max() == 127          # the max element saturates
+        assert np.abs(c * scale[i] - v).max() <= scale[i] / 2 + 1e-12
+    assert (codes[offs[3]:offs[4]] == 0).all()
+
+
+def test_quantize_round_half_away_parity():
+    """The kernel rounds .5 ties away from zero (SQL round semantics),
+    not numpy's half-to-even."""
+    from gcflow.ops.quantize import _quant_codes
+
+    # amax = 127 → scale 1.0 → t == vals exactly; ties at ±.5
+    vals = np.array([127.0, 0.5, -0.5, 1.5, -1.5, 2.5], dtype=np.float64)
+    offs = np.array([0, len(vals)], dtype=np.int64)
+    codes, scale = _quant_codes(vals, offs)
+    assert scale[0] == 1.0
+    assert codes.tolist() == [127, 1, -1, 2, -2, 3]
