@@ -228,6 +228,117 @@ def q_doc_sample_stratified(sf_dir: str):
     )
 
 
+KEYWORD_BUCKETS = 64
+
+
+def q_doc_top_keyword(sf_dir: str):
+    """Per-document keyword extraction: each doc's top term by
+    (tf desc, df asc, term asc) — the integer-exact determinization of
+    TF-IDF ranking (float ``tf·ln(N/df)`` ranks identically for fixed tf
+    and is available by swapping the sort key, but libm ``ln`` is not
+    bit-identical across engines, so the oracle-checked variant stays in
+    integers).
+
+    Scale shape — the vocabulary is corpus-sized, so nothing here is
+    broadcast or collected:
+
+    1. tf: each row IS one whole document, so (doc_id, term, tf) is
+       computed exactly in-batch (pa.Table.group_by) — no shuffle.
+    2. df: the tf rows are globally unique per (doc, term), so document
+       frequency is ``tf.groupby(term).count()`` — one term-keyed
+       exchange of pre-deduped rows.
+    3. tf ⋈ df on term: hash-partitioned repartition join (dedup.py
+       `_join_partitions` sizing) — per-node memory O(rows/partitions).
+    4. per-doc argmax: vectorized in-batch partial argmax (one best row
+       per (batch, doc)), then ONE bucket-keyed map_groups sweep
+       (hash(doc_id) % KEYWORD_BUCKETS — the windows.py pattern, never
+       per-doc groups).
+
+    The corpus is read twice (tf and df lineages) rather than
+    materializing the token table in the object store — two streaming
+    passes beat pinning a tokens-sized intermediate at 100 TB."""
+    import numpy as np
+
+    from .dedup import _ensure_schema, _join_partitions
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False), lens
+        )
+        tbl = pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()), "term": pc.list_flatten(toks)}
+        )
+        g = tbl.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def tf_ds() -> rd.Dataset:
+        return _ensure_schema(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                tf_partial, batch_format="pyarrow"
+            ),
+            tf_schema,
+        )
+
+    def df_rename(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([("term", pa.string()), ("df", pa.int64())]).empty_table()
+        return pa.table({"term": t["term"], "df": pc.cast(t["count()"], pa.int64())})
+
+    df_ds = _ensure_schema(
+        tf_ds().groupby("term").count().map_batches(df_rename, batch_format="pyarrow"),
+        pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+
+    n_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    # distinct terms per doc is bounded by doc length (~10^2 here); the
+    # factor only sizes join partitions, it carries no correctness weight
+    nparts = _join_partitions(n_docs * 64, n_docs * 64)
+    joined = tf_ds().join(
+        df_ds, "inner", num_partitions=nparts, on=("term",),
+    )
+
+    def best_per_doc(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("term", pa.string()),
+                 ("tf", pa.int64()), ("df", pa.int64())]
+            ).empty_table()
+        t = t.select(["doc_id", "term", "tf", "df"])
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("doc_id", "ascending"), ("tf", "descending"),
+                           ("df", "ascending"), ("term", "ascending")],
+            )
+        )
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], doc[1:] != doc[:-1]))
+        return t.filter(pa.array(first))
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        t = best_per_doc(t)  # partial argmax: ≤ one row per (batch, doc)
+        b = t["doc_id"].to_numpy(zero_copy_only=False) % KEYWORD_BUCKETS
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    out = (
+        joined.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(best_per_doc, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "term", "tf", "df"]),
+        batch_format="pyarrow",
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 TEXT_QUERIES = {
@@ -238,6 +349,7 @@ TEXT_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_top_terms": q_doc_top_terms,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_top_keyword": q_doc_top_keyword,
 }
 
 TEXT_ORACLES = {
@@ -291,5 +403,20 @@ WITH s AS (
   FROM s
 )
 SELECT doc_id, pred_lang FROM r WHERE rn <= {STRAT_PER_CLASS}
+""",
+    "doc_top_keyword": """
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df FROM r WHERE rn = 1
 """,
 }
