@@ -173,9 +173,65 @@ def q_doc_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
     return toks.groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
+# --------------------------------------------------------- chunking
+CHUNK_SIZE = 32         # tokens per chunk
+CHUNK_STRIDE = 24       # chunk start spacing (CHUNK_SIZE−stride overlap)
+
+
+def q_doc_chunk(sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
+    """Overlapping token-window chunking (the RAG / context-window
+    preprocessing flat_map): each doc explodes into windows starting at
+    0, stride, 2·stride, …, where the LAST window is the first that
+    reaches the end of the doc (shorter if the doc ends early; a doc
+    with ≤ size tokens is one chunk).
+
+    1→many with overlap, fully vectorized: tokens are flattened once per
+    batch (zero-copy list buffer), chunk membership becomes pure index
+    arithmetic (np.repeat / cumsum aranges), one ``take`` gathers every
+    chunk's tokens, and ``ListArray.from_arrays`` + ``binary_join``
+    reassembles chunk text — no per-row Python.  Stateless map_batches:
+    no shuffle, no driver traffic."""
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # chunks per doc: 1 + ceil((n - size) / stride) for n > size
+        k = 1 + np.maximum(0, -(-(n - size) // stride))
+        doc = np.repeat(pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False), k)
+        total = int(k.sum())
+        # chunk_idx within doc: concatenated aranges
+        idx = np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+        start = idx * stride
+        stop = np.minimum(start + size, np.repeat(n, k))
+        clen = stop - start
+        # gather: flat token index per (chunk, position)
+        row_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_start = np.repeat(row_off[:-1], k) + start
+        pos_total = int(clen.sum())
+        within = np.arange(pos_total) - np.repeat(np.cumsum(clen) - clen, clen)
+        gather = np.repeat(flat_start, clen) + within
+        vals = toks.values.take(pa.array(gather, type=pa.int64()))
+        chunks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(clen))), type=pa.int32()), vals
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "chunk_idx": pa.array(idx, type=pa.int64()),
+                "n_chunk_tokens": pa.array(clen, type=pa.int64()),
+                "chunk_text": pc.binary_join(chunks, " "),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 CURATION_QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_chunk": q_doc_chunk,
 }
 
 CURATION_ORACLES = {
@@ -202,5 +258,28 @@ SELECT doc_id, n_tokens,
        (cum - 1) // {PACK_BUDGET} AS seq_last,
        (cum - 1) // {PACK_BUDGET} - (cum - n_tokens) // {PACK_BUDGET} + 1 AS n_seqs
 FROM s
+""",
+    "doc_chunk": f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0,
+           CASE WHEN n <= {CHUNK_SIZE} THEN 0
+                ELSE CAST(ceil((n - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS BIGINT)
+           END)) AS chunk_idx
+  FROM s
+)
+SELECT doc_id, chunk_idx,
+       least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)
+         - chunk_idx * {CHUNK_STRIDE} AS n_chunk_tokens,
+       array_to_string(
+         toks[chunk_idx * {CHUNK_STRIDE} + 1
+              : least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)],
+         ' ') AS chunk_text
+FROM e
 """,
 }

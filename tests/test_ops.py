@@ -779,3 +779,37 @@ def test_quantize_round_half_away_parity():
     codes, scale = _quant_codes(vals, offs)
     assert scale[0] == 1.0
     assert codes.tolist() == [127, 1, -1, 2, -2, 3]
+
+
+def test_chunking_boundaries(ray_session, tmp_path):
+    """Window-boundary semantics: ≤size tokens → one chunk; size+1 →
+    two; the last chunk is the first reaching the end (shorter tail);
+    overlap regions repeat the same tokens."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import q_doc_chunk
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3, 4], "text": [mk(5), mk(8), mk(9), mk(14), mk(20)]}
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+
+    out = (
+        q_doc_chunk(str(tmp_path), size=8, stride=6)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    got = {
+        d: list(zip(g.chunk_idx, g.n_chunk_tokens, g.chunk_text))
+        for d, g in out.groupby("doc_id")
+    }
+    assert got[0] == [(0, 5, mk(5))]                       # n < size
+    assert got[1] == [(0, 8, mk(8))]                       # n == size
+    assert got[2] == [(0, 8, mk(8)), (1, 3, "t6 t7 t8")]   # n == size+1
+    assert got[3] == [(0, 8, mk(8)), (1, 8, "t6 t7 t8 t9 t10 t11 t12 t13")]
+    assert [c[1] for c in got[4]] == [8, 8, 8]             # 20 → starts 0,6,12
+    assert got[4][2][2] == "t12 t13 t14 t15 t16 t17 t18 t19"
