@@ -58,38 +58,39 @@ def q_emb_ann_topk(sf_dir: str):
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qref = ray.put((qids, Qn))
 
-    class PartialTopK:
-        def __init__(self, r):
-            self.qids, self.Qn = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy()
-            V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = self.Qn @ Vn.T  # queries × block
-            out_q, out_v, out_c = [], [], []
-            for qi, qid in enumerate(self.qids):
-                s = sims[qi]
-                keep = ids != qid
-                order = np.lexsort((ids[keep], -s[keep]))[:TOP_K]
-                sel = np.flatnonzero(keep)[order]
-                out_q.extend([int(qid)] * len(sel))
-                out_v.extend(ids[sel].tolist())
-                out_c.extend(s[sel].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "neighbor_id": pa.array(out_v, type=pa.int64()),
-                    "cos": pa.array(out_c, type=pa.float64()),
-                }
-            )
+    def partial_topk(t: pa.Table, r) -> pa.Table:
+        # ray.get of the broadcast is a local-object-store hit per task —
+        # a STATELESS task pool beats an actor pool here because the
+        # shared state is a few KB; a model-sized query matrix would flip
+        # this back to the actor-pool form (state fetched in __init__)
+        qids, Qn = ray.get(r) if not isinstance(r, tuple) else r
+        ids = t["vec_id"].to_numpy()
+        V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Qn @ Vn.T  # queries × block
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            s = sims[qi]
+            keep = ids != qid
+            order = np.lexsort((ids[keep], -s[keep]))[:TOP_K]
+            sel = np.flatnonzero(keep)[order]
+            out_q.extend([int(qid)] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_c.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_v, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     partials = ds.map_batches(
-        PartialTopK, fn_constructor_args=(qref,), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 4),
+        partial_topk, fn_args=(qref,), batch_format="pyarrow",
+        batch_size=4096,
     ).to_pandas()
     return _topk_reduce(partials)
 
