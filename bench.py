@@ -201,15 +201,22 @@ def main():
     queries["gc_pipeline_heap"] = round(heap_sec, 3)
 
     # representative operator benchmarks (each timed separately)
+    from gcflow.ops.curation import q_doc_chunk, q_doc_pack_sequences
     from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
+    from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1
     from gcflow.ops.similarity import q_emb_ann_topk
+    from gcflow.ops.text import q_doc_top_keyword
 
     for name, fn in [
         ("rel_q1", q_rel_q1),
         ("doc_exact_dedup", q_doc_exact_dedup),
         ("doc_minhash_lsh", q_doc_minhash_lsh),
         ("emb_ann_topk", q_emb_ann_topk),
+        ("doc_chunk", q_doc_chunk),
+        ("doc_pack_sequences", q_doc_pack_sequences),
+        ("doc_top_keyword", q_doc_top_keyword),
+        ("emb_quantize_int8", q_emb_quantize_int8),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for
