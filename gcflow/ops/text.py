@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -339,6 +340,61 @@ def q_doc_top_keyword(sf_dir: str):
     )
 
 
+REP_TOP_FRAC = 0.2      # flag: most-frequent token holds > 20% of the doc
+REP_DISTINCT_RATIO = 0.5  # flag: fewer than half the tokens are distinct
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality metrics (the Rae et al. 2021 §A1.1
+    repetition-filter family, adapted to token granularity): per-doc
+    distinct-token ratio and most-frequent-token mass, with a ``flagged``
+    verdict for docs dominated by a repeated token or a tiny vocabulary.
+
+    Fully vectorized and shuffle-free (the metric is per-doc → stateless
+    ``map_batches``): tokens are flattened once from the zero-copy list
+    buffers, dictionary-encoded per batch, and BOTH metrics reduce over a
+    single sort of (doc, token-id) composite keys — run starts give
+    per-doc distinct counts, run lengths give the per-doc mode mass.  No
+    per-row Python anywhere."""
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = toks.values.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(enc.dictionary)
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        sk = np.sort(seg * vocab + idx, kind="stable")
+        new = np.empty(len(sk), dtype=bool)
+        new[:1] = True
+        new[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(sk)))
+        run_seg = sk[starts] // vocab
+        n_distinct = np.bincount(run_seg, minlength=len(t)).astype(np.int64)
+        top = np.zeros(len(t), dtype=np.int64)
+        np.maximum.at(top, run_seg, run_len)
+        # identical int→float64 divisions on both engines (no rounding —
+        # see q_doc_quality's tie-hazard note)
+        top_frac = top.astype(np.float64) / n
+        distinct_ratio = n_distinct.astype(np.float64) / n
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "top_token_frac": pa.array(top_frac, type=pa.float64()),
+                "distinct_ratio": pa.array(distinct_ratio, type=pa.float64()),
+                "flagged": pa.array(
+                    (top_frac > REP_TOP_FRAC) | (distinct_ratio < REP_DISTINCT_RATIO)
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 TEXT_QUERIES = {
@@ -350,6 +406,7 @@ TEXT_QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_top_keyword": q_doc_top_keyword,
+    "doc_repetition": q_doc_repetition,
 }
 
 TEXT_ORACLES = {
@@ -403,6 +460,22 @@ WITH s AS (
   FROM s
 )
 SELECT doc_id, pred_lang FROM r WHERE rn <= {STRAT_PER_CLASS}
+""",
+    "doc_repetition": f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_token_frac,
+       CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio,
+       (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) > {REP_TOP_FRAC}
+        OR CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) < {REP_DISTINCT_RATIO})
+         AS flagged
+FROM c GROUP BY doc_id
 """,
     "doc_top_keyword": """
 WITH tf AS (

@@ -813,3 +813,34 @@ def test_chunking_boundaries(ray_session, tmp_path):
     assert got[3] == [(0, 8, mk(8)), (1, 8, "t6 t7 t8 t9 t10 t11 t12 t13")]
     assert [c[1] for c in got[4]] == [8, 8, 8]             # 20 → starts 0,6,12
     assert got[4][2][2] == "t12 t13 t14 t15 t16 t17 t18 t19"
+
+
+def test_repetition_metrics_boundaries(ray_session, tmp_path):
+    """Degenerate vocabularies: one token, all-same tokens, all-distinct
+    tokens, and a batch-spanning mix — metrics are exact fractions and
+    the flag fires on mode mass OR vocabulary collapse."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import q_doc_repetition
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "solo",                      # 1 token → top_frac 1.0 → flagged
+                "x x x x x x",               # mode mass 1.0 → flagged
+                "a b c d e f g h i j",       # all distinct → clean
+                "a a b c d e f g h i",       # top 0.2, distinct 0.9 → clean
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+
+    out = q_doc_repetition(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert out.n_tokens.tolist() == [1, 6, 10, 10]
+    assert out.n_distinct.tolist() == [1, 1, 10, 9]
+    assert out.top_token_frac.tolist() == [1.0, 1.0, 0.1, 0.2]
+    assert out.distinct_ratio.tolist() == [1.0, 1.0 / 6.0, 1.0, 0.9]
+    assert out.flagged.tolist() == [True, True, False, False]
