@@ -201,12 +201,16 @@ def main():
     queries["gc_pipeline_heap"] = round(heap_sec, 3)
 
     # representative operator benchmarks (each timed separately)
-    from gcflow.ops.curation import q_doc_chunk, q_doc_pack_sequences
+    from gcflow.ops.curation import (
+        q_doc_chunk,
+        q_doc_decontaminate_bloom,
+        q_doc_pack_sequences,
+    )
     from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
     from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1
     from gcflow.ops.similarity import q_emb_ann_topk
-    from gcflow.ops.text import q_doc_top_keyword
+    from gcflow.ops.text import q_doc_repetition, q_doc_top_keyword
 
     for name, fn in [
         ("rel_q1", q_rel_q1),
@@ -217,6 +221,8 @@ def main():
         ("doc_pack_sequences", q_doc_pack_sequences),
         ("doc_top_keyword", q_doc_top_keyword),
         ("emb_quantize_int8", q_emb_quantize_int8),
+        ("doc_repetition", q_doc_repetition),
+        ("doc_decontaminate_bloom", q_doc_decontaminate_bloom),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -105,6 +105,234 @@ def q_doc_decontaminate(sf_dir: str):
     )
 
 
+# ------------------------------------- decontamination, Bloom scale path
+#
+# q_doc_decontaminate broadcasts the bench n-grams as one RE2 alternation,
+# which is right for eval-set-sized pattern sets but caps out at
+# BENCH_MAX_PATTERNS.  This is the ≥10^5-pattern path: the bench side is
+# summarized into a FIXED-SIZE Bloom filter (built distributed, OR-merged
+# on the driver — one bitmap row per batch — then ``ray.put`` once), every
+# training doc's word-aligned n-grams are hashed vectorized and probed
+# against the broadcast bits, and the few survivors are verified EXACTLY
+# by a hash-partitioned repartition join back to the bench n-gram set
+# with a final string-equality filter.  False positives cost only a
+# candidate row; the result is exact.  Word hashes come from polars
+# (seeded ahash — process-stable, vectorized in Rust); gram hashes are a
+# polynomial fold over the window's word hashes, so gram STRINGS are only
+# materialized for bloom survivors.
+#
+# Semantics note: this variant matches word-aligned n-grams (the standard
+# decontamination definition), while q_doc_decontaminate matches raw
+# substrings; bench docs shorter than BENCH_NGRAM tokens are excluded.
+
+BLOOM_BITS_LOG2 = 17  # m = 2^17 bits (16 KiB); size ~2^30 for 10^7-gram benches
+BLOOM_K = 4           # probes per key
+_HASH_SEED = 7
+_POLY = np.uint64(1099511628211)  # FNV-64 prime
+
+
+def _word_hashes(words: pa.Array) -> np.ndarray:
+    import polars as pl
+
+    if len(words) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pl.from_arrow(words).hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
+
+
+def _gram_hashes(wh: np.ndarray, g: int) -> np.ndarray:
+    """Hash of every length-``g`` window over the flat word-hash array
+    (positions spanning doc boundaries are filtered by the caller)."""
+    nw = len(wh) - g + 1
+    if nw <= 0:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(nw, dtype=np.uint64)
+    for j in range(g):
+        acc = acc * _POLY + wh[j : j + nw]
+    return acc
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int) -> list[np.ndarray]:
+    """BLOOM_K bit positions per key via double hashing h1 + i·h2."""
+    h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    mask = np.uint64(m_bits - 1)
+    return [(h + np.uint64(i) * h2) & mask for i in range(BLOOM_K)]
+
+
+def _bench_ngram_ds(sf_dir: str) -> rd.Dataset:
+    """Distinct bench leading n-grams as (h int64, ng string) — a Dataset,
+    never collected (contrast bench_ngrams' bounded driver collect)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MOD == 0
+        sub = t.filter(pa.array(keep))
+        empty = pa.table({"h": pa.array([], pa.int64()), "ng": pa.array([], pa.string())})
+        if len(sub) == 0:
+            return empty
+        toks = pc.split_pattern(sub["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        full = pc.greater_equal(pc.list_value_length(toks), BENCH_NGRAM)
+        lead = pc.list_slice(toks.filter(full), 0, BENCH_NGRAM)
+        rows = len(lead)
+        if rows == 0:
+            return empty
+        flat = pc.list_flatten(lead)
+        wh = _word_hashes(flat).reshape(rows, BENCH_NGRAM)
+        acc = np.zeros(rows, dtype=np.uint64)
+        for j in range(BENCH_NGRAM):
+            acc = acc * _POLY + wh[:, j]
+        return pa.table(
+            {
+                "h": pa.array(acc.view(np.int64), type=pa.int64()),
+                "ng": pc.binary_join(lead, " "),
+            }
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "ng": pa.array([], pa.string())})
+        return t.select(["h", "ng"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby(["h", "ng"])
+        .count()
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+def _build_bloom(bench: rd.Dataset, m_bits: int) -> np.ndarray:
+    """Distributed build: one fixed-size bitmap row per batch, OR-merged
+    on the driver (driver traffic = #batches × m/8 bytes, corpus-free)."""
+
+    def bitmap(t: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        if len(t):
+            h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            for pos in _bloom_positions(h, m_bits):
+                np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([words.tobytes()], type=pa.binary())})
+
+    acc = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in bench.map_batches(bitmap, batch_format="pyarrow").take_all():
+        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return acc
+
+
+class BloomProbeStage:
+    """Actor-pool stage: hash every word-aligned n-gram of each training
+    doc, keep bloom survivors, and materialize gram strings ONLY for
+    them.  Bits fetched once per actor (enrich.py:35 pattern)."""
+
+    def __init__(self, bits_ref):
+        self.bits = ray.get(bits_ref)
+        self.m_bits = len(self.bits) * 64
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64()),
+             "ng": pa.array([], pa.string())}
+        )
+        train = t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MOD != 0
+        sub = t.filter(pa.array(train))
+        if len(sub) == 0:
+            return empty
+        toks = pc.split_pattern(sub["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.values
+        acc = _gram_hashes(_word_hashes(flat), BENCH_NGRAM)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.maximum(n - BENCH_NGRAM + 1, 0)
+        total = int(k.sum())
+        if total == 0:
+            return empty
+        row_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.repeat(row_off[:-1], k) + (
+            np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+        )
+        h = acc[starts]
+        ok = np.ones(total, dtype=bool)
+        for pos in _bloom_positions(h, self.m_bits):
+            ok &= (self.bits[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1) == 1
+        if not ok.any():
+            return empty
+        doc = np.repeat(
+            pc.cast(sub["doc_id"], pa.int64()).to_numpy(zero_copy_only=False), k
+        )[ok]
+        h, starts = h[ok], starts[ok]
+        # dedupe (doc, h) — one candidate row per distinct gram per doc
+        order = np.lexsort((h, doc))
+        doc, h, starts = doc[order], h[order], starts[order]
+        first = np.empty(len(doc), dtype=bool)
+        first[:1] = True
+        first[1:] = (doc[1:] != doc[:-1]) | (h[1:] != h[:-1])
+        doc, h, starts = doc[first], h[first], starts[first]
+        ns = len(doc)
+        gather = np.repeat(starts, BENCH_NGRAM) + np.tile(np.arange(BENCH_NGRAM), ns)
+        vals = flat.take(pa.array(gather, type=pa.int64()))
+        grams = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (ns + 1) * BENCH_NGRAM, BENCH_NGRAM), type=pa.int32()),
+            vals,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "h": pa.array(h.view(np.int64), type=pa.int64()),
+                "ng": pc.binary_join(grams, " "),
+            }
+        )
+
+
+def q_doc_decontaminate_bloom(sf_dir: str, m_bits: int = 1 << BLOOM_BITS_LOG2):
+    """Training docs containing a word-aligned benchmark n-gram — the
+    unbounded-pattern-count scale path (Bloom prefilter + exact join
+    verify).  Result is exact for ANY ``m_bits`` (false positives only
+    add candidate rows); same output schema as doc_decontaminate."""
+    from .dedup import _ensure_schema, _join_partitions
+
+    bench = _bench_ngram_ds(sf_dir).materialize()
+    bits_ref = ray.put(_build_bloom(bench, m_bits))
+    cand_schema = pa.schema(
+        [("doc_id", pa.int64()), ("h", pa.int64()), ("ng", pa.string())]
+    )
+    cand = _ensure_schema(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            BloomProbeStage,
+            fn_constructor_args=[bits_ref],
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ),
+        cand_schema,
+    ).materialize()
+    empty = pa.schema([("doc_id", pa.int64())]).empty_table()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+
+    joined = cand.join(
+        bench, "inner",
+        num_partitions=_join_partitions(n_cand, bench.count()),
+        on=("h",), right_on=("h",), right_suffix="_r",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        # hash-collision guard: candidate gram must STRING-match the bench
+        # gram (keeps the result exact however the bloom/hash behaves)
+        return t.filter(pc.equal(t["ng"], t["ng_r"])).select(["doc_id"])
+
+    return (
+        joined.map_batches(verify, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .map_batches(
+            lambda t: t.select(["doc_id"]) if len(t) else empty,
+            batch_format="pyarrow",
+        )
+    )
+
+
 # --------------------------------------------------------- sequence packing
 PACK_BUDGET = 512       # tokens per packed training sequence
 PACK_BUCKETS = 64       # doc_id-range buckets (driver collect ≤ this)
@@ -230,6 +458,7 @@ def q_doc_chunk(sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE)
 
 CURATION_QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_chunk": q_doc_chunk,
 }
@@ -243,6 +472,22 @@ WITH bench AS (
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id % {BENCH_MOD} <> 0
   AND EXISTS (SELECT 1 FROM bench b WHERE contains(d.text, b.ng))
+""",
+    "doc_decontaminate_bloom": f"""
+WITH bench AS (
+  SELECT DISTINCT array_to_string(string_split(text, ' ')[1:{BENCH_NGRAM}], ' ') AS ng
+  FROM documents
+  WHERE doc_id % {BENCH_MOD} = 0 AND len(string_split(text, ' ')) >= {BENCH_NGRAM}
+), tr AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+), grams AS (
+  SELECT doc_id, array_to_string(toks[i : i + {BENCH_NGRAM} - 1], ' ') AS ng
+  FROM tr, LATERAL unnest(generate_series(1, n - {BENCH_NGRAM} + 1)) AS t(i)
+  WHERE n >= {BENCH_NGRAM}
+)
+SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (ng)
 """,
     "doc_pack_sequences": f"""
 WITH s AS (

@@ -844,3 +844,55 @@ def test_repetition_metrics_boundaries(ray_session, tmp_path):
     assert out.top_token_frac.tolist() == [1.0, 1.0, 0.1, 0.2]
     assert out.distinct_ratio.tolist() == [1.0, 1.0 / 6.0, 1.0, 0.9]
     assert out.flagged.tolist() == [True, True, False, False]
+
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)), str(tmp_path / "documents.parquet")
+    )
+
+
+def test_decontaminate_bloom_word_aligned_semantics(ray_session, tmp_path):
+    """Word-aligned matching: a mid-doc gram hit flags; a 5-of-6-word
+    near-miss, a sub-word prefix hit ('xthe fast …' contains the bench
+    gram only as a raw substring), and a shorter-than-G doc do not."""
+    from gcflow.ops.curation import BENCH_MOD, q_doc_decontaminate_bloom
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    gram = "alpha beta gamma delta epsilon zeta"  # its leading 6-gram
+    rows = {
+        "doc_id": [0, 1, 2, 3, 4],  # 0 % 29 == 0 → the bench doc
+        "text": [
+            bench_text,
+            "pad pad " + gram + " tail tail",          # mid-doc hit → flagged
+            "alpha beta gamma delta epsilon OTHER x",  # 5/6 words → clean
+            "x" + gram + " tail",                      # substring-only → clean
+            "alpha beta gamma",                        # shorter than G → clean
+        ],
+    }
+    _write_docs(tmp_path, rows)
+    out = q_doc_decontaminate_bloom(str(tmp_path)).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [1]
+    assert 1 % BENCH_MOD != 0  # sanity: the flagged doc is a training doc
+
+
+def test_decontaminate_bloom_exact_under_degenerate_filter(ray_session):
+    """A 64-bit bloom makes ~every gram a candidate — the join verify
+    must still produce the exact result (false positives cost rows, not
+    correctness)."""
+    from gcflow.ops.curation import q_doc_decontaminate, q_doc_decontaminate_bloom
+
+    exact = set(
+        q_doc_decontaminate_bloom(SF).to_pandas().doc_id
+    )
+    degenerate = set(
+        q_doc_decontaminate_bloom(SF, m_bits=64).to_pandas().doc_id
+    )
+    assert degenerate == exact
+    # word-aligned results are a subset of the substring-matching variant
+    substr = set(q_doc_decontaminate(SF).to_pandas().doc_id)
+    assert exact <= substr
