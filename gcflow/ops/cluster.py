@@ -44,20 +44,32 @@ def _init_centroids(src: str, k: int) -> np.ndarray:
     return V[np.argsort(ids)]
 
 
+def _embedding_matrix(t: pa.Table) -> np.ndarray:
+    """Default row-matrix extractor: the ``embedding`` list column."""
+    return np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
 def kmeans_fit(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> np.ndarray:
     """Lloyd iterations with distributed E-step; returns centroids."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     C = _init_centroids(src, k)
     ds = rd.read_parquet(src, columns=["embedding"])
+    return lloyd_iterations(ds, C, iters)
 
+
+def lloyd_iterations(
+    ds: rd.Dataset, C: np.ndarray, iters: int, to_matrix=_embedding_matrix
+) -> np.ndarray:
+    """The distributed Lloyd core over ANY Dataset: ``to_matrix`` maps a
+    batch to its float64 row matrix (list column, packed binary, …).
+    Scale contract as in the module docstring — per-iteration driver
+    traffic is exactly k rows of dim×8 bytes."""
     for _ in range(iters):
         cref = ray.put(C)
 
-        def partial(t: pa.Table, _cref=cref, _k=k) -> pa.Table:
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
             Cl = ray.get(_cref)
-            V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
+            V = to_matrix(t)
             # squared-euclidean argmin via the expanded form (‖v‖² is
             # constant per row → argmin over -2 v·c + ‖c‖²)
             d = -2.0 * (V @ Cl.T) + (Cl * Cl).sum(axis=1)[None, :]

@@ -921,6 +921,94 @@ def q_emb_cosine_dedup_lsh(sf_dir: str):
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
+# --------------------------------- embedding near-dup, SemDeDup (k-means)
+
+SEMDEDUP_K = 16      # k-means cells; size so n_cell ≈ corpus / k fits a worker
+SEMDEDUP_ITERS = 3
+
+
+def _unpack_packed(col) -> np.ndarray:
+    """Packed-float64 binary column → (rows, dim) matrix without a
+    per-row frombuffer loop: one contiguous copy of the values buffer,
+    reinterpreted (rows all share the fixed dim by construction)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    # BinaryArray keeps its offsets in buffers()[1] (int32), shifted by the
+    # array's slice offset
+    off = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+        a.offset : a.offset + len(a) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    seg = data[off[0] : off[-1]]
+    if off[0] % 8:  # float64 view needs 8-byte alignment
+        seg = seg.copy()
+    return seg.view(np.float64).reshape(len(a), -1)
+
+
+def q_emb_semdedup(sf_dir: str, k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS):
+    """Embedding near-dup via SemDeDup (Abbas et al. 2023): k-means the
+    corpus (distributed Lloyd, driver sees k rows per iteration), then
+    find cosine ≥ 0.95 pairs ONLY within each cell — one shuffle keyed by
+    cell, per-cell pairwise cosine with memory-bounded chunked matmuls.
+    Compute drops from O(N²) to O(Σ n_cell²) ≈ O(N²/k); raising k holds
+    n_cell ≈ N/k to worker size at any corpus scale.  Approximate (a pair
+    straddling a cell boundary is missed — recall vs the exact path
+    asserted in pytest; emitted pairs are exact-cosine verified, so
+    precision is 1) → rows-only driver check."""
+    from .cluster import lloyd_iterations
+
+    corpus = _emb_corpus_packed_ds(sf_dir).materialize()
+
+    init = sorted(
+        corpus.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], k)), batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    C0 = np.vstack([np.frombuffer(r["sh"], dtype=np.float64) for r in init])
+    C = lloyd_iterations(
+        corpus, C0, iters, to_matrix=lambda t: _unpack_packed(t["sh"])
+    )
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cl = ray.get(cref)
+        V = _unpack_packed(t["sh"])
+        d = -2.0 * (V @ Cl.T) + (Cl * Cl).sum(axis=1)[None, :]
+        return t.append_column("cell", pa.array(np.argmin(d, axis=1).astype(np.int64)))
+
+    empty = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
+    ).empty_table()
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return empty
+        ids = pc.cast(g["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        V = _unpack_packed(g["sh"])
+        N = V / np.linalg.norm(V, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), 1024):  # bound the block × cell matmul
+            S = N[s : s + 1024] @ N.T
+            ii, jj = np.nonzero(S >= COS_DUP_THRESHOLD)
+            keep = ids[s + ii] < ids[jj]
+            out_a.append(ids[s + ii][keep])
+            out_b.append(ids[jj][keep])
+            out_c.append(np.round(S[ii[keep], jj[keep]], 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    return (
+        corpus.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------- duplicate clusters (components)
 
 def q_doc_dup_clusters(sf_dir: str):
@@ -1013,6 +1101,7 @@ DEDUP_QUERIES = {
     "doc_simhash": q_doc_simhash,
     "emb_cosine_dedup": q_emb_cosine_dedup,
     "emb_cosine_dedup_lsh": q_emb_cosine_dedup_lsh,
+    "emb_semdedup": q_emb_semdedup,
     "doc_dup_clusters": q_doc_dup_clusters,
 }
 

@@ -896,3 +896,20 @@ def test_decontaminate_bloom_exact_under_degenerate_filter(ray_session):
     # word-aligned results are a subset of the substring-matching variant
     substr = set(q_doc_decontaminate(SF).to_pandas().doc_id)
     assert exact <= substr
+
+
+def test_semdedup_matches_exact_on_planted_dups(ray_session):
+    """SemDeDup (k-means cells + in-cell exact cosine) vs the O(N²)
+    exact path: every emitted pair is exact-cosine verified (subset ⇒
+    precision 1), and on the planted corpus — near-identical duplicate
+    vectors always land in the same cell — recall is 1.0, so the result
+    sets are equal, cos values included."""
+    from gcflow.ops.dedup import q_emb_cosine_dedup, q_emb_semdedup
+
+    exact = q_emb_cosine_dedup(SF).to_pandas()
+    sem = q_emb_semdedup(SF).to_pandas()
+    ex = set(zip(exact.vec_a, exact.vec_b))
+    se = set(zip(sem.vec_a, sem.vec_b))
+    assert se == ex and len(ex) > 0
+    merged = exact.merge(sem, on=["vec_a", "vec_b"], suffixes=("_e", "_s"))
+    assert np.allclose(merged.cos_e, merged.cos_s, atol=1e-9)
