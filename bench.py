@@ -203,6 +203,7 @@ def main():
     # representative operator benchmarks (each timed separately)
     from gcflow.ops.curation import (
         q_doc_chunk,
+        q_doc_curate,
         q_doc_decontaminate_bloom,
         q_doc_pack_sequences,
     )
@@ -223,6 +224,7 @@ def main():
         ("emb_quantize_int8", q_emb_quantize_int8),
         ("doc_repetition", q_doc_repetition),
         ("doc_decontaminate_bloom", q_doc_decontaminate_bloom),
+        ("doc_curate", q_doc_curate),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

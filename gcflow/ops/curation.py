@@ -401,6 +401,65 @@ def q_doc_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
     return toks.groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
+# ------------------------------------------------- fused curation pipeline
+CURATE_MIN_TOKENS = 10
+CURATE_MAX_TOKENS = 10_000
+CURATE_MIN_ALPHA = 0.75
+
+
+def q_doc_curate(sf_dir: str):
+    """The canonical assemble-a-training-corpus composition, fused into
+    ONE streaming pass + ONE shuffle: per-doc length / alpha-ratio /
+    Gopher-repetition filters computed together in a single
+    ``map_batches`` (each batch is read once, all metrics share the
+    tokenization), survivors keyed by content fingerprint, and exact
+    dedup via ``groupby(fp).min(doc_id)``.  Runs over the
+    planted-duplicates corpus so the dedup stage has real work; output
+    is the curated keep-list (one doc_id per surviving distinct text)."""
+    from .dedup import corpus_ds
+    from .text import REP_DISTINCT_RATIO, REP_TOP_FRAC, rep_counts
+    import hashlib
+
+    def stage(t: pa.Table) -> pa.Table:
+        n, n_distinct, top = rep_counts(t["text"])
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = pc.cast(
+            pc.count_substring_regex(t["text"], "[A-Za-z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        alpha_ratio = n_alpha.astype(np.float64) / n_chars
+        top_frac = top.astype(np.float64) / n
+        distinct_ratio = n_distinct.astype(np.float64) / n
+        ok = (
+            (n >= CURATE_MIN_TOKENS)
+            & (n <= CURATE_MAX_TOKENS)
+            & (alpha_ratio >= CURATE_MIN_ALPHA)
+            & ~((top_frac > REP_TOP_FRAC) | (distinct_ratio < REP_DISTINCT_RATIO))
+        )
+        sub = t.filter(pa.array(ok))
+        fp = [hashlib.md5(s.encode()).hexdigest() for s in sub["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(sub["doc_id"], pa.int64()),
+                "fp": pa.array(fp, type=pa.string()),
+            }
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        return pa.table({"doc_id": pc.cast(t["min(doc_id)"], pa.int64())})
+
+    return (
+        corpus_ds(sf_dir)
+        .map_batches(stage, batch_format="pyarrow")
+        .groupby("fp")
+        .min("doc_id")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------- chunking
 CHUNK_SIZE = 32         # tokens per chunk
 CHUNK_STRIDE = 24       # chunk start spacing (CHUNK_SIZE−stride overlap)
@@ -459,6 +518,7 @@ def q_doc_chunk(sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE)
 CURATION_QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+    "doc_curate": q_doc_curate,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_chunk": q_doc_chunk,
 }
@@ -528,3 +588,31 @@ SELECT doc_id, chunk_idx,
 FROM e
 """,
 }
+
+# doc_curate's oracle composes dedup's planted-corpus CTE with the
+# repetition/quality predicates (module-level import is safe: dedup has no
+# import back into curation)
+from .dedup import CORPUS_SQL as _CORPUS_SQL  # noqa: E402
+from .text import REP_DISTINCT_RATIO as _RDR, REP_TOP_FRAC as _RTF  # noqa: E402
+
+CURATION_ORACLES["doc_curate"] = f"""
+WITH {_CORPUS_SQL.split('WITH')[-1] if 'WITH' in _CORPUS_SQL else _CORPUS_SQL.strip()}
+, c AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+  GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac,
+         CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dr
+  FROM c GROUP BY doc_id
+), m AS (
+  SELECT d.doc_id, md5(d.text) AS fp
+  FROM corpus d JOIN rep r USING (doc_id)
+  WHERE r.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+    AND CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / length(d.text) >= {CURATE_MIN_ALPHA}
+    AND NOT (r.top_frac > {_RTF} OR r.dr < {_RDR})
+)
+SELECT min(doc_id) AS doc_id FROM m GROUP BY fp
+"""

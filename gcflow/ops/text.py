@@ -344,6 +344,33 @@ REP_TOP_FRAC = 0.2      # flag: most-frequent token holds > 20% of the doc
 REP_DISTINCT_RATIO = 0.5  # flag: fewer than half the tokens are distinct
 
 
+def rep_counts(text_col) -> tuple:
+    """Per-doc (n_tokens, n_distinct, mode-count) int64 arrays, fully
+    vectorized: tokens flatten once from zero-copy list buffers, get
+    dictionary-encoded, and both reductions come from ONE sort of
+    (doc, token-id) composite keys (run starts → distinct counts, run
+    lengths → mode mass)."""
+    toks = pc.split_pattern(text_col, " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    nrows = len(toks)
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = toks.values.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = len(enc.dictionary)
+    seg = np.repeat(np.arange(nrows, dtype=np.int64), n)
+    sk = np.sort(seg * vocab + idx, kind="stable")
+    new = np.empty(len(sk), dtype=bool)
+    new[:1] = True
+    new[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.append(starts, len(sk)))
+    run_seg = sk[starts] // vocab
+    n_distinct = np.bincount(run_seg, minlength=nrows).astype(np.int64)
+    top = np.zeros(nrows, dtype=np.int64)
+    np.maximum.at(top, run_seg, run_len)
+    return n, n_distinct, top
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality metrics (the Rae et al. 2021 §A1.1
     repetition-filter family, adapted to token granularity): per-doc
@@ -358,23 +385,7 @@ def q_doc_repetition(sf_dir: str):
     per-row Python anywhere."""
 
     def f(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        enc = toks.values.dictionary_encode()
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = len(enc.dictionary)
-        seg = np.repeat(np.arange(len(t), dtype=np.int64), n)
-        sk = np.sort(seg * vocab + idx, kind="stable")
-        new = np.empty(len(sk), dtype=bool)
-        new[:1] = True
-        new[1:] = sk[1:] != sk[:-1]
-        starts = np.flatnonzero(new)
-        run_len = np.diff(np.append(starts, len(sk)))
-        run_seg = sk[starts] // vocab
-        n_distinct = np.bincount(run_seg, minlength=len(t)).astype(np.int64)
-        top = np.zeros(len(t), dtype=np.int64)
-        np.maximum.at(top, run_seg, run_len)
+        n, n_distinct, top = rep_counts(t["text"])
         # identical int→float64 divisions on both engines (no rounding —
         # see q_doc_quality's tie-hazard note)
         top_frac = top.astype(np.float64) / n
