@@ -913,3 +913,43 @@ def test_semdedup_matches_exact_on_planted_dups(ray_session):
     assert se == ex and len(ex) > 0
     merged = exact.merge(sem, on=["vec_a", "vec_b"], suffixes=("_e", "_s"))
     assert np.allclose(merged.cos_e, merged.cos_s, atol=1e-9)
+
+
+def test_stream_dedup_one_winner_per_distinct_text(ray_session):
+    """Parallel feed through the shared index: exactly one representative
+    survives per distinct text — no distinct text is lost, none kept
+    twice — even though WHICH duplicate wins is arrival-order dependent."""
+    import pandas as pd
+
+    from gcflow.ops.dedup import corpus_ds
+    from gcflow.ops.stream_dedup import stream_dedup_kept
+
+    corpus = corpus_ds(SF).to_pandas()
+    kept = stream_dedup_kept(corpus_ds(SF)).to_pandas()
+    kept_texts = corpus.set_index("doc_id").loc[kept.doc_id, "text"]
+    assert kept_texts.is_unique
+    assert set(kept_texts) == set(corpus.text)
+
+
+def test_stream_dedup_in_order_feed_equals_batch_dedup(ray_session):
+    """Sequential in-order feed degenerates to first-wins, which equals
+    the batch exact dedup's min-doc_id keep-list."""
+    import pyarrow as pa
+
+    import ray
+    from gcflow.ops.dedup import corpus_ds, q_doc_exact_dedup
+    from gcflow.ops.stream_dedup import DedupShard, StreamDedupStage
+
+    corpus = corpus_ds(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    shards = [DedupShard.remote() for _ in range(4)]
+    try:
+        stage = StreamDedupStage(shards)
+        kept = []
+        for s in range(0, len(corpus), 100):  # ordered micro-batches
+            out = stage(pa.Table.from_pandas(corpus.iloc[s : s + 100]))
+            kept.extend(out["doc_id"].to_pylist())
+    finally:
+        for a in shards:
+            ray.kill(a)
+    exact = q_doc_exact_dedup(SF).to_pandas()
+    assert sorted(kept) == sorted(exact.doc_id.tolist())
