@@ -127,28 +127,9 @@ def q_doc_decontaminate(sf_dir: str):
 
 BLOOM_BITS_LOG2 = 17  # m = 2^17 bits (16 KiB); size ~2^30 for 10^7-gram benches
 BLOOM_K = 4           # probes per key
-_HASH_SEED = 7
-_POLY = np.uint64(1099511628211)  # FNV-64 prime
 
-
-def _word_hashes(words: pa.Array) -> np.ndarray:
-    import polars as pl
-
-    if len(words) == 0:
-        return np.empty(0, dtype=np.uint64)
-    return pl.from_arrow(words).hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
-
-
-def _gram_hashes(wh: np.ndarray, g: int) -> np.ndarray:
-    """Hash of every length-``g`` window over the flat word-hash array
-    (positions spanning doc boundaries are filtered by the caller)."""
-    nw = len(wh) - g + 1
-    if nw <= 0:
-        return np.empty(0, dtype=np.uint64)
-    acc = np.zeros(nw, dtype=np.uint64)
-    for j in range(g):
-        acc = acc * _POLY + wh[j : j + nw]
-    return acc
+from .hashing import gram_hashes as _gram_hashes  # noqa: E402
+from .hashing import word_hashes as _word_hashes  # noqa: E402
 
 
 def _bloom_positions(h: np.ndarray, m_bits: int) -> list[np.ndarray]:
@@ -175,11 +156,13 @@ def _bench_ngram_ds(sf_dir: str) -> rd.Dataset:
         rows = len(lead)
         if rows == 0:
             return empty
+        from .hashing import POLY
+
         flat = pc.list_flatten(lead)
         wh = _word_hashes(flat).reshape(rows, BENCH_NGRAM)
         acc = np.zeros(rows, dtype=np.uint64)
         for j in range(BENCH_NGRAM):
-            acc = acc * _POLY + wh[:, j]
+            acc = acc * POLY + wh[:, j]
         return pa.table(
             {
                 "h": pa.array(acc.view(np.int64), type=pa.int64()),

@@ -114,20 +114,67 @@ def _shingles(text: str) -> set:
     return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
 
 
+def _shingle_hash_segments(text_col, unique: bool = True) -> tuple:
+    """Per-row 3-gram hashes, vectorized end-to-end: polars word hashes
+    over the flat token buffer → length-3 polynomial windows
+    (hashing.gram_hashes — gram strings are never materialized).
+    Returns (counts int64[rows], flat uint64 values); row i's hashes are
+    ``flat[cum[i]:cum[i+1]]``.  With ``unique=True`` each row's hashes
+    are deduped and sorted ascending (one lexsort per batch — the lexsort
+    dominates, so callers whose semantics tolerate duplicates — MinHash
+    mins, the pair sweep's own (k, doc) dedupe — pass ``unique=False``).
+    Replaces the per-doc ``_shingles``+digest Python loop that was the
+    last row-wise hot path in the dedup family."""
+    from .hashing import gram_hashes, word_hashes
+
+    text = (
+        text_col.combine_chunks()
+        if isinstance(text_col, pa.ChunkedArray)
+        else text_col
+    )
+    toks = pc.split_pattern(text, " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    rows = len(toks)
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    k = np.maximum(n - 2, 0)
+    total = int(k.sum())
+    if total == 0:
+        return np.zeros(rows, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    acc = gram_hashes(word_hashes(toks.values), 3)
+    row_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.repeat(row_off[:-1], k) + (
+        np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+    )
+    h = acc[starts]
+    if not unique:
+        return k, h
+    seg = np.repeat(np.arange(rows, dtype=np.int64), k)
+    order = np.lexsort((h, seg))
+    hs, sg = h[order], seg[order]
+    first = np.empty(total, dtype=bool)
+    first[:1] = True
+    first[1:] = (sg[1:] != sg[:-1]) | (hs[1:] != hs[:-1])
+    hs, sg = hs[first], sg[first]
+    return np.bincount(sg, minlength=rows).astype(np.int64), hs
+
+
 def _shingle_rows(t: pa.Table) -> pa.Table:
     """Explode corpus rows to (k=shingle-hash64, doc_id) pairs.  Shingle
-    identity travels as its 64-bit blake2b hash, not the string — 8 bytes
-    per exchange row and a numeric bucket key for the sweep (collision
+    identity travels as its 64-bit hash, not the string — 8 bytes per
+    exchange row and a numeric bucket key for the sweep (collision
     chance ~n²/2⁶⁴, same tolerance as the packed verify sets)."""
-    doc_ids, ks = [], []
-    for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for sh in _shingles(s):
-            doc_ids.append(did)
-            ks.append(_shingle_hash64(sh))
+    # unique=True: the pair sweep would dedupe (k, doc) anyway, but this
+    # explode feeds a SHUFFLE — dedupe before the exchange, not after
+    # (this corpus repeats in-doc 3-grams heavily; shipping them costs
+    # ~20% end-to-end, measured at sf0.1)
+    counts, hs = _shingle_hash_segments(t["text"])
+    doc = np.repeat(
+        pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False), counts
+    )
     return pa.table(
         {
-            "k": pa.array(np.asarray(ks, dtype=np.uint64), type=pa.uint64()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "k": pa.array(hs, type=pa.uint64()),
+            "doc_id": pa.array(doc, type=pa.int64()),
         }
     )
 
@@ -197,10 +244,7 @@ def _sizes_ds(corpus) -> rd.Dataset:
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"],
-                "sz": pa.array(
-                    [len(_shingles(s)) for s in t["text"].to_pylist()],
-                    type=pa.int64(),
-                ),
+                "sz": pa.array(_shingle_hash_segments(t["text"])[0], type=pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -357,7 +401,11 @@ _PERM_B = _rng.randint(0, 1 << 62, size=N_PERM).astype(np.uint64)
 
 
 def _shingle_hash64(sh: str) -> int:
-    return int.from_bytes(hashlib.blake2b(sh.encode(), digest_size=8).digest(), "big")
+    """Scalar twin of the vectorized shingle/word hashing (hashing.py) —
+    reference implementations and tests only."""
+    from .hashing import gram_hash_scalar
+
+    return gram_hash_scalar(sh)
 
 
 def _minhash_signature(shingles: set) -> np.ndarray:
@@ -371,45 +419,28 @@ class MinHashStage:
     """Actor-pool stage: per-doc shingling + 128-perm MinHash signature,
     exploded to (k=fused band key, doc_id) rows for the bucket sweep.
 
-    Vectorized: shingle 64-bit hashes are memoized per actor (shingles
-    repeat heavily across near-dup docs), the 128 permutations are applied
-    to ALL shingles of a doc-chunk in one (128, total) numpy op with
-    per-doc ``np.minimum.reduceat`` segment-mins, and band hashes are a
+    Vectorized end-to-end: shingle hashes come from the flat-buffer
+    windowed path (``_shingle_hash_segments`` — no per-doc Python, no
+    memo needed), the 128 permutations are applied to ALL shingles of a
+    doc-chunk in one (128, total) numpy op with per-doc
+    ``np.minimum.reduceat`` segment-mins, and band hashes are a
     vectorized uint64 mix over the 4-row band chunks (bucket keys only
     gate candidates — exact verification prunes false positives, so the
     key function is free to be any deterministic mix)."""
 
     _CHUNK_DOCS = 128          # bounds the (128, total-shingles) temp
-    _CACHE_MAX = 2_000_000     # per-actor shingle-hash memo bound
 
     def __init__(self):
         self.a = _PERM_A
         self.b = _PERM_B
-        self._cache: dict = {}
-
-    def _hash_shingles(self, shingles: list) -> np.ndarray:
-        c = self._cache
-        if len(c) > self._CACHE_MAX:
-            c.clear()
-        out = np.empty(len(shingles), dtype=np.uint64)
-        for i, s in enumerate(shingles):
-            v = c.get(s)
-            if v is None:
-                v = np.uint64(_shingle_hash64(s))
-                c[s] = v
-            out[i] = v
-        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         r = N_PERM // N_BANDS
-        hashes, seg, kept = [], [0], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sh = _shingles(s)
-            if not sh:
-                continue
-            hashes.append(self._hash_shingles(list(sh)))
-            seg.append(seg[-1] + len(sh))
-            kept.append(did)
+        # min over a multiset == min over the set → skip the dedupe
+        counts, X = _shingle_hash_segments(t["text"], unique=False)
+        nz = counts > 0
+        kept = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)[nz]
+        cnz = counts[nz]
         n = len(kept)
         if n == 0:
             return pa.table(
@@ -418,8 +449,8 @@ class MinHashStage:
                     "doc_id": pa.array([], type=pa.int64()),
                 }
             )
-        X = np.concatenate(hashes)
-        starts = np.asarray(seg[:-1], dtype=np.int64)
+        seg = np.concatenate(([0], np.cumsum(cnz)))
+        starts = seg[:-1]
         sigs = np.empty((n, N_PERM), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c0 in range(0, n, self._CHUNK_DOCS):
@@ -457,16 +488,18 @@ def _shingle_sets_ds(corpus) -> rd.Dataset:
     The join side — never collected to the driver."""
 
     def pack(t: pa.Table) -> pa.Table:
-        payloads = []
-        for s in t["text"].to_pylist():
-            hs = np.fromiter(
-                (_shingle_hash64(x) for x in _shingles(s)), dtype=np.uint64
-            )
-            hs.sort()
-            payloads.append(hs.tobytes())
-        return pa.table(
-            {"doc_id": t["doc_id"], "sh": pa.array(payloads, type=pa.binary())}
+        # _shingle_hash_segments already yields each row's set sorted
+        # ascending in one flat buffer — the binary column is built
+        # straight from (byte offsets, values) with no per-row Python
+        counts, hs = _shingle_hash_segments(t["text"])
+        offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts * 8, out=offsets[1:])
+        payload = pa.Array.from_buffers(
+            pa.binary(),
+            len(counts),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(hs.tobytes())],
         )
+        return pa.table({"doc_id": t["doc_id"], "sh": payload})
 
     return corpus.map_batches(pack, batch_format="pyarrow")
 
@@ -586,34 +619,16 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 class SimHashStage:
     """Actor-pool stage: vectorized 64-bit SimHash over word features —
-    word hashes memoized per actor, per-doc bit accumulation via one
-    ``np.add.reduceat`` over the doc-segmented ±1 bit matrix (identical
-    signatures to the scalar ``_simhash64``).  Emits (k=fused 16-bit-band
-    key, doc_id, sig) rows for the bucket sweep."""
-
-    _CACHE_MAX = 2_000_000
-
-    def __init__(self):
-        self._cache: dict = {}
+    word hashes from one flat-buffer polars pass (no per-word Python, no
+    memo), per-doc bit accumulation via one ``np.add.reduceat`` over the
+    doc-segmented ±1 bit matrix (identical signatures to the scalar
+    ``_simhash64``).  Emits (k=fused 16-bit-band key, doc_id, sig) rows
+    for the bucket sweep."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        c = self._cache
-        if len(c) > self._CACHE_MAX:
-            c.clear()
-        hs, seg, doc_ids = [], [0], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            words = s.split(" ")
-            arr = np.empty(len(words), dtype=np.uint64)
-            for i, w in enumerate(words):
-                v = c.get(w)
-                if v is None:
-                    v = np.uint64(_shingle_hash64(w))
-                    c[w] = v
-                arr[i] = v
-            hs.append(arr)
-            seg.append(seg[-1] + len(words))
-            doc_ids.append(did)
-        n = len(doc_ids)
+        from .hashing import word_hashes
+
+        n = len(t)
         if n == 0:
             return pa.table(
                 {
@@ -622,7 +637,14 @@ class SimHashStage:
                     "sig": pa.array([], type=pa.uint64()),
                 }
             )
-        W = np.concatenate(hs)
+        text = t["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        toks = pc.split_pattern(text, " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        seg = np.concatenate(([0], np.cumsum(lens)))
+        W = word_hashes(toks.values)
         shifts = np.arange(64, dtype=np.uint64)
         contrib = (
             2 * ((W[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) - 1

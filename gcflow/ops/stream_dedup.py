@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from .curation import _word_hashes  # seeded, process-stable 64-bit hash
+from .hashing import word_hashes as _word_hashes  # seeded, process-stable
 
 STREAM_DEDUP_SHARDS = 8
 
