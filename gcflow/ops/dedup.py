@@ -229,6 +229,60 @@ def _cooccur_pairs(kd: rd.Dataset, num_buckets: int = N_PAIR_BUCKETS) -> rd.Data
     )
 
 
+def _pair_group_counts(
+    pairs: rd.Dataset, val: str | None = None, num_buckets: int = N_PAIR_BUCKETS
+) -> rd.Dataset:
+    """(doc_a, doc_b) rows → one row per distinct pair with its
+    multiplicity as ``n_shared`` (and, with ``val``, the per-pair min of
+    that column).  A direct ``groupby([doc_a, doc_b])`` makes Ray sort
+    millions of single-row groups — measured 24.6s for 2.1M pair rows at
+    sf0.1 vs ~2s this way: hash the pair to ``num_buckets`` buckets, then
+    ONE vectorized lexsort + run-length count per bucket group (the same
+    sweep shape as ``_cooccur_pairs``)."""
+    cols = [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
+    if val:
+        cols.append((val, pa.int64()))
+    empty = pa.schema(cols).empty_table()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["doc_b"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            b.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        )
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def count_group(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        a = pc.cast(g["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(g["doc_b"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.empty(len(a), dtype=bool)
+        new[:1] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a)))
+        out = {
+            "doc_a": pa.array(a[starts], type=pa.int64()),
+            "doc_b": pa.array(b[starts], type=pa.int64()),
+            "n_shared": pa.array(cnt, type=pa.int64()),
+        }
+        if val:
+            v = pc.cast(g[val], pa.int64()).to_numpy(zero_copy_only=False)[order]
+            out[val] = pa.array(np.minimum.reduceat(v, starts), type=pa.int64())
+        return pa.table(out)
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
 JOIN_PARTITIONS = 8
 
 # Target rows per hash-join partition; the partition count scales with the
@@ -307,21 +361,10 @@ def q_doc_ngram_jaccard(sf_dir: str):
     sizes = _sizes_ds(corpus)
     shingle_doc = corpus.map_batches(_shingle_rows, batch_format="pyarrow")
     pairs = _cooccur_pairs(shingle_doc)
-    def count_to_shared(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.schema(
-                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
-            ).empty_table()
-        return pa.table(
-            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "n_shared": t["count()"]}
-        )
-
     # materialize the (corpus-small) candidate set once: Ray's hash join
     # cannot infer a schema from an entirely-empty left side, so a dup-free
     # corpus must short-circuit before the joins
-    shared = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
-        count_to_shared, batch_format="pyarrow"
-    ).materialize()
+    shared = _pair_group_counts(pairs).materialize()
     n_cand = shared.count()
     if n_cand == 0:
         return _EMPTY_PAIRS_TABLE
@@ -519,6 +562,7 @@ def q_doc_minhash_lsh(sf_dir: str):
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
     )
     pairs = _cooccur_pairs(bands)
+
     def count_to_cand(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.schema(
@@ -526,7 +570,7 @@ def q_doc_minhash_lsh(sf_dir: str):
             ).empty_table()
         return t.select(["doc_a", "doc_b"])
 
-    cand = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
+    cand = _pair_group_counts(pairs).map_batches(
         count_to_cand, batch_format="pyarrow"
     ).materialize()
     n_cand = cand.count()
@@ -725,15 +769,9 @@ def q_doc_simhash(sf_dir: str):
             return pa.schema(
                 [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
             ).empty_table()
-        return pa.table(
-            {
-                "doc_a": pc.cast(t["doc_a"], pa.int64()),
-                "doc_b": pc.cast(t["doc_b"], pa.int64()),
-                "hamming": pc.cast(t["min(hamming)"], pa.int64()),
-            }
-        )
+        return t.select(["doc_a", "doc_b", "hamming"])
 
-    return pairs.groupby(["doc_a", "doc_b"]).min("hamming").map_batches(
+    return _pair_group_counts(pairs, val="hamming").map_batches(
         rename, batch_format="pyarrow"
     )
 
@@ -898,7 +936,7 @@ def q_emb_cosine_dedup_lsh(sf_dir: str):
     corpus = _emb_corpus_packed_ds(sf_dir).materialize()
     sig_rows = corpus.map_batches(EmbSigStage, batch_format="pyarrow", concurrency=(1, 4))
     pairs = _cooccur_pairs(sig_rows)
-    cand = pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
+    cand = _pair_group_counts(pairs).map_batches(
         lambda t: t.select(["doc_a", "doc_b"])
         if len(t)
         else pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table(),
