@@ -429,17 +429,10 @@ def q_doc_curate(sf_dir: str):
             }
         )
 
-    def rename(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.schema([("doc_id", pa.int64())]).empty_table()
-        return pa.table({"doc_id": pc.cast(t["min(doc_id)"], pa.int64())})
+    from .dedup import min_id_per_key
 
-    return (
-        corpus_ds(sf_dir)
-        .map_batches(stage, batch_format="pyarrow")
-        .groupby("fp")
-        .min("doc_id")
-        .map_batches(rename, batch_format="pyarrow")
+    return min_id_per_key(
+        corpus_ds(sf_dir).map_batches(stage, batch_format="pyarrow"), key="fp"
     )
 
 

@@ -83,27 +83,70 @@ def corpus_ds(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------------------- exact dedup
 
+def min_id_per_key(
+    ds: rd.Dataset, key: str, id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """min(id) per distinct string key without a corpus-distinct groupby
+    (which makes Ray sort millions of single-row groups — see
+    ``_pair_group_counts``): hash the key into ``num_buckets`` buckets,
+    then one dictionary-encode + lexsort run-reduce per bucket group.
+    Keys are compared exactly (string equality within the group); the
+    64-bit bucket hash only routes.  Returns Dataset[(doc_id,)]."""
+    from .hashing import word_hashes
+
+    empty = pa.schema([("doc_id", pa.int64())]).empty_table()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t[key]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        b = (word_hashes(col) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                key: col,
+                "doc_id": pc.cast(t[id_col], pa.int64()),
+                "bucket": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        col = g[key]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        codes = col.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        c, i = codes[order], ids[order]
+        first = np.empty(len(c), dtype=bool)
+        first[:1] = True
+        first[1:] = c[1:] != c[:-1]
+        return pa.table({"doc_id": pa.array(i[first], type=pa.int64())})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
+
+
 def q_doc_exact_dedup(sf_dir: str):
     """Exact dedup: content-hash partition → keep min doc_id per group.
 
     The shuffle key is the md5 of the text (not the text itself), so only
-    16-byte keys + ids cross the wire."""
+    16-byte keys + ids cross the wire; the per-key min runs as a bucketed
+    sweep (``min_id_per_key``), never a corpus-distinct groupby.  Stays a
+    Dataset end-to-end — at scale the kept set is corpus-sized, so the
+    survivor list must never be collected to the driver."""
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
         return pa.table({"h": pa.array(h), "doc_id": t["doc_id"]})
 
-    kept = (
-        corpus_ds(sf_dir)
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .min("doc_id")
-    )
-    # stays a Dataset end-to-end — at scale the kept set is corpus-sized,
-    # so the survivor list must never be collected to the driver
-    return kept.map_batches(
-        lambda t: pa.table({"doc_id": pc.cast(t["min(doc_id)"], pa.int64())}),
-        batch_format="pyarrow",
+    return min_id_per_key(
+        corpus_ds(sf_dir).map_batches(add_hash, batch_format="pyarrow"), key="h"
     )
 
 
