@@ -170,17 +170,36 @@ def _bench_ngram_ds(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    def project(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array((h.view(np.uint64) % np.uint64(64)).astype(np.int64))
+        )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        # distinct (h, ng) per bucket group — one lexsort instead of a
+        # groupby whose group count equals the bench n-gram count (the
+        # ≥10^5-pattern regime this path exists for)
+        if len(g) == 0:
             return pa.table({"h": pa.array([], pa.int64()), "ng": pa.array([], pa.string())})
-        return t.select(["h", "ng"])
+        h = g["h"].to_numpy(zero_copy_only=False)
+        ng = g["ng"]
+        ng = ng.combine_chunks() if isinstance(ng, pa.ChunkedArray) else ng
+        codes = ng.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, codes))
+        c, hh = codes[order], h[order]
+        first = np.empty(len(c), dtype=bool)
+        first[:1] = True
+        first[1:] = (c[1:] != c[:-1]) | (hh[1:] != hh[:-1])
+        idx = pa.array(order[first].astype(np.int64))
+        return pa.table({"h": pa.array(hh[first], type=pa.int64()), "ng": ng.take(idx)})
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(extract, batch_format="pyarrow")
-        .groupby(["h", "ng"])
-        .count()
-        .map_batches(project, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct, batch_format="pyarrow")
     )
 
 
