@@ -24,30 +24,51 @@ HLL_M = 1 << HLL_P
 
 def q_evt_distinct_users(sf_dir: str):
     """Exact distinct users per event_type: in-batch pair dedup (combiner)
-    → global pair dedup (groupby) → per-type count.  Shuffle volume is
-    O(distinct pairs), never O(events)."""
+    → bucketed global pair dedup → per-type count.  Shuffle volume is
+    O(distinct pairs), never O(events), and the global dedup groups by a
+    64-way user-hash bucket (one lexsort per group) rather than by the
+    pair itself — a pair-keyed groupby's group count equals the distinct
+    user count, the millions-of-single-row-groups shape measured slow in
+    dedup._pair_group_counts."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
     )
 
     def pair_dedup(t: pa.Table) -> pa.Table:
-        return t.group_by(["event_type", "user_id"]).aggregate([])
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return g.append_column("bucket", pa.array(b.astype(np.int64)))
 
-    def to_partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
+    def to_partial(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
             return pa.schema(
                 [("event_type", pa.string()), ("np_", pa.int64())]
             ).empty_table()
-        g = t.group_by(["event_type"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "np_"])
+        et = g["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, codes))
+        c, uu = codes[order], u[order]
+        first = np.empty(len(c), dtype=bool)
+        first[:1] = True
+        first[1:] = (c[1:] != c[:-1]) | (uu[1:] != uu[:-1])
+        n = np.bincount(c[first], minlength=len(enc.dictionary))
+        return pa.table(
+            {
+                "event_type": enc.dictionary,
+                "np_": pa.array(n, type=pa.int64()),
+            }
+        )
 
     from ray.data.aggregate import Sum
 
     out = (
         ds.map_batches(pair_dedup, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .count()  # global dedup; count() value unused
-        .map_batches(to_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(to_partial, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Sum("np_", alias_name="n"))
         .to_pandas()
