@@ -135,31 +135,61 @@ TOP_TERMS_K = 50
 
 def q_doc_top_terms(sf_dir: str):
     """Canonical map-reduce word count: vectorized in-batch term counting
-    (split → flatten → value_counts, a per-batch COMBINER) → small
-    groupby(term).sum → distributed top-k sort.  Top 50 terms by total
-    occurrences, ties by term ascending."""
+    (split → flatten → value_counts, a per-batch COMBINER) → bucketed
+    term-sum sweep with a LOCAL top-k per bucket → tiny global top-k
+    sort.  Top 50 terms by total occurrences, ties by term ascending.
+
+    The term reduce groups by a 64-way term-hash bucket, not by term — a
+    term-keyed groupby's group count equals the vocabulary size (10^8+
+    on web text, the slow millions-of-tiny-groups shape), and since each
+    term lives wholly in one bucket, a per-bucket top-k is exact for the
+    global top-k: the final sort sees ≤ 64·k rows."""
 
     def partial(t: pa.Table) -> pa.Table:
+        from .hashing import word_hashes
+
         flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
         vc = flat.value_counts()
         vc = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+        terms = vc.field("values")
+        b = (word_hashes(terms) % np.uint64(64)).astype(np.int64)
         return pa.table(
-            {"term": vc.field("values"), "n_partial": pc.cast(vc.field("counts"), pa.int64())}
+            {
+                "term": terms,
+                "n_partial": pc.cast(vc.field("counts"), pa.int64()),
+                "bucket": pa.array(b, type=pa.int64()),
+            }
         )
 
-    def rename(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
             return pa.schema([("term", pa.string()), ("n", pa.int64())]).empty_table()
+        terms = g["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(
+            codes,
+            weights=g["n_partial"].to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        ).astype(np.int64)
+        vocab = enc.dictionary
+        # local top-k by (n desc, term asc) — exact: terms never split
+        # across buckets
+        k = min(TOP_TERMS_K, len(n))
+        order = pc.sort_indices(
+            pa.table({"n": pa.array(n), "term": vocab}),
+            sort_keys=[("n", "descending"), ("term", "ascending")],
+        )[:k]
         return pa.table(
-            {"term": t["term"], "n": pc.cast(t["sum(n_partial)"], pa.int64())}
+            {"term": vocab.take(order), "n": pa.array(n).take(order)}
         )
 
     return (
         _docs(sf_dir, ["text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("n_partial")
-        .map_batches(rename, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
         .sort(["n", "term"], descending=[True, False])
         .limit(TOP_TERMS_K)
     )
