@@ -1197,6 +1197,67 @@ def q_doc_dup_clusters(sf_dir: str):
     )
 
 
+def q_doc_near_dedup(sf_dir: str):
+    """The keep-list a curation pipeline actually consumes: every corpus
+    doc EXCEPT non-representative near-dup cluster members (jaccard ≥ 0.7
+    closure, keep = the component's min doc_id).  Composition of
+    q_doc_dup_clusters with a bucketed ANTI-JOIN: corpus ids (flag 0) and
+    dropped ids (flag 1) route to 64 id-hash buckets, one lexsort run per
+    group filters ids whose run contains a drop flag — no broadcast of
+    the drop set (it scales with the dup fraction of the corpus)."""
+    clusters = q_doc_dup_clusters(sf_dir)
+    corpus_ids = corpus_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "flag": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    empty = pa.schema([("doc_id", pa.int64()), ("flag", pa.int64())]).empty_table()
+
+    def to_drop(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        keep = pc.not_equal(t["doc_id"], t["component"])
+        ids = pc.cast(t.filter(keep)["doc_id"], pa.int64())
+        return pa.table(
+            {"doc_id": ids, "flag": pa.array(np.ones(len(ids), dtype=np.int64))}
+        )
+
+    if isinstance(clusters, pa.Table):  # dup-free corpus → keep everything
+        tagged = corpus_ids
+    else:
+        tagged = corpus_ids.union(
+            clusters.map_batches(to_drop, batch_format="pyarrow")
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def anti(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        fl = g["flag"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fl, ids))
+        i, f = ids[order], fl[order]
+        starts = np.flatnonzero(np.r_[True, i[1:] != i[:-1]])
+        ends = np.r_[starts[1:], len(i)]
+        # keep a corpus id iff its run carries no drop flag
+        keep = f[ends - 1] == 0
+        return pa.table({"doc_id": pa.array(i[starts[keep]], type=pa.int64())})
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pyarrow")
+    )
+
+
 DEDUP_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -1206,15 +1267,13 @@ DEDUP_QUERIES = {
     "emb_cosine_dedup_lsh": q_emb_cosine_dedup_lsh,
     "emb_semdedup": q_emb_semdedup,
     "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_near_dedup": q_doc_near_dedup,
 }
 
-DEDUP_ORACLES = {
-    "doc_exact_dedup": "WITH " + CORPUS_SQL + """
-SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text ORDER BY 1
-""",
-    "doc_ngram_jaccard": JACCARD_PAIRS_SQL,
-    "doc_minhash_lsh": JACCARD_PAIRS_SQL,
-    "doc_dup_clusters": "WITH RECURSIVE "
+# recursive transitive-closure CTE over jaccard ≥ 0.7 edges — shared by the
+# cluster-labeling oracle and the keep-list oracle
+_DUP_WALK_SQL = (
+    "WITH RECURSIVE "
     + CORPUS_SQL.strip().lstrip()
     + """
 , words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
@@ -1244,8 +1303,22 @@ walk(src, dst) AS (
   SELECT a, a FROM edges
   UNION
   SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a
+)"""
 )
+
+DEDUP_ORACLES = {
+    "doc_exact_dedup": "WITH " + CORPUS_SQL + """
+SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text ORDER BY 1
+""",
+    "doc_ngram_jaccard": JACCARD_PAIRS_SQL,
+    "doc_minhash_lsh": JACCARD_PAIRS_SQL,
+    "doc_dup_clusters": _DUP_WALK_SQL + """
 SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1
+""",
+    "doc_near_dedup": _DUP_WALK_SQL + """
+, comp AS (SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1)
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 """,
     # doc_simhash: implementation-defined signature → rows-only check
     "emb_cosine_dedup": "WITH " + EMB_DUP_SQL + """
