@@ -160,9 +160,126 @@ def q_evt_distinct_users_hll(sf_dir: str):
     )
 
 
+# --------------------------------------------- count-min heavy hitters
+
+CMS_D = 4               # hash rows; P(overestimate > εN) ≤ e^-D per query
+CMS_W = 1 << 14         # counters per row; ε ≈ e / W
+CMS_MERGE_BUCKETS = 16  # first-level sketch-merge fan-in
+CMS_LOCAL_M = 200       # per-batch candidate terms
+
+
+def _cms_rows(h: np.ndarray) -> list[np.ndarray]:
+    """CMS_D column indices per key via double hashing."""
+    h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    return [((h + np.uint64(i) * h2) % np.uint64(CMS_W)) for i in range(CMS_D)]
+
+
+def q_doc_top_terms_cms(sf_dir: str, k: int = 50):
+    """Heavy-hitter terms via a count-min sketch — the mergeable-sketch
+    path for vocabularies too large to aggregate exactly (the exact twin
+    is ``doc_top_terms``).  Per-batch: one (CMS_D × CMS_W) uint64 counter
+    block (fixed 512 KB regardless of vocabulary) + the batch's local
+    top-M candidate terms.  Sketches merge by elementwise SUM through a
+    16-way tree (never a driver collect of O(batches) payloads at once —
+    the first level reduces in the distributed plane); candidates union
+    through a bucketed distinct.  Final: the merged sketch is broadcast
+    once and every candidate's count estimated vectorized; top-k by
+    (estimate desc, term asc).  Estimates are implementation-defined →
+    rows-only driver check; pytest asserts the CMS guarantee (never
+    underestimates) and top-k agreement with the exact twin."""
+    from .hashing import word_hashes
+
+    import ray
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = flat.value_counts()
+        vc = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+        terms = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = word_hashes(terms)
+        regs = np.zeros((CMS_D, CMS_W), dtype=np.uint64)
+        for i, cols in enumerate(_cms_rows(h)):
+            np.add.at(regs[i], cols, counts)
+        bucket = int(h[0] % CMS_MERGE_BUCKETS) if len(h) else 0
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int64()),
+                "regs": pa.array([regs.tobytes()], type=pa.binary()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        acc = np.zeros(CMS_D * CMS_W, dtype=np.uint64)
+        for b in g["regs"].to_pylist():
+            acc += np.frombuffer(b, dtype=np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array([0], type=pa.int64()),
+                "regs": pa.array([acc.tobytes()], type=pa.binary()),
+            }
+        )
+
+    level1 = (
+        docs.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()  # ≤ CMS_MERGE_BUCKETS fixed-size rows
+    )
+    cms = np.zeros(CMS_D * CMS_W, dtype=np.uint64)
+    for row in level1:
+        cms += np.frombuffer(row["regs"], dtype=np.uint64)
+    cms = cms.reshape(CMS_D, CMS_W)
+    cms_ref = ray.put(cms)
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = flat.value_counts()
+        vc = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+        terms = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        top = np.argsort(-counts, kind="stable")[:CMS_LOCAL_M]
+        kept = terms.take(pa.array(top.astype(np.int64)))
+        b = (word_hashes(kept) % np.uint64(64)).astype(np.int64)
+        return pa.table({"term": kept, "bucket": pa.array(b, type=pa.int64())})
+
+    def estimate(g: pa.Table) -> pa.Table:
+        empty = pa.schema([("term", pa.string()), ("n_est", pa.int64())]).empty_table()
+        if len(g) == 0:
+            return empty
+        terms = g["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        uniq = terms.dictionary_encode().dictionary
+        h = word_hashes(uniq)
+        C = ray.get(cms_ref)
+        est = np.min(
+            np.stack([C[i][cols] for i, cols in enumerate(_cms_rows(h))]), axis=0
+        )
+        return pa.table(
+            {"term": uniq, "n_est": pa.array(est.astype(np.int64), type=pa.int64())}
+        )
+
+    return (
+        docs.map_batches(cand_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(estimate, batch_format="pyarrow")
+        .sort(["n_est", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
 SKETCH_QUERIES = {
     "evt_distinct_users": q_evt_distinct_users,
     "evt_distinct_users_hll": q_evt_distinct_users_hll,
+    "doc_top_terms_cms": q_doc_top_terms_cms,
 }
 
 SKETCH_ORACLES = {

@@ -953,3 +953,21 @@ def test_stream_dedup_in_order_feed_equals_batch_dedup(ray_session):
             ray.kill(a)
     exact = q_doc_exact_dedup(SF).to_pandas()
     assert sorted(kept) == sorted(exact.doc_id.tolist())
+
+
+def test_cms_top_terms_accuracy(ray_session):
+    """Count-min guarantees: estimates never undercount, and on this
+    corpus the top-k heavy hitters agree with the exact twin (both value
+    sets and, where estimates are exact, counts)."""
+    from gcflow.ops.sketch import q_doc_top_terms_cms
+    from gcflow.ops.text import q_doc_top_terms
+
+    exact = q_doc_top_terms(SF).to_pandas().set_index("term")["n"]
+    cms = q_doc_top_terms_cms(SF).to_pandas().set_index("term")["n_est"]
+    common = exact.index.intersection(cms.index)
+    assert len(common) >= 0.9 * len(exact)          # top-k set agreement
+    assert (cms[common] >= exact[common]).all()     # CMS never undercounts
+    # 2^14 counters vs a tiny vocabulary → collisions are rare: estimates
+    # within 5% of truth for the shared heavy hitters
+    rel = (cms[common] - exact[common]) / exact[common]
+    assert rel.max() <= 0.05
