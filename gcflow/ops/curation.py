@@ -33,9 +33,11 @@ size it ~corpus_rows / 10^6 at scale.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -611,3 +613,81 @@ WITH {_CORPUS_SQL.split('WITH')[-1] if 'WITH' in _CORPUS_SQL else _CORPUS_SQL.st
 )
 SELECT min(doc_id) AS doc_id FROM m GROUP BY fp
 """
+
+
+# --------------------------------------------- curated-corpus shard writer
+
+def write_curated_shards(sf_dir: str, out_dir: str, num_shards: int = 16,
+                         resume: bool = True) -> dict:
+    """Materialize the curated corpus (``q_doc_curate``'s keep-list applied
+    back to the planted corpus) as ``num_shards`` deterministic
+    hash-sharded parquet directories plus a ``_manifest.json`` — the
+    end-of-pipeline layout a training job consumes.
+
+    Resumable by construction (checkpoint.py's lineage shape, scoped to
+    one table): each shard writes to ``out/shard=K/`` and records itself
+    in the manifest only after its ``write_parquet`` returns; a rerun
+    with ``resume=True`` skips recorded shards (a failed run re-does only
+    missing ones).  Shard membership is ``hash(doc_id) % num_shards`` —
+    stable across runs and cluster sizes, so resume never reassigns rows.
+    One filtered streaming pass per missing shard; the keep-list is a
+    Dataset side of a bucketed anti-join, never a driver set."""
+    from .dedup import corpus_ds
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    manifest = {"num_shards": num_shards, "shards": {}}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev.get("num_shards") == num_shards:
+            manifest = prev
+
+    kept = q_doc_curate(sf_dir).materialize()
+
+    def tag_shard(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        s = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+            num_shards
+        )
+        return t.append_column("shard", pa.array(s.astype(np.int64)))
+
+    corpus = corpus_ds(sf_dir)
+
+    # attach the keep flag via an inner repartition join on doc_id —
+    # corpus rows not in the keep-list drop out of the join
+    from .dedup import _ensure_schema, _join_partitions
+
+    kept_keyed = _ensure_schema(
+        kept, pa.schema([("doc_id", pa.int64())])
+    )
+    n_keep = kept_keyed.count()
+    # one join per RUN (materialized); the per-shard passes below are
+    # block-local filters over the pinned result, not join re-executions
+    joined = corpus.join(
+        kept_keyed, "inner",
+        num_partitions=_join_partitions(n_keep, n_keep),
+        on=("doc_id",), right_on=("doc_id",), right_suffix="_r",
+    ).map_batches(tag_shard, batch_format="pyarrow").materialize()
+    drop_cols = [c for c in joined.schema().names if c not in ("doc_id", "text")]
+
+    written = []
+    for k in range(num_shards):
+        if str(k) in manifest["shards"]:
+            continue
+        shard_dir = os.path.join(out_dir, f"shard={k}")
+        shutil.rmtree(shard_dir, ignore_errors=True)  # partial prior write
+        part = joined.filter(expr=f"shard == {k}").drop_columns(drop_cols)
+        part.write_parquet(shard_dir)
+        n = sum(
+            pq.read_metadata(os.path.join(shard_dir, f)).num_rows
+            for f in os.listdir(shard_dir)
+            if f.endswith(".parquet")
+        )
+        manifest["shards"][str(k)] = {"rows": int(n)}
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)  # atomic publish per shard
+        written.append(k)
+    return {"written": written, "manifest": manifest}

@@ -971,3 +971,45 @@ def test_cms_top_terms_accuracy(ray_session):
     # within 5% of truth for the shared heavy hitters
     rel = (cms[common] - exact[common]) / exact[common]
     assert rel.max() <= 0.05
+
+
+def test_curated_shard_writer_resume(ray_session, tmp_path):
+    """Shard layout, manifest counts, determinism, and resume: rows land
+    by stable doc_id hash, totals equal the keep-list, and a rerun with a
+    recorded manifest rewrites nothing."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import q_doc_curate, write_curated_shards
+
+    out = str(tmp_path / "curated")
+    res = write_curated_shards(SF, out, num_shards=4)
+    assert sorted(res["written"]) == [0, 1, 2, 3]
+    kept = q_doc_curate(SF).to_pandas()
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert sum(s["rows"] for s in manifest["shards"].values()) == len(kept)
+    got_ids = []
+    for k in range(4):
+        d = os.path.join(out, f"shard={k}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, f))
+                assert t.schema.names == ["doc_id", "text"]
+                got_ids.extend(t["doc_id"].to_pylist())
+    assert sorted(got_ids) == sorted(kept.doc_id.tolist())
+
+    # resume: nothing left to write, outputs untouched
+    mtimes = {k: os.path.getmtime(os.path.join(out, f"shard={k}")) for k in range(4)}
+    res2 = write_curated_shards(SF, out, num_shards=4)
+    assert res2["written"] == []
+    assert mtimes == {
+        k: os.path.getmtime(os.path.join(out, f"shard={k}")) for k in range(4)
+    }
+
+    # partial resume: drop one shard's record → only that shard rewrites
+    manifest["shards"].pop("2")
+    json.dump(manifest, open(os.path.join(out, "_manifest.json"), "w"))
+    res3 = write_curated_shards(SF, out, num_shards=4)
+    assert res3["written"] == [2]
