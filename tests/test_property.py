@@ -269,3 +269,29 @@ def test_vec_equals_python_random_corpora(ray_session, convs):
     pd.testing.assert_frame_equal(da[simple], db[simple], check_dtype=False)
     for ra, rb in zip(da.to_dict("records"), db.to_dict("records")):
         assert sinks.arrow_export_seq(ra) == sinks.arrow_export_seq(rb)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=1, max_size=12,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+def test_shingle_segments_match_scalar_twin(texts):
+    """The vectorized flat-buffer shingle path equals the per-doc scalar
+    reference (set semantics, sorted ascending) on arbitrary word soup."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gcflow.ops.dedup import _shingle_hash_segments, _shingles, _shingle_hash64
+
+    counts, flat = _shingle_hash_segments(pa.array(texts, type=pa.string()))
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    for i, s in enumerate(texts):
+        want = sorted(np.uint64(_shingle_hash64(x)) for x in _shingles(s))
+        got = flat[cum[i] : cum[i + 1]].tolist()
+        assert got == [int(w) for w in want], s
