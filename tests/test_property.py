@@ -295,3 +295,62 @@ def test_shingle_segments_match_scalar_twin(texts):
         want = sorted(np.uint64(_shingle_hash64(x)) for x in _shingles(s))
         got = flat[cum[i] : cum[i + 1]].tolist()
         assert got == [int(w) for w in want], s
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30), st.integers(0, 7)),
+        min_size=1, max_size=120,
+    )
+)
+def test_pair_group_counts_matches_pandas(ray_session, pairs):
+    """The bucketed run-length pair sweep equals pandas groupby count/min
+    on arbitrary (doc_a, doc_b, val) multisets."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from gcflow.ops.dedup import _pair_group_counts
+
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b", "hamming"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    got = (
+        _pair_group_counts(ds, val="hamming")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["doc_a", "doc_b"])
+        .agg(n_shared=("hamming", "size"), hamming=("hamming", "min"))
+        .reset_index()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_a", "doc_b", "n_shared", "hamming"]].astype("int64"),
+        want[["doc_a", "doc_b", "n_shared", "hamming"]].astype("int64"),
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="pqr", min_size=1, max_size=3), st.integers(0, 100)),
+        min_size=1, max_size=100,
+    )
+)
+def test_min_id_per_key_matches_pandas(ray_session, rows):
+    """The bucketed keyed-min sweep equals pandas groupby(key).min(id)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from gcflow.ops.dedup import min_id_per_key
+
+    df = pd.DataFrame(rows, columns=["h", "doc_id"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    got = sorted(min_id_per_key(ds, key="h").to_pandas().doc_id)
+    want = sorted(df.groupby("h").doc_id.min())
+    assert got == want
