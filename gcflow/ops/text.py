@@ -370,6 +370,144 @@ def q_doc_top_keyword(sf_dir: str):
     )
 
 
+def q_doc_unigram_logprob(sf_dir: str):
+    """CCNet-style language-model quality score (Wenzek et al. 2020's
+    perplexity filter, with the corpus's own unigram LM standing in for
+    KenLM): per-doc token-weighted mean negative log-probability under
+    p(term) = corpus_count(term) / total_tokens.  High values = unusual
+    vocabulary (the filter's signal).
+
+    Distributed shape: (1) per-batch tf partials; (2) global term counts
+    via the bucketed term sweep (vocabulary-sized groupby avoided — see
+    q_doc_top_terms); (3) ONE term-keyed repartition join of tf to
+    counts (the q_doc_top_keyword exchange shape — never a vocabulary
+    broadcast); (4) per-doc partial (Σ tf·ln n, Σ tf) combiners reduced
+    by a doc-bucket sweep.  The score is ln N − Σ tf·ln n / Σ tf, with
+    the SQL oracle mirroring the exact same expression tree."""
+    from .dedup import _ensure_schema, _join_partitions
+    from .hashing import word_hashes
+
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False), lens
+        )
+        tbl = pa.table(
+            {"doc_id": pa.array(doc, type=pa.int64()), "term": pc.list_flatten(toks)}
+        )
+        g = tbl.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    def tf_ds() -> rd.Dataset:
+        return _ensure_schema(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                tf_partial, batch_format="pyarrow"
+            ),
+            tf_schema,
+        )
+
+    # global term counts: bucketed term sweep (see q_doc_top_terms)
+    def term_bucket(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        b = (word_hashes(terms) % np.uint64(64)).astype(np.int64)
+        return pa.table(
+            {"term": terms, "tf": t["tf"], "bucket": pa.array(b, type=pa.int64())}
+        )
+
+    def term_sum(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema([("term", pa.string()), ("n", pa.int64())]).empty_table()
+        terms = g["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(
+            codes,
+            weights=g["tf"].to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        ).astype(np.int64)
+        return pa.table({"term": enc.dictionary, "n": pa.array(n, type=pa.int64())})
+
+    counts = _ensure_schema(
+        tf_ds().map_batches(term_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(term_sum, batch_format="pyarrow"),
+        pa.schema([("term", pa.string()), ("n", pa.int64())]),
+    )
+
+    def n_tok(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table({"n": pc.cast(n, pa.int64())})
+
+    total = _docs(sf_dir, ["text"]).map_batches(n_tok, batch_format="pyarrow").sum("n")
+    ln_total = float(np.log(np.float64(total)))
+
+    n_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    joined = tf_ds().join(
+        counts, "inner",
+        num_partitions=_join_partitions(n_docs * 64, n_docs * 64),
+        on=("term",),
+    )
+
+    partial_schema = pa.schema(
+        [("doc_id", pa.int64()), ("w", pa.int64()), ("s", pa.float64()),
+         ("bucket", pa.int64())]
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return partial_schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(inv, weights=tf * np.log(n))
+        w = np.bincount(inv, weights=tf).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "w": pa.array(w, type=pa.int64()),
+                "s": pa.array(s, type=pa.float64()),
+                "bucket": pa.array(uniq % 64, type=pa.int64()),
+            }
+        )
+
+    def doc_reduce(g: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("avg_neg_logprob", pa.float64())]
+        ).empty_table()
+        if len(g) == 0:
+            return empty
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(inv, weights=g["s"].to_numpy(zero_copy_only=False))
+        w = np.bincount(
+            inv, weights=g["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_tokens": pa.array(w.astype(np.int64), type=pa.int64()),
+                "avg_neg_logprob": pa.array(ln_total - s / w, type=pa.float64()),
+            }
+        )
+
+    return (
+        joined.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_reduce, batch_format="pyarrow")
+    )
+
+
 REP_TOP_FRAC = 0.2      # flag: most-frequent token holds > 20% of the doc
 REP_DISTINCT_RATIO = 0.5  # flag: fewer than half the tokens are distinct
 
@@ -448,6 +586,7 @@ TEXT_QUERIES = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_top_keyword": q_doc_top_keyword,
     "doc_repetition": q_doc_repetition,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
 }
 
 TEXT_ORACLES = {
@@ -501,6 +640,24 @@ WITH s AS (
   FROM s
 )
 SELECT doc_id, pred_lang FROM r WHERE rn <= {STRAT_PER_CLASS}
+""",
+    "doc_unigram_logprob": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), n AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf
+)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       ln(CAST((SELECT total FROM tot) AS DOUBLE))
+         - sum(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE)))
+             / CAST(sum(tf.tf) AS DOUBLE) AS avg_neg_logprob
+FROM tf JOIN n USING (term)
+GROUP BY 1
 """,
     "doc_repetition": f"""
 WITH w AS (
