@@ -601,10 +601,102 @@ def q_emb_ivf_search(
     return _topk_reduce(partials)
 
 
+# ------------------------------------------------- BM25 lexical search
+
+BM25_QUERY = ("hash", "join", "scan", "window")  # fixed benchmark query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def q_doc_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-k over documents for a fixed keyword query — the
+    lexical-retrieval twin of the vector ANN paths.  Two streaming
+    passes: (1) global stats (per-term document frequency, doc count,
+    token count) as per-batch partial rows keyed by term index — the
+    groupby result is |query|+2 rows, a bounded driver collect; (2) a
+    scoring pass where each batch builds its (docs × |query|) tf matrix
+    via one ``pc.index_in`` over the flat token buffer and emits only its
+    block-local top-k — shuffle volume O(batches × k).  The driver sees
+    ≤ batches·k partials and ranks the final k.  The SQL oracle mirrors
+    the identical scoring expression tree; output is rank-keyed (the
+    ann_topk convention) so the hash compare never touches raw floats."""
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    nq = len(BM25_QUERY)
+    qarr = pa.array(BM25_QUERY, type=pa.string())
+
+    def _tf_matrix(t: pa.Table):
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        code = pc.fill_null(pc.index_in(toks.values, value_set=qarr), -1)
+        code = code.to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        m = code >= 0
+        tf = np.zeros((len(t), nq), dtype=np.int64)
+        np.add.at(tf, (seg[m], code[m]), 1)
+        return tf, lens
+
+    # pass 1: df per query term (+ doc/token totals) — ≤ nq+2 result rows
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tf, lens = _tf_matrix(t)
+        keys = list(range(nq)) + [-1, -2]
+        vals = list((tf > 0).sum(axis=0).astype(int)) + [len(t), int(lens.sum())]
+        return pa.table(
+            {"key": pa.array(keys, type=pa.int64()), "val": pa.array(vals, type=pa.int64())}
+        )
+
+    stats = (
+        docs.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("val")
+        .to_pandas()
+        .set_index("key")["sum(val)"]
+    )
+    n_docs = float(stats[-1])
+    avglen = float(stats[-2]) / n_docs
+    df = np.array([float(stats.get(i, 0)) for i in range(nq)])
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    # pass 2: score + block-local top-k partials
+    def score_partial(t: pa.Table) -> pa.Table:
+        tf, lens = _tf_matrix(t)
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * lens[:, None] / avglen)
+        s = (idf[None, :] * (tf * (BM25_K1 + 1.0)) / denom).sum(axis=1)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = tf.sum(axis=1) > 0
+        ids, s = ids[m], s[m]
+        order = np.lexsort((ids, -s))[:BM25_TOP]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "score": pa.array(s[order], type=pa.float64()),
+            }
+        )
+
+    partials = docs.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(BM25_TOP)
+    return pa.table(
+        {
+            "doc_id": pa.array(partials.doc_id.to_numpy(), type=pa.int64()),
+            "rank": pa.array(
+                np.arange(1, len(partials) + 1, dtype=np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
 SIMILARITY_QUERIES = {
     "emb_ann_topk": q_emb_ann_topk,
     "emb_lsh_search": q_emb_lsh_search,
     "emb_ivf_search": q_emb_ivf_search,
+    "doc_bm25_topk": q_doc_bm25_topk,
 }
 
 SIMILARITY_ORACLES = {
@@ -625,4 +717,34 @@ WITH q AS (
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
 """,
     # emb_lsh_search: approximate → rows-only
+    "doc_bm25_topk": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM toks
+), ex AS (
+  SELECT doc_id, unnest(w) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ex
+  WHERE term IN ('{"', '".join(BM25_QUERY)}') GROUP BY 1, 2
+), dfs AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), gstats AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT sum(len) FROM lens) AS DOUBLE)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avglen
+), scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln((gstats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * lens.len / gstats.avglen))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN gstats
+  GROUP BY 1
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP}
+""",
 }
