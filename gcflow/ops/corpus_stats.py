@@ -1,0 +1,193 @@
+"""Corpus-statistics operators: a one-pass numeric dataset profiler and
+the distributed adjacent-pair (bigram) count — the counting step of a
+BPE-style tokenizer-training loop.
+
+Both are exact, SQL-oracle-checked, and built on the repo's mergeable-
+partial + bucketed-sweep idioms:
+
+- The profiler emits ONE tiny partial row per (batch, column) —
+  (n, n_null, min, max, sum) — and merges with a groupby over the
+  column name (a constant-cardinality key), so driver traffic is
+  #columns rows regardless of corpus size.
+- The bigram count mirrors ``text.q_doc_top_terms``: vectorized
+  in-batch pair construction + value_counts COMBINER, then a 64-way
+  pair-hash bucketed sum with a LOCAL exact top-k per bucket (a pair
+  lives wholly in one bucket), then a tiny global top-k.  A pair-keyed
+  groupby would create |vocab|² tiny groups — the classic BPE-merge
+  shuffle trap at web scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+PROFILE_COLUMNS = ("event_id", "user_id", "value")
+BIGRAM_K = 20
+_BUCKETS = 64
+
+
+def q_evt_profile(sf_dir: str, columns=PROFILE_COLUMNS):
+    """One-pass numeric profile of the events table: per column
+    (n, n_null, vmin, vmax, vsum, vmean), everything as float64 so all
+    columns share one schema row shape."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in columns:
+            arr = pc.cast(t[c], pa.float64())
+            names.append(c)
+            ns.append(len(arr))
+            nulls.append(arr.null_count)
+            mm = pc.min_max(arr).as_py()
+            mins.append(mm["min"])
+            maxs.append(mm["max"])
+            sums.append(pc.sum(arr).as_py())
+        return pa.table(
+            {
+                "col": pa.array(names, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "n_null": pa.array(nulls, type=pa.int64()),
+                "vmin": pa.array(mins, type=pa.float64()),
+                "vmax": pa.array(maxs, type=pa.float64()),
+                "vsum": pa.array(sums, type=pa.float64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        n_null = int(pc.sum(g["n_null"]).as_py())
+        vmin = pc.min(g["vmin"]).as_py()
+        vmax = pc.max(g["vmax"]).as_py()
+        vsum = pc.sum(g["vsum"]).as_py()
+        n_valid = n - n_null
+        return pa.table(
+            {
+                "col": g["col"][:1],
+                "n": pa.array([n], type=pa.int64()),
+                "n_null": pa.array([n_null], type=pa.int64()),
+                "vmin": pa.array([vmin], type=pa.float64()),
+                "vmax": pa.array([vmax], type=pa.float64()),
+                "vsum": pa.array([vsum], type=pa.float64()),
+                "vmean": pa.array(
+                    [vsum / n_valid if n_valid else None], type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=list(columns))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("col")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _oracle_profile(columns=PROFILE_COLUMNS) -> str:
+    parts = [
+        f"""SELECT '{c}' AS col, count(*) AS n,
+              count(*) - count({c}) AS n_null,
+              min(CAST({c} AS DOUBLE)) AS vmin,
+              max(CAST({c} AS DOUBLE)) AS vmax,
+              sum(CAST({c} AS DOUBLE)) AS vsum,
+              sum(CAST({c} AS DOUBLE)) / count({c}) AS vmean
+           FROM events"""
+        for c in columns
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_doc_bigrams(sf_dir: str, k: int = BIGRAM_K):
+    """Top-k adjacent token pairs corpus-wide (ties by pair ascending) —
+    one merge-candidate scoring step of BPE training, run distributed."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .hashing import word_hashes
+
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # normalize sliced-view offsets to the flat view
+        # adjacent positions (i, i+1) that stay inside one document:
+        # drop each document's last token index
+        n_flat = len(flat)
+        keep = np.ones(max(n_flat - 1, 0), dtype=bool)
+        last = offs[1:] - 1  # last token index per doc
+        last = last[(last >= 0) & (last < len(keep))]
+        keep[last] = False
+        idx = np.nonzero(keep)[0]
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        pair = pc.binary_join_element_wise(w1, w2, " ")
+        vc = pair.value_counts()
+        vc = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+        pairs = vc.field("values")
+        b = (word_hashes(pairs) % np.uint64(_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {
+                "pair": pairs,
+                "n_partial": pc.cast(vc.field("counts"), pa.int64()),
+                "bucket": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema([("pair", pa.string()), ("n", pa.int64())]).empty_table()
+        pairs = g["pair"]
+        pairs = pairs.combine_chunks() if isinstance(pairs, pa.ChunkedArray) else pairs
+        enc = pairs.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(
+            codes,
+            weights=g["n_partial"].to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        ).astype(np.int64)
+        kk = min(k, len(n))
+        order = pc.sort_indices(
+            pa.table({"n": pa.array(n), "pair": enc.dictionary}),
+            sort_keys=[("n", "descending"), ("pair", "ascending")],
+        )[:kk]
+        return pa.table(
+            {"pair": enc.dictionary.take(order), "n": pa.array(n).take(order)}
+        )
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
+_ORACLE_BIGRAMS = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), zipped AS (
+  SELECT unnest(list_zip(l, l[2:])) AS p FROM toks
+), pairs AS (
+  SELECT p[1] || ' ' || p[2] AS pair FROM zipped WHERE p[2] IS NOT NULL
+)
+SELECT pair, count(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BIGRAM_K}
+"""
+
+
+CORPUS_STATS_QUERIES = {
+    "evt_profile": q_evt_profile,
+    "doc_bigrams": q_doc_bigrams,
+}
+
+CORPUS_STATS_ORACLES = {
+    "evt_profile": _oracle_profile(),
+    "doc_bigrams": _ORACLE_BIGRAMS,
+}

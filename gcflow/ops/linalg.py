@@ -1,0 +1,144 @@
+"""Distributed PCA over the embedding corpus — the mergeable-moments
+linear-algebra operator shape (the dimensionality-reduction stage of an
+embedding-curation pipeline: reduce → cluster / index / visualize).
+
+Scale contract (what must hold at 10^12 rows):
+- The corpus NEVER reaches the driver.  The fit is ONE streaming
+  ``map_batches`` pass emitting a single tiny partial row per batch:
+  (n, Σx as packed float64 bytes, ΣxᵀX as packed d×d float64 bytes).
+  Partials merge associatively under ``groupby(k).map_groups`` (one
+  group of #batches rows, each d²×8 bytes — for d=64 that is 32 KiB per
+  partial, independent of corpus size), so the driver receives exactly
+  one (n, Σx, ΣXᵀX) triple.
+- The d×d eigendecomposition runs on the driver (microseconds for
+  d ≤ 4096) — the only non-distributed step, on state whose size is
+  data-independent.
+- Projection is a second streaming pass against the broadcast
+  (mean, components) — no shuffle at all.
+
+Eigenvectors are sign-normalized (the element of largest magnitude is
+made positive, earliest index winning ties) so the output is
+deterministic across runs/backends.  Eigendecomposition is not
+SQL-expressible → registered rows-only; pytest asserts near-exact
+agreement of components/projections with an in-memory numpy twin at
+sf0.001 and that explained-variance ratios are sorted and sum ≤ 1.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+PCA_COMPONENTS = 2
+
+
+def _embedding_matrix(t: pa.Table) -> np.ndarray:
+    return np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def pca_fit(ds: rd.Dataset, dim: int, to_matrix=_embedding_matrix):
+    """One-pass distributed moment accumulation + driver-side eigh.
+
+    Returns ``(mean, components, explained_ratio)`` where ``components``
+    is (dim, dim) with columns ordered by descending eigenvalue and
+    sign-normalized, and ``explained_ratio`` the per-component fraction
+    of total variance.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = to_matrix(t)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n": pa.array([len(V)], type=pa.int64()),
+                "xsum": pa.array([V.sum(axis=0).tobytes()], type=pa.binary()),
+                "xtx": pa.array([(V.T @ V).tobytes()], type=pa.binary()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        s = np.zeros(dim)
+        M = np.zeros((dim, dim))
+        for b in g["xsum"].to_pylist():
+            s += np.frombuffer(b, dtype=np.float64)
+        for b in g["xtx"].to_pylist():
+            M += np.frombuffer(b, dtype=np.float64).reshape(dim, dim)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n": pa.array([n], type=pa.int64()),
+                "xsum": pa.array([s.tobytes()], type=pa.binary()),
+                "xtx": pa.array([M.tobytes()], type=pa.binary()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(merged["n"][0])
+    s = np.frombuffer(merged["xsum"][0], dtype=np.float64)
+    M = np.frombuffer(merged["xtx"][0], dtype=np.float64).reshape(dim, dim)
+    mean = s / n
+    # covariance from raw moments: (ΣXᵀX − n·mean·meanᵀ) / (n−1)
+    cov = (M - n * np.outer(mean, mean)) / max(n - 1, 1)
+    w, V = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    # deterministic sign: largest-|.| element of each column positive
+    flip = np.sign(V[np.argmax(np.abs(V), axis=0), np.arange(dim)])
+    flip[flip == 0] = 1.0
+    V = V * flip[None, :]
+    total = w.sum()
+    ratio = w / total if total > 0 else w
+    return mean, V, ratio
+
+
+def pca_project(
+    ds: rd.Dataset, mean: np.ndarray, components: np.ndarray, k: int,
+    id_col: str = "vec_id", to_matrix=_embedding_matrix,
+) -> rd.Dataset:
+    """Streaming projection onto the top-k components (broadcast once)."""
+    ref = ray.put((mean, np.ascontiguousarray(components[:, :k])))
+
+    def project(t: pa.Table, _ref=ref) -> pa.Table:
+        m, W = ray.get(_ref)
+        P = (to_matrix(t) - m) @ W
+        cols = {id_col: t[id_col]}
+        for j in range(k):
+            cols[f"pc{j + 1}"] = pa.array(P[:, j], type=pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_emb_pca(sf_dir: str, k: int = PCA_COMPONENTS):
+    """Top-k PCA projection of every embedding: (vec_id, pc1..pck)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fit_ds = rd.read_parquet(src, columns=["embedding"])
+    import pyarrow.parquet as pq
+
+    # dim from the first row of the first row group (a bounded read)
+    first = pq.ParquetFile(src).read_row_group(0, columns=["embedding"])
+    dim = len(first["embedding"][0])
+    mean, V, _ = pca_fit(fit_ds, dim)
+    proj_ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    return pca_project(proj_ds, mean, V, k)
+
+
+LINALG_QUERIES = {
+    "emb_pca": q_emb_pca,
+}
+
+# eigendecomposition is not SQL-expressible — rows-only (pytest twin
+# asserts numeric agreement with an in-memory numpy PCA)
+LINALG_ORACLES: dict[str, str] = {}

@@ -289,3 +289,122 @@ FROM events GROUP BY 1
 """,
     # evt_distinct_users_hll: approximate → rows-only
 }
+
+
+# ---------------------------------------------------------------------------
+# t-digest: the mergeable QUANTILE sketch, completing the sketch family
+# (cardinality = HLL, frequency = count-min, quantiles = t-digest).
+#
+# Construction is the one-pass "merging digest" form: sort by value,
+# take each point's midpoint cumulative quantile q, bucket by the k1
+# scale function k(q) = δ/2π·asin(2q−1) (bucket density ∝ 1/(q(1−q)),
+# so tails get fine centroids and the middle coarse ones), then a
+# bincount mean per bucket — fully vectorized, deterministic, no
+# per-row Python.  Centroid sets merge by concat + re-compress, which
+# is associative enough for any combine-tree shape; payloads travel as
+# two packed float64 buffers (≤ δ centroids ≈ 3 KB) per (batch, lane).
+# The reduce is two-level like the CMS merge: 16 content-hash lanes
+# compress in parallel, then one final compress — driver traffic is
+# O(δ) floats regardless of input size.
+#
+# Approximate by nature → rows-only; pytest bounds the rank error vs
+# the exact distributed percentiles on the same column.
+# ---------------------------------------------------------------------------
+
+TDIGEST_DELTA = 200
+TDIGEST_LANES = 16
+TDIGEST_QS = (0.5, 0.95, 0.99)
+
+
+def _td_compress(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Re-compress a centroid multiset to ≤ ~δ centroids (vectorized)."""
+    if len(means) == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    m = means[order]
+    w = weights[order].astype(np.float64)
+    total = w.sum()
+    q = (np.cumsum(w) - w / 2.0) / total
+    k = np.floor(delta / (2 * np.pi) * np.arcsin(2.0 * q - 1.0)).astype(np.int64)
+    _, inv = np.unique(k, return_inverse=True)
+    wsum = np.bincount(inv, weights=w)
+    msum = np.bincount(inv, weights=m * w)
+    return msum / wsum, wsum
+
+
+def _td_quantile(means: np.ndarray, weights: np.ndarray, qs) -> np.ndarray:
+    """Interpolated quantiles from a sorted centroid set."""
+    cw = np.cumsum(weights) - weights / 2.0
+    t = np.asarray(qs, dtype=np.float64) * weights.sum()
+    return np.interp(t, cw, means)
+
+
+def _td_pack(means: np.ndarray, weights: np.ndarray) -> pa.Table:
+    mb, wb = means.tobytes(), weights.tobytes()
+    # content-derived lane id keeps the first-level merge deterministic
+    # without any runtime randomness
+    import zlib
+
+    lane = zlib.crc32(mb) % TDIGEST_LANES
+    return pa.table(
+        {
+            "lane": pa.array([lane], type=pa.int64()),
+            "means": pa.array([mb], type=pa.binary()),
+            "weights": pa.array([wb], type=pa.binary()),
+        }
+    )
+
+
+def _td_unpack_concat(g: pa.Table):
+    ms = [np.frombuffer(b, dtype=np.float64) for b in g["means"].to_pylist()]
+    ws = [np.frombuffer(b, dtype=np.float64) for b in g["weights"].to_pylist()]
+    return np.concatenate(ms), np.concatenate(ws)
+
+
+def tdigest_quantiles(
+    ds: rd.Dataset, col: str, qs=TDIGEST_QS, delta: int = TDIGEST_DELTA
+) -> "pa.Table":
+    """Distributed t-digest over ``ds[col]``; returns (q, value) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        m, w = _td_compress(v, np.ones(len(v)), delta)
+        return _td_pack(m, w)
+
+    def lane_merge(g: pa.Table) -> pa.Table:
+        m, w = _td_unpack_concat(g)
+        m, w = _td_compress(m, w, delta)
+        t = _td_pack(m, w)
+        # all lane results meet in one final group
+        return t.set_column(0, "lane", pa.array([0], type=pa.int64()))
+
+    lanes = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lane")
+        .map_groups(lane_merge, batch_format="pyarrow")
+    )
+    final = lanes.to_arrow_refs()
+    import ray
+
+    parts = [ray.get(r) for r in final]
+    g = pa.concat_tables([p for p in parts if len(p)])
+    m, w = _td_unpack_concat(g)
+    m, w = _td_compress(m, w, delta)
+    vals = _td_quantile(m, w, qs)
+    return pa.table(
+        {
+            "q": pa.array(list(qs), type=pa.float64()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+
+def q_evt_value_tdigest(sf_dir: str):
+    """Approximate event-value quantiles via the mergeable t-digest."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    return tdigest_quantiles(ds, "value")
+
+
+SKETCH_QUERIES["evt_value_tdigest"] = q_evt_value_tdigest
+# approximate → rows-only (pytest bounds rank error vs exact percentiles)

@@ -574,6 +574,51 @@ def q_doc_repetition(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+# sensitive-term redaction: both pyarrow and DuckDB compile patterns
+# with RE2, so the replacement semantics are bit-identical.  The PII
+# shapes (emails, IPv4, phone-ish digit runs) are exercised in pytest —
+# the synthetic corpus has no PII, so the oracle-checked demo pattern
+# masks a vocabulary term set instead (the same code path).
+REDACT_PATTERNS = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",  # email
+    r"\b(?:\d{1,3}\.){3}\d{1,3}\b",  # IPv4
+    r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",  # phone-ish
+)
+REDACT_DEMO_PATTERN = r"\b(?:spark|window|batch)\b"
+REDACT_MASK = "<mask>"
+
+
+def redact(
+    ds: rd.Dataset, patterns=REDACT_PATTERNS, mask: str = REDACT_MASK,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Vectorized regex redaction over any text Dataset: each pattern is
+    applied with ``pc.replace_substring_regex`` (RE2, compiled once per
+    kernel dispatch), plus a per-row count of masked spans.  Stateless
+    tasks — no shuffle, no driver traffic."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n = pa.array(np.zeros(len(t), dtype=np.int64))
+        for p in patterns:
+            n = pc.add(n, pc.cast(pc.count_substring_regex(text, p), pa.int64()))
+            text = pc.replace_substring_regex(text, p, mask)
+        cols = {c: t[c] for c in t.column_names if c != text_col}
+        cols["redacted"] = text
+        cols["n_masked"] = n
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_redact(sf_dir: str):
+    """Demo redaction over the documents table (vocabulary-term pattern;
+    the PII patterns run through the identical path in pytest)."""
+    return redact(
+        _docs(sf_dir, ["doc_id", "text"]), patterns=(REDACT_DEMO_PATTERN,)
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 TEXT_QUERIES = {
@@ -587,6 +632,7 @@ TEXT_QUERIES = {
     "doc_top_keyword": q_doc_top_keyword,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_redact": q_doc_redact,
 }
 
 TEXT_ORACLES = {
@@ -620,6 +666,13 @@ FROM s
 """,
     "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fp FROM documents
+""",
+    # both engines are RE2 — identical match/replace semantics
+    "doc_redact": f"""
+SELECT doc_id,
+       regexp_replace(text, '{REDACT_DEMO_PATTERN}', '{REDACT_MASK}', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{REDACT_DEMO_PATTERN}')) AS BIGINT) AS n_masked
+FROM documents
 """,
     "doc_top_terms": f"""
 SELECT term, CAST(count(*) AS BIGINT) AS n

@@ -1013,3 +1013,151 @@ def test_curated_shard_writer_resume(ray_session, tmp_path):
     json.dump(manifest, open(os.path.join(out, "_manifest.json"), "w"))
     res3 = write_curated_shards(SF, out, num_shards=4)
     assert res3["written"] == [2]
+
+
+def test_pca_matches_numpy_twin(ray_session):
+    """Distributed moment-accumulation PCA == in-memory numpy PCA."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.linalg import PCA_COMPONENTS, pca_fit, q_emb_pca
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    X = X[np.argsort(ids)]
+
+    # numpy twin with the same sign convention
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    flip = np.sign(V[np.argmax(np.abs(V), axis=0), np.arange(V.shape[1])])
+    flip[flip == 0] = 1.0
+    V = V * flip[None, :]
+
+    import ray.data as rd
+
+    dm, dV, dr = pca_fit(
+        rd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"]),
+        dim=X.shape[1],
+    )
+    np.testing.assert_allclose(dm, mean, rtol=0, atol=1e-9)
+    # compare top components only (trailing near-equal eigenvalues can
+    # permute); projections are the contract
+    k = PCA_COMPONENTS
+    np.testing.assert_allclose(np.abs(dV[:, :k]), np.abs(V[:, :k]), atol=1e-7)
+    assert np.all(np.diff(dr) <= 1e-12) and abs(dr.sum() - 1.0) < 1e-9
+
+    proj = q_emb_pca(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    want = (X - mean) @ V[:, :k]
+    np.testing.assert_allclose(proj["pc1"].to_numpy(), want[:, 0], atol=1e-7)
+    np.testing.assert_allclose(proj["pc2"].to_numpy(), want[:, 1], atol=1e-7)
+
+
+def test_evt_profile_matches_pandas(ray_session):
+    import pandas as pd
+
+    from gcflow.ops.corpus_stats import PROFILE_COLUMNS, q_evt_profile
+
+    got = q_evt_profile(SF).to_pandas().set_index("col")
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=list(PROFILE_COLUMNS))
+    for c in PROFILE_COLUMNS:
+        v = df[c].astype(np.float64)
+        row = got.loc[c]
+        assert row["n"] == len(v)
+        assert row["n_null"] == int(v.isna().sum())
+        assert row["vmin"] == v.min()
+        assert row["vmax"] == v.max()
+        np.testing.assert_allclose(row["vsum"], v.sum(), rtol=1e-12)
+        np.testing.assert_allclose(row["vmean"], v.mean(), rtol=1e-12)
+
+
+def test_bigrams_match_python_twin(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.corpus_stats import BIGRAM_K, q_doc_bigrams
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+    c = Counter()
+    for s in texts:
+        toks = s.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:BIGRAM_K]
+
+    got = q_doc_bigrams(SF).to_pandas()
+    assert list(zip(got["pair"], got["n"])) == want
+
+
+def test_redact_pii_patterns(ray_session):
+    """The PII path: emails / IPv4 / phone-ish digit runs are masked,
+    other text untouched, n_masked counts every span."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gcflow.ops.text import REDACT_MASK, redact
+
+    rows = [
+        {"doc_id": 1, "text": "mail me at jo.doe+x@corp.example.org today"},
+        {"doc_id": 2, "text": "server 10.0.255.7 then 192.168.1.1 down"},
+        {"doc_id": 3, "text": "call 415-555-0199 or 415 555 0199"},
+        {"doc_id": 4, "text": "no pii here"},
+    ]
+    out = (
+        redact(rd.from_arrow(pa.Table.from_pylist(rows)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    m = REDACT_MASK
+    assert out.loc[0, "redacted"] == f"mail me at {m} today"
+    assert out.loc[1, "redacted"] == f"server {m} then {m} down"
+    assert out.loc[2, "redacted"] == f"call {m} or {m}"
+    assert out.loc[3, "redacted"] == "no pii here"
+    assert out["n_masked"].tolist() == [1, 2, 2, 0]
+
+
+def test_tdigest_rank_error_vs_exact(ray_session):
+    """t-digest quantiles land within 0.5% RANK error of the true values
+    (the t-digest guarantee is on rank, not value)."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.sketch import TDIGEST_QS, q_evt_value_tdigest
+
+    got = q_evt_value_tdigest(SF).to_pandas().set_index("q")
+    v = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    n = len(v)
+    for q in TDIGEST_QS:
+        est = got.loc[q, "value"]
+        rank = np.searchsorted(v, est) / n
+        assert abs(rank - q) <= 0.005, (q, est, rank)
+
+
+def test_tdigest_compress_properties():
+    """Compression preserves total weight and value bounds; quantile
+    interpolation is monotone."""
+    from gcflow.ops.sketch import _td_compress, _td_quantile
+
+    rng = np.random.default_rng(7)
+    x = rng.lognormal(0.0, 2.0, size=50_000)
+    m, w = _td_compress(x, np.ones(len(x)), 200)
+    assert w.sum() == len(x)
+    assert len(m) < 400
+    assert m.min() >= x.min() - 1e-12 and m.max() <= x.max() + 1e-12
+    qs = np.linspace(0.01, 0.99, 25)
+    vals = _td_quantile(m, w, qs)
+    assert np.all(np.diff(vals) >= -1e-12)
+    # merging two halves ≈ compressing the whole (same rank-error class)
+    m1, w1 = _td_compress(x[:25_000], np.ones(25_000), 200)
+    m2, w2 = _td_compress(x[25_000:], np.ones(25_000), 200)
+    mm, wm = _td_compress(np.concatenate([m1, m2]), np.concatenate([w1, w2]), 200)
+    assert wm.sum() == len(x)
+    xs = np.sort(x)
+    for q in (0.5, 0.95, 0.99):
+        est = _td_quantile(mm, wm, [q])[0]
+        rank = np.searchsorted(xs, est) / len(xs)
+        assert abs(rank - q) <= 0.01
