@@ -508,6 +508,188 @@ def q_doc_unigram_logprob(sf_dir: str):
     )
 
 
+def q_doc_dsir_weight(sf_dir: str):
+    """DSIR-style importance weight (Xie et al. 2023, Data Selection via
+    Importance Resampling, with unigram LMs as the hashed-n-gram
+    feature stand-in): per doc the mean log importance ratio
+    ``(1/n) Σ ln p_target(term) − ln p_source(term)`` where the TARGET
+    LM is estimated from the corpus's own 'en'-classified docs (the
+    deterministic stop-ratio heuristic, q_doc_lang_id) and the SOURCE
+    LM from the whole corpus, both add-one smoothed over the corpus
+    vocabulary.  Docs whose vocabulary looks like the target domain get
+    high weight — resample ∝ exp(weight) to shift a raw crawl toward
+    the domain.
+
+    Distributed shape (one extra flag on the q_doc_unigram_logprob
+    plan): per-batch (doc, term, tf, is_target) partials → ONE bucketed
+    term sweep producing BOTH LMs' counts (n_s, n_t) per term → one
+    term-keyed repartition join → per-doc combiners → doc-bucket
+    reduce.  No vocabulary broadcast, no second corpus pass for the
+    target LM.  The SQL oracle mirrors the identical expression tree."""
+    from .dedup import _ensure_schema, _join_partitions
+    from .hashing import word_hashes
+
+    stop_re = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+         ("is_target", pa.int64())]
+    )
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n_stop = pc.cast(
+            pc.count_substring_regex(t["text"], stop_re), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        is_tgt = (n_stop / lens >= LANG_THRESHOLD).astype(np.int64)
+        doc = np.repeat(
+            pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False), lens
+        )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "term": pc.list_flatten(toks),
+                "is_target": pa.array(np.repeat(is_tgt, lens), type=pa.int64()),
+            }
+        )
+        g = tbl.group_by(["doc_id", "term", "is_target"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["doc_id", "term", "is_target", "tf"]).select(
+            ["doc_id", "term", "tf", "is_target"]
+        )
+
+    tf_ds = _ensure_schema(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tf_partial, batch_format="pyarrow"
+        ),
+        tf_schema,
+    )
+
+    def term_bucket(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        b = (word_hashes(terms) % np.uint64(64)).astype(np.int64)
+        return pa.table(
+            {
+                "term": terms,
+                "tf": t["tf"],
+                "tf_t": pc.multiply(t["tf"], t["is_target"]),
+                "bucket": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    def term_sum(g: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("term", pa.string()), ("n_s", pa.int64()), ("n_t", pa.int64())]
+        )
+        if len(g) == 0:
+            return schema.empty_table()
+        terms = g["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        mlen = len(enc.dictionary)
+        n_s = np.bincount(
+            codes, weights=g["tf"].to_numpy(zero_copy_only=False), minlength=mlen
+        ).astype(np.int64)
+        n_t = np.bincount(
+            codes, weights=g["tf_t"].to_numpy(zero_copy_only=False), minlength=mlen
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": enc.dictionary,
+                "n_s": pa.array(n_s, type=pa.int64()),
+                "n_t": pa.array(n_t, type=pa.int64()),
+            }
+        )
+
+    counts = _ensure_schema(
+        tf_ds.map_batches(term_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(term_sum, batch_format="pyarrow"),
+        pa.schema([("term", pa.string()), ("n_s", pa.int64()), ("n_t", pa.int64())]),
+    )
+
+    # scalar totals: T_s, T_t (token totals) and V (corpus vocabulary) —
+    # three tiny aggregates over the term-count Dataset
+    totals = counts.map_batches(
+        lambda t: pa.table(
+            {
+                "ts": pa.array([pc.sum(t["n_s"]).as_py() or 0], type=pa.int64()),
+                "tt": pa.array([pc.sum(t["n_t"]).as_py() or 0], type=pa.int64()),
+                "v": pa.array([len(t)], type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    T_s, T_t, V = (
+        int(totals["ts"].sum()), int(totals["tt"].sum()), int(totals["v"].sum())
+    )
+    # constant per-token offset: ln((T_s+V)/(T_t+V)) under add-one smoothing
+    offset = float(np.log(np.float64(T_s + V)) - np.log(np.float64(T_t + V)))
+
+    n_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    joined = tf_ds.join(
+        counts, "inner",
+        num_partitions=_join_partitions(n_docs * 64, n_docs * 64),
+        on=("term",),
+    )
+
+    partial_schema = pa.schema(
+        [("doc_id", pa.int64()), ("w", pa.int64()), ("s", pa.float64()),
+         ("bucket", pa.int64())]
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return partial_schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_s = t["n_s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_t = t["n_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(inv, weights=tf * (np.log(n_t + 1.0) - np.log(n_s + 1.0)))
+        w = np.bincount(inv, weights=tf).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "w": pa.array(w, type=pa.int64()),
+                "s": pa.array(s, type=pa.float64()),
+                "bucket": pa.array(uniq % 64, type=pa.int64()),
+            }
+        )
+
+    def doc_reduce(g: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("dsir_logratio", pa.float64())]
+        ).empty_table()
+        if len(g) == 0:
+            return empty
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(inv, weights=g["s"].to_numpy(zero_copy_only=False))
+        w = np.bincount(
+            inv, weights=g["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_tokens": pa.array(w.astype(np.int64), type=pa.int64()),
+                "dsir_logratio": pa.array(s / w + offset, type=pa.float64()),
+            }
+        )
+
+    return (
+        joined.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_reduce, batch_format="pyarrow")
+    )
+
+
 REP_TOP_FRAC = 0.2      # flag: most-frequent token holds > 20% of the doc
 REP_DISTINCT_RATIO = 0.5  # flag: fewer than half the tokens are distinct
 
@@ -633,6 +815,7 @@ TEXT_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_redact": q_doc_redact,
+    "doc_dsir_weight": q_doc_dsir_weight,
 }
 
 TEXT_ORACLES = {
@@ -693,6 +876,36 @@ WITH s AS (
   FROM s
 )
 SELECT doc_id, pred_lang FROM r WHERE rn <= {STRAT_PER_CLASS}
+""",
+    "doc_dsir_weight": f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w IN ('{_STOP_SQL}'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= {LANG_THRESHOLD}
+              THEN 1 ELSE 0 END AS is_target
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), c AS (
+  SELECT term, CAST(sum(tf.tf) AS BIGINT) AS n_s,
+         CAST(sum(tf.tf * l.is_target) AS BIGINT) AS n_t
+  FROM tf JOIN lang l USING (doc_id) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS t_s, CAST(sum(n_t) AS BIGINT) AS t_t,
+         CAST(count(*) AS BIGINT) AS v FROM c
+)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       sum(CAST(tf.tf AS DOUBLE)
+             * (ln(CAST(c.n_t AS DOUBLE) + 1.0) - ln(CAST(c.n_s AS DOUBLE) + 1.0)))
+           / CAST(sum(tf.tf) AS DOUBLE)
+         + (SELECT ln(CAST(t_s + v AS DOUBLE)) - ln(CAST(t_t + v AS DOUBLE)) FROM tot)
+         AS dsir_logratio
+FROM tf JOIN c USING (term)
+GROUP BY 1
 """,
     "doc_unigram_logprob": """
 WITH w AS (

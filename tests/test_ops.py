@@ -1161,3 +1161,46 @@ def test_tdigest_compress_properties():
         est = _td_quantile(mm, wm, [q])[0]
         rank = np.searchsorted(xs, est) / len(xs)
         assert abs(rank - q) <= 0.01
+
+
+def test_dsir_weight_directionality(ray_session):
+    """Stopword-heavy (target-domain) docs must receive higher DSIR
+    importance weight than stopword-free docs, and the score must be the
+    exact expression the oracle computes (spot-checked on a tiny corpus
+    via a python twin)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import LANG_THRESHOLD, STOPWORDS, q_doc_dsir_weight
+
+    got = q_doc_dsir_weight(SF).to_pandas().set_index("doc_id")
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+
+    # python twin
+    tf = {d: Counter(s.split(" ")) for d, s in texts.items()}
+    is_tgt = {
+        d: sum(c[w] for w in STOPWORDS) / sum(c.values()) >= LANG_THRESHOLD
+        for d, c in tf.items()
+    }
+    n_s, n_t = Counter(), Counter()
+    for d, c in tf.items():
+        n_s.update(c)
+        if is_tgt[d]:
+            n_t.update(c)
+    T_s, T_t, V = sum(n_s.values()), sum(n_t.values()), len(n_s)
+    off = np.log(np.float64(T_s + V)) - np.log(np.float64(T_t + V))
+    for d in list(texts)[:50]:
+        c = tf[d]
+        w = sum(c.values())
+        s = sum(k * (np.log(n_t[t] + 1.0) - np.log(n_s[t] + 1.0)) for t, k in c.items())
+        assert abs(got.loc[d, "dsir_logratio"] - (s / w + off)) < 1e-9
+        assert got.loc[d, "n_tokens"] == w
+
+    # directionality: mean weight of target docs > mean of non-target
+    tgt = [d for d in texts if is_tgt[d]]
+    non = [d for d in texts if not is_tgt[d]]
+    if tgt and non:
+        assert got.loc[tgt, "dsir_logratio"].mean() > got.loc[non, "dsir_logratio"].mean()
