@@ -191,3 +191,44 @@ CORPUS_STATS_ORACLES = {
     "evt_profile": _oracle_profile(),
     "doc_bigrams": _ORACLE_BIGRAMS,
 }
+
+
+def q_evt_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    JSON-ish ``props`` string column with one vectorized RE2
+    ``extract_regex`` pass, then aggregate per event type — the
+    schema-on-read shape (attribute columns materialized from a payload
+    blob at query time, never stored wide).  Both engines run the same
+    RE2 pattern, so extraction semantics are identical."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([("k", "sum"), ("k", "count")])
+        return g.rename_columns(["event_type", "k_sum", "n"])
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+        )
+        .map_batches(extract, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["k_sum", "n"])
+        .rename_columns({"sum(k_sum)": "k_sum", "sum(n)": "n"})
+    )
+
+
+_ORACLE_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(count(regexp_extract(props, '"k": (\\d+)', 1)) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
+
+CORPUS_STATS_QUERIES["evt_props_extract"] = q_evt_props_extract
+CORPUS_STATS_ORACLES["evt_props_extract"] = _ORACLE_PROPS

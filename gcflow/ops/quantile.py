@@ -226,3 +226,195 @@ UNION ALL
 SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact percentiles: the same histogram-refinement selection run
+# per group (event_type), with every group sharing each scan — one pass
+# histograms ALL groups' unresolved intervals simultaneously, so the
+# scan count stays ≤3 regardless of group count and the shuffle stays
+# O(groups × bins) tiny rows.  Bounds come from a first profiling scan
+# (per-group min/max/non-NaN n — parquet stats can't separate
+# interleaved groups).
+#
+# Partitioning assumption: group cardinality is modest (tenants, event
+# types, shards — thousands, not millions): every batch walks the
+# unresolved-interval list.  For high-cardinality grouping use the
+# t-digest sketch (ops/sketch.py) or pre-partition by group.
+# ---------------------------------------------------------------------------
+
+QTL_GROUP_BINS = 2048
+
+
+def _grouped_bounds(ds: rd.Dataset, group_col: str):
+    """One scan → {group: (n_non_nan, lo, hi)}."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        if len(v) == 0:
+            return pa.schema(
+                [(group_col, pa.string()), ("n", pa.int64()),
+                 ("lo", pa.float64()), ("hi", pa.float64())]
+            ).empty_table()
+        uniq, inv = np.unique(g, return_inverse=True)
+        n = np.bincount(inv)
+        lo = np.full(len(uniq), math.inf)
+        hi = np.full(len(uniq), -math.inf)
+        np.minimum.at(lo, inv, v)
+        np.maximum.at(hi, inv, v)
+        return pa.table(
+            {
+                group_col: pa.array(uniq),
+                "n": pa.array(n, type=pa.int64()),
+                "lo": pa.array(lo, type=pa.float64()),
+                "hi": pa.array(hi, type=pa.float64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            rd.aggregate.Sum("n", alias_name="n"),
+            rd.aggregate.Min("lo", alias_name="lo"),
+            rd.aggregate.Max("hi", alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    return {
+        r[group_col]: (int(r["n"]), float(r["lo"]), float(r["hi"]))
+        for _, r in merged.iterrows()
+    }
+
+
+def _hist_pass_grouped(
+    ds: rd.Dataset, group_col: str, intervals: list, bins: int
+) -> np.ndarray:
+    """One scan histogramming every (group, interval) row; returns
+    counts[len(intervals), bins].  ``intervals`` rows are
+    (group, lo, hi, closed) with bit-exact shared edge arrays."""
+    edge_sets = [np.linspace(lo, hi, bins + 1) for _, lo, hi, _ in intervals]
+    ivs = list(intervals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        keys, cnts = [], []
+        for j, ((grp, lo, hi, closed), edges) in enumerate(zip(ivs, edge_sets)):
+            sel = v[(g == grp) & _member_mask(v, lo, hi, closed)]
+            if len(sel) == 0:
+                continue
+            b = np.clip(np.searchsorted(edges, sel, side="right") - 1, 0, bins - 1)
+            bc = np.bincount(b, minlength=bins)
+            nz = np.flatnonzero(bc)
+            keys.append(j * bins + nz)
+            cnts.append(bc[nz])
+        if not keys:
+            return pa.schema([("k", pa.int64()), ("cnt", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(keys), type=pa.int64()),
+                "cnt": pa.array(np.concatenate(cnts), type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("cnt")
+        .to_pandas()
+    )
+    out = np.zeros((len(intervals), bins), dtype=np.int64)
+    if len(merged):
+        k = merged["k"].to_numpy()
+        out[k // bins, k % bins] = merged["sum(cnt)"].to_numpy()
+    return out
+
+
+def _collect_group_interval(
+    ds: rd.Dataset, group_col: str, grp, lo: float, hi: float, closed: bool
+) -> np.ndarray:
+    def sel(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        m = (
+            (g == grp)
+            & ~np.isnan(v)
+            & _member_mask(np.nan_to_num(v, nan=math.inf), lo, hi, closed)
+        )
+        return t.filter(pa.array(m))
+
+    vals = ds.map_batches(sel, batch_format="pyarrow").to_pandas()["value"].to_numpy()
+    return np.sort(vals)
+
+
+def q_evt_value_percentiles_by_type(
+    sf_dir: str, bins: int = QTL_GROUP_BINS, budget: int = QTL_COLLECT_BUDGET,
+    qs=QTL_QS, group_col: str = "event_type",
+):
+    """Exact per-event-type p50/p90/p99 — grouped distributed selection.
+    Matches DuckDB ``quantile_disc(...) GROUP BY event_type`` element-
+    for-element; scans are shared across groups, so the pass count does
+    not grow with group count."""
+    src = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(src, columns=[group_col, "value"])
+    bounds = _grouped_bounds(ds, group_col)
+
+    resolved: dict = {}   # (grp, q) -> value
+    state: dict = {}      # (grp, q) -> (lo, hi, closed, k)
+    for grp, (n, lo, hi) in bounds.items():
+        for q in qs:
+            if hi <= lo:
+                resolved[(grp, q)] = lo
+            else:
+                state[(grp, q)] = (lo, hi, True, max(int(math.ceil(q * n)) - 1, 0))
+
+    for _ in range(QTL_MAX_PASSES):
+        for key in [k for k, s in state.items() if s[1] <= s[0]]:
+            resolved[key] = state.pop(key)[0]
+        if not state:
+            break
+        intervals = sorted({(k[0], s[0], s[1], s[2]) for k, s in state.items()})
+        hist = _hist_pass_grouped(ds, group_col, intervals, bins)
+        iv_index = {iv: j for j, iv in enumerate(intervals)}
+        nxt = {}
+        for (grp, q), (qlo, qhi, closed, k) in state.items():
+            counts = hist[iv_index[(grp, qlo, qhi, closed)]]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, k + 1))
+            in_bin_rank = k - (int(cum[b - 1]) if b else 0)
+            blo, bhi, bclosed = _bin_interval(qlo, qhi, closed, b, bins)
+            if counts[b] <= budget:
+                vals = _collect_group_interval(ds, group_col, grp, blo, bhi, bclosed)
+                resolved[(grp, q)] = float(vals[in_bin_rank])
+            else:
+                nxt[(grp, q)] = (blo, bhi, bclosed, in_bin_rank)
+        state = nxt
+    for (grp, q), (qlo, qhi, qcl, k) in state.items():  # pass cap hit
+        vals = _collect_group_interval(ds, group_col, grp, qlo, qhi, qcl)
+        resolved[(grp, q)] = float(vals[min(k, len(vals) - 1)])
+
+    keys = sorted(resolved)
+    return pa.table(
+        {
+            group_col: pa.array([g for g, _ in keys]),
+            "q": pa.array([q for _, q in keys], type=pa.float64()),
+            "value": pa.array([resolved[k] for k in keys], type=pa.float64()),
+        }
+    )
+
+
+QUANTILE_QUERIES["evt_value_percentiles_by_type"] = q_evt_value_percentiles_by_type
+QUANTILE_ORACLES["evt_value_percentiles_by_type"] = """
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value
+FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY 1
+"""

@@ -1204,3 +1204,60 @@ def test_dsir_weight_directionality(ray_session):
     non = [d for d in texts if not is_tgt[d]]
     if tgt and non:
         assert got.loc[tgt, "dsir_logratio"].mean() > got.loc[non, "dsir_logratio"].mean()
+
+
+def test_grouped_percentiles_match_duckdb(ray_session):
+    """Per-event-type exact percentiles (shared-scan grouped selection)
+    must match DuckDB's quantile_disc GROUP BY element-for-element —
+    both on the default path and with the refinement branch forced."""
+    import duckdb
+
+    from gcflow.ops.quantile import q_evt_value_percentiles_by_type
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value"
+        " FROM events GROUP BY 1 UNION ALL "
+        "SELECT event_type, 0.9, quantile_disc(value, 0.9) FROM events GROUP BY 1"
+        " UNION ALL "
+        "SELECT event_type, 0.99, quantile_disc(value, 0.99) FROM events GROUP BY 1"
+        " ORDER BY 1, 2"
+    ).df()
+    for kwargs in ({}, {"bins": 16, "budget": 25}):
+        got = (
+            q_evt_value_percentiles_by_type(SF, **kwargs)
+            .to_pandas()
+            .sort_values(["event_type", "q"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert (got.event_type.values == want.event_type.values).all()
+        assert np.allclose(got.value.values, want.value.values, rtol=0, atol=0)
+
+
+def test_props_extract_matches_duckdb(ray_session):
+    import duckdb
+
+    from gcflow.ops.corpus_stats import q_evt_props_extract
+
+    got = (
+        q_evt_props_extract(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT event_type, sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS k_sum, "
+        "count(regexp_extract(props, '\"k\": (\\d+)', 1)) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert (got.event_type.values == want.event_type.values).all()
+    assert (got.k_sum.values == want.k_sum.values.astype("int64")).all()
+    assert (got.n.values == want.n.values.astype("int64")).all()
