@@ -512,12 +512,123 @@ def q_doc_chunk(sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE)
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+# --------------------------------------------------------- line-level dedup
+# CCNet / C4-style cross-document "line" deduplication (Wenzek et al.
+# 2020 §4.1; Raffel et al. 2020 §2.2 "three-sentence span" rule), adapted
+# to the whitespace corpus: a "line" is a fixed SEG_WORDS-word segment
+# (non-overlapping, last segment short).  Every segment is hashed, the
+# global per-segment document frequency is computed by ONE
+# hash-partitioned groupby (exactly how CCNet shards by line hash), and
+# each document reports how many of its segment slots carry a segment
+# seen in >=2 distinct documents.  At 100 TB the exploded table is
+# ~words/SEG_WORDS rows of (int64, uint64) — it streams through one
+# shuffle keyed by segment hash; nothing corpus-sized reaches the driver.
+SEG_WORDS = 8
+
+
+def _segment_pairs(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, seg_hash) pairs with in-doc multiplicity.
+
+    Vectorized end-to-end: one flat word-hash pass (hashing.word_hashes),
+    segment hashes by a SEG_WORDS-step masked polynomial fold (each step
+    touches every segment that has a word at that offset — identical to
+    the scalar fold over the segment's words), then a lexsort run-length
+    for the per-doc multiplicity.  Docs are whole within a batch, so
+    in-batch-distinct pairs are globally distinct."""
+    from .hashing import POLY, word_hashes
+
+    toks = pc.split_pattern(t["text"], " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    wh = word_hashes(toks.values)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+    nseg = -(-lens // SEG_WORDS)  # ceil; empty text splits to [''] → 1 seg
+    seg_idx = np.repeat(np.cumsum(nseg) - nseg, lens) + pos // SEG_WORDS
+    acc = np.zeros(int(nseg.sum()), dtype=np.uint64)
+    off = pos % SEG_WORDS
+    for j in range(SEG_WORDS):
+        m = off == j  # ≤1 word per segment at each offset → no collisions
+        si = seg_idx[m]
+        acc[si] = acc[si] * POLY + wh[m]
+    seg_doc = np.repeat(doc_ids, nseg)
+    order = np.lexsort((acc, seg_doc))
+    sd, sh = seg_doc[order], acc[order]
+    new = np.concatenate(([True], (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])))
+    first = np.flatnonzero(new)
+    mult = np.diff(np.append(first, len(sd)))
+    return pa.table(
+        {
+            "doc_id": pa.array(sd[first], type=pa.int64()),
+            "seg_hash": pa.array(sh[first].view(np.int64), type=pa.int64()),
+            "mult": pa.array(mult, type=pa.int64()),
+        }
+    )
+
+
+def q_doc_line_dedup(sf_dir: str):
+    """Per-doc duplicated-segment stats: (doc_id, n_segments,
+    n_dup_segments) where a segment is "dup" iff its content appears in
+    ≥2 distinct documents.  One explode pass → one groupby(seg_hash)
+    document-frequency shuffle → one repartition join back → per-doc sum."""
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _ensure_schema, _join_partitions
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(src).num_rows
+    # segments/doc is corpus-bounded (~chars / 6·SEG_WORDS); the partition
+    # sizing only needs the right order of magnitude
+    nparts = _join_partitions(n_docs * 8, n_docs * 8)
+
+    pair_schema = pa.schema(
+        [("doc_id", pa.int64()), ("seg_hash", pa.int64()), ("mult", pa.int64())]
+    )
+    pairs = _ensure_schema(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _segment_pairs, batch_format="pyarrow"
+        ),
+        pair_schema,
+    )
+    # rows are distinct per (doc, seg) → count() == document frequency
+    freq = _ensure_schema(
+        pairs.groupby("seg_hash").aggregate(Count(alias_name="nd")),
+        pa.schema([("seg_hash", pa.int64()), ("nd", pa.int64())]),
+    )
+    joined = pairs.join(
+        freq, "inner", num_partitions=nparts,
+        on=("seg_hash",), right_on=("seg_hash",), right_suffix="_r",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        dup = pc.if_else(
+            pc.greater_equal(t["nd"], 2), t["mult"], pa.scalar(0, pa.int64())
+        )
+        g = pa.table(
+            {"doc_id": t["doc_id"], "n_segments": t["mult"], "n_dup_segments": dup}
+        ).group_by(["doc_id"]).aggregate(
+            [("n_segments", "sum"), ("n_dup_segments", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_segments", "n_dup_segments"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_segments", alias_name="n_segments"),
+            Sum("n_dup_segments", alias_name="n_dup_segments"),
+        )
+    )
+
+
 CURATION_QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
     "doc_curate": q_doc_curate,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_chunk": q_doc_chunk,
+    "doc_line_dedup": q_doc_line_dedup,
 }
 
 CURATION_ORACLES = {
@@ -691,3 +802,17 @@ def write_curated_shards(sf_dir: str, out_dir: str, num_shards: int = 16,
         os.replace(tmp, manifest_path)  # atomic publish per shard
         written.append(k)
     return {"written": written, "manifest": manifest}
+
+
+CURATION_ORACLES["doc_line_dedup"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, array_to_string(ws[s + 1 : s + {SEG_WORDS}], ' ') AS seg
+  FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - 1, {SEG_WORDS})) AS s) t
+),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+SELECT doc_id, count(*) AS n_segments,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+FROM seg JOIN freq USING (seg)
+GROUP BY 1
+"""

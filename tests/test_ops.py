@@ -1261,3 +1261,51 @@ def test_props_extract_matches_duckdb(ray_session):
     assert (got.event_type.values == want.event_type.values).all()
     assert (got.k_sum.values == want.k_sum.values.astype("int64")).all()
     assert (got.n.values == want.n.values.astype("int64")).all()
+
+
+def test_line_dedup_matches_duckdb(ray_session, tmp_path):
+    """CCNet-style segment dedup on a hand-built corpus with known
+    cross-doc duplicate segments, checked against the DuckDB oracle
+    (text-equality semantics; the Ray side compares 64-bit hashes)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import CURATION_ORACLES, q_doc_line_dedup
+
+    texts = [
+        "a b c d e f g h i j",          # seg0 dups with doc 2, tail 'i j' unique
+        "a b c d e f g h x y",          # seg0 dup
+        "q r",                          # unique short doc
+        "a b c d e f g h a b c d e f g h",  # both slots dup (cross-doc)
+        "",                             # empty text → one ['' ] segment
+        "",                             # … duplicated across two docs
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        q_doc_line_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(CURATION_ORACLES["doc_line_dedup"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got.values == want.values.astype("int64")).all()
+    # spot-check the hand-derived expectations
+    by = got.set_index("doc_id")
+    assert by.loc[0, "n_segments"] == 2 and by.loc[0, "n_dup_segments"] == 1
+    assert by.loc[2, "n_dup_segments"] == 0
+    assert by.loc[3, "n_segments"] == 2 and by.loc[3, "n_dup_segments"] == 2
+    assert by.loc[4, "n_dup_segments"] == 1  # empty text dups across docs 4/5
