@@ -205,11 +205,13 @@ def main():
         q_doc_chunk,
         q_doc_curate,
         q_doc_decontaminate_bloom,
+        q_doc_line_dedup,
         q_doc_pack_sequences,
     )
     from gcflow.ops.corpus_stats import q_doc_bigrams
     from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
     from gcflow.ops.linalg import q_emb_pca
+    from gcflow.ops.quantile import q_evt_value_percentiles_by_type
     from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1
     from gcflow.ops.similarity import q_doc_bm25_topk, q_emb_ann_topk
@@ -237,6 +239,8 @@ def main():
         ("doc_bigrams", q_doc_bigrams),
         ("emb_pca", q_emb_pca),
         ("doc_dsir_weight", q_doc_dsir_weight),
+        ("doc_line_dedup", q_doc_line_dedup),
+        ("evt_value_percentiles_by_type", q_evt_value_percentiles_by_type),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for
