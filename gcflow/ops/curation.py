@@ -526,22 +526,21 @@ def q_doc_chunk(sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE)
 SEG_WORDS = 8
 
 
-def _segment_pairs(t: pa.Table) -> pa.Table:
-    """Distinct (doc_id, seg_hash) pairs with in-doc multiplicity.
+def _segment_hashes(t: pa.Table):
+    """Per-slot segment hashes for one batch of whole documents.
 
     Vectorized end-to-end: one flat word-hash pass (hashing.word_hashes),
     segment hashes by a SEG_WORDS-step masked polynomial fold (each step
     touches every segment that has a word at that offset — identical to
-    the scalar fold over the segment's words), then a lexsort run-length
-    for the per-doc multiplicity.  Docs are whole within a batch, so
-    in-batch-distinct pairs are globally distinct."""
+    the scalar fold over the segment's words).  Returns
+    ``(toks, nseg_per_doc, acc)`` where ``acc[k]`` is the hash of global
+    slot ``k`` (slots ordered doc-major, slot-minor)."""
     from .hashing import POLY, word_hashes
 
     toks = pc.split_pattern(t["text"], " ")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     wh = word_hashes(toks.values)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
     starts = np.cumsum(lens) - lens
     pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
     nseg = -(-lens // SEG_WORDS)  # ceil; empty text splits to [''] → 1 seg
@@ -552,6 +551,15 @@ def _segment_pairs(t: pa.Table) -> pa.Table:
         m = off == j  # ≤1 word per segment at each offset → no collisions
         si = seg_idx[m]
         acc[si] = acc[si] * POLY + wh[m]
+    return toks, nseg, acc
+
+
+def _segment_pairs(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, seg_hash) pairs with in-doc multiplicity, by a
+    lexsort run-length over the slot hashes.  Docs are whole within a
+    batch, so in-batch-distinct pairs are globally distinct."""
+    doc_ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    _, nseg, acc = _segment_hashes(t)
     seg_doc = np.repeat(doc_ids, nseg)
     order = np.lexsort((acc, seg_doc))
     sd, sh = seg_doc[order], acc[order]
@@ -622,6 +630,128 @@ def q_doc_line_dedup(sf_dir: str):
     )
 
 
+LINE_DEDUP_BUCKETS = 256  # doc-hash buckets for the vectorized rebuild
+
+
+def _slot_segment_rows(t: pa.Table) -> pa.Table:
+    """One row per segment SLOT: (doc_id, slot, seg_hash, seg text).
+    Segment text is materialized here because the cleaned document is
+    reassembled from surviving segments downstream (CCNet ships line
+    content through its hash-keyed shards the same way)."""
+    doc_ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    toks, nseg, acc = _segment_hashes(t)
+    total = int(nseg.sum())
+    slot = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nseg) - nseg, nseg)
+    # segment text: a list array whose row k covers slot k's word range
+    row_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(row_off)
+    seg_start = np.repeat(row_off[:-1], nseg) + slot * SEG_WORDS
+    seg_len = np.minimum(SEG_WORDS, np.repeat(lens, nseg) - slot * SEG_WORDS)
+    offsets = np.concatenate(([0], np.cumsum(seg_len)))
+    # slots tile each doc's word range contiguously → values can be sliced
+    # per doc, but across docs the flat ranges are already adjacent
+    segs = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), toks.values)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_ids, nseg), type=pa.int64()),
+            "slot": pa.array(slot, type=pa.int64()),
+            "seg_hash": pa.array(acc.view(np.int64), type=pa.int64()),
+            "seg": pc.binary_join(segs, " "),
+        }
+    )
+
+
+def q_doc_line_dedup_clean(sf_dir: str):
+    """The full CCNet/C4 removal transform: every document rebuilt with
+    its cross-document duplicate segments REMOVED (a fully-duplicate doc
+    comes back as an empty string, mirroring the oracle's coalesce).
+
+    Shape: slot rows (with segment text) ⋈ the segment document-frequency
+    table on seg_hash (hash-partitioned — the CCNet shard key), dup
+    segments nulled, then ONE doc-hash-bucketed shuffle where each bucket
+    reassembles its docs vectorized (lexsort by (doc, slot), run-length
+    list rebuild, one binary_join) — no per-doc Python, nothing
+    corpus-sized on the driver."""
+    from ray.data.aggregate import Count
+
+    from .dedup import _ensure_schema, _join_partitions
+    from .hashing import word_hashes
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(src).num_rows
+    nparts = _join_partitions(n_docs * 8, n_docs * 8)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = _ensure_schema(
+        docs.map_batches(_segment_pairs, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("seg_hash", pa.int64()), ("mult", pa.int64())]
+        ),
+    )
+    freq = _ensure_schema(
+        pairs.groupby("seg_hash").aggregate(Count(alias_name="nd")),
+        pa.schema([("seg_hash", pa.int64()), ("nd", pa.int64())]),
+    )
+    slots = _ensure_schema(
+        docs.map_batches(_slot_segment_rows, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("slot", pa.int64()),
+             ("seg_hash", pa.int64()), ("seg", pa.string())]
+        ),
+    )
+    joined = slots.join(
+        freq, "inner", num_partitions=nparts,
+        on=("seg_hash",), right_on=("seg_hash",), right_suffix="_r",
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        # null out dup segments (keep the row: a fully-dup doc must still
+        # appear in the output, as ''); route by doc-hash bucket
+        seg = pc.if_else(pc.less(t["nd"], 2), t["seg"], pa.scalar(None, pa.string()))
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                pa.array(
+                    word_hashes(
+                        pc.cast(t["doc_id"], pa.string()).combine_chunks()
+                    ).view(np.int64)
+                ),
+                LINE_DEDUP_BUCKETS - 1,
+            ),
+            pa.int32(),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "slot": t["slot"], "seg": seg, "bucket": bucket}
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        slot = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slot, d))
+        d = d[order]
+        segs = g["seg"].combine_chunks().take(pa.array(order, type=pa.int64()))
+        valid = ~np.asarray(segs.is_null())
+        new_doc = np.concatenate(([True], d[1:] != d[:-1]))
+        doc_ord = np.cumsum(new_doc) - 1
+        n_out = int(new_doc.sum())
+        counts = np.bincount(doc_ord[valid], minlength=n_out)
+        kept = segs.filter(pa.array(valid))
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(counts))), type=pa.int32()), kept
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d[new_doc], type=pa.int64()),
+                "clean_text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return (
+        joined.map_batches(mark, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
 CURATION_QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
@@ -629,6 +759,7 @@ CURATION_QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_chunk": q_doc_chunk,
     "doc_line_dedup": q_doc_line_dedup,
+    "doc_line_dedup_clean": q_doc_line_dedup_clean,
 }
 
 CURATION_ORACLES = {
@@ -813,6 +944,22 @@ seg AS (
 freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
 SELECT doc_id, count(*) AS n_segments,
        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+FROM seg JOIN freq USING (seg)
+GROUP BY 1
+"""
+
+
+CURATION_ORACLES["doc_line_dedup_clean"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, s // {SEG_WORDS} AS slot,
+         array_to_string(ws[s + 1 : s + {SEG_WORDS}], ' ') AS seg
+  FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - 1, {SEG_WORDS})) AS s) t
+),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY slot) FILTER (WHERE nd < 2), '')
+         AS clean_text
 FROM seg JOIN freq USING (seg)
 GROUP BY 1
 """

@@ -1309,3 +1309,48 @@ def test_line_dedup_matches_duckdb(ray_session, tmp_path):
     assert by.loc[2, "n_dup_segments"] == 0
     assert by.loc[3, "n_segments"] == 2 and by.loc[3, "n_dup_segments"] == 2
     assert by.loc[4, "n_dup_segments"] == 1  # empty text dups across docs 4/5
+
+
+def test_line_dedup_clean_matches_duckdb(ray_session, tmp_path):
+    """The removal transform: duplicate segments stripped, slot order
+    preserved, fully-duplicate docs come back as empty strings."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import CURATION_ORACLES, q_doc_line_dedup_clean
+
+    texts = [
+        "a b c d e f g h i j",
+        "a b c d e f g h x y",
+        "q r",
+        "a b c d e f g h a b c d e f g h",  # fully dup → ''
+        "",
+        "",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        q_doc_line_dedup_clean(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(CURATION_ORACLES["doc_line_dedup_clean"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.clean_text) == list(want.clean_text)
+    by = got.set_index("doc_id")["clean_text"]
+    assert by[0] == "i j" and by[1] == "x y" and by[2] == "q r"
+    assert by[3] == ""  # every slot duplicated across docs
