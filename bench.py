@@ -206,6 +206,7 @@ def main():
         q_doc_curate,
         q_doc_decontaminate_bloom,
         q_doc_line_dedup,
+        q_doc_line_dedup_clean,
         q_doc_pack_sequences,
     )
     from gcflow.ops.corpus_stats import q_doc_bigrams
@@ -240,6 +241,7 @@ def main():
         ("emb_pca", q_emb_pca),
         ("doc_dsir_weight", q_doc_dsir_weight),
         ("doc_line_dedup", q_doc_line_dedup),
+        ("doc_line_dedup_clean", q_doc_line_dedup_clean),
         ("evt_value_percentiles_by_type", q_evt_value_percentiles_by_type),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box

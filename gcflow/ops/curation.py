@@ -575,53 +575,75 @@ def _segment_pairs(t: pa.Table) -> pa.Table:
     )
 
 
+LINE_DEDUP_SEG_BUCKETS = 64  # seg-hash buckets for the frequency sweep
+
+
+def _seg_bucket(t: pa.Table) -> pa.Table:
+    """Route segment rows by seg-hash bucket: every occurrence of a
+    segment lands in ONE bucket, so document frequency AND the
+    frequency-to-row attach both happen inside the bucket group — the
+    Acero join + Count-groupby barriers collapse into one shuffle (the
+    `_pair_group_counts` sweep shape, measured ~10× on tiny-group
+    corpora)."""
+    h = t["seg_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    return t.append_column(
+        "bucket",
+        pa.array((h % np.uint64(LINE_DEDUP_SEG_BUCKETS)).astype(np.int64)),
+    )
+
+
 def q_doc_line_dedup(sf_dir: str):
     """Per-doc duplicated-segment stats: (doc_id, n_segments,
     n_dup_segments) where a segment is "dup" iff its content appears in
-    ≥2 distinct documents.  One explode pass → one groupby(seg_hash)
-    document-frequency shuffle → one repartition join back → per-doc sum."""
-    from ray.data.aggregate import Count, Sum
+    ≥2 distinct documents.  One explode pass → ONE seg-hash-bucketed
+    shuffle (each bucket computes its segments' document frequencies by
+    a lexsort run-length and folds them straight into per-doc partials)
+    → a tiny per-doc sum."""
+    from ray.data.aggregate import Sum
 
-    from .dedup import _ensure_schema, _join_partitions
+    from .dedup import _ensure_schema
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    n_docs = pq.read_metadata(src).num_rows
-    # segments/doc is corpus-bounded (~chars / 6·SEG_WORDS); the partition
-    # sizing only needs the right order of magnitude
-    nparts = _join_partitions(n_docs * 8, n_docs * 8)
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("n_segments", pa.int64()),
+         ("n_dup_segments", pa.int64())]
+    ).empty_table()
 
-    pair_schema = pa.schema(
-        [("doc_id", pa.int64()), ("seg_hash", pa.int64()), ("mult", pa.int64())]
-    )
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        sh = g["seg_hash"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        mult = g["mult"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh_s, d_s, m_s = sh[order], d[order], mult[order]
+        new = np.concatenate(([True], sh_s[1:] != sh_s[:-1]))
+        # rows are distinct per (doc, seg) → run length == doc frequency
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.append(starts, len(sh_s)))
+        dup = np.repeat(runlen >= 2, runlen)
+        uniq, inv = np.unique(d_s, return_inverse=True)
+        n_seg = np.bincount(inv, weights=m_s).astype(np.int64)
+        n_dup = np.bincount(inv, weights=m_s * dup).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_segments": pa.array(n_seg, type=pa.int64()),
+                "n_dup_segments": pa.array(n_dup, type=pa.int64()),
+            }
+        )
+
     pairs = _ensure_schema(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            _segment_pairs, batch_format="pyarrow"
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_segment_pairs, batch_format="pyarrow")
+        .map_batches(_seg_bucket, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("seg_hash", pa.int64()),
+             ("mult", pa.int64()), ("bucket", pa.int64())]
         ),
-        pair_schema,
     )
-    # rows are distinct per (doc, seg) → count() == document frequency
-    freq = _ensure_schema(
-        pairs.groupby("seg_hash").aggregate(Count(alias_name="nd")),
-        pa.schema([("seg_hash", pa.int64()), ("nd", pa.int64())]),
-    )
-    joined = pairs.join(
-        freq, "inner", num_partitions=nparts,
-        on=("seg_hash",), right_on=("seg_hash",), right_suffix="_r",
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        dup = pc.if_else(
-            pc.greater_equal(t["nd"], 2), t["mult"], pa.scalar(0, pa.int64())
-        )
-        g = pa.table(
-            {"doc_id": t["doc_id"], "n_segments": t["mult"], "n_dup_segments": dup}
-        ).group_by(["doc_id"]).aggregate(
-            [("n_segments", "sum"), ("n_dup_segments", "sum")]
-        )
-        return g.rename_columns(["doc_id", "n_segments", "n_dup_segments"])
-
     return (
-        joined.map_batches(partial, batch_format="pyarrow")
+        pairs.groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
             Sum("n_segments", alias_name="n_segments"),
@@ -666,64 +688,64 @@ def q_doc_line_dedup_clean(sf_dir: str):
     its cross-document duplicate segments REMOVED (a fully-duplicate doc
     comes back as an empty string, mirroring the oracle's coalesce).
 
-    Shape: slot rows (with segment text) ⋈ the segment document-frequency
-    table on seg_hash (hash-partitioned — the CCNet shard key), dup
-    segments nulled, then ONE doc-hash-bucketed shuffle where each bucket
-    reassembles its docs vectorized (lexsort by (doc, slot), run-length
-    list rebuild, one binary_join) — no per-doc Python, nothing
-    corpus-sized on the driver."""
-    from ray.data.aggregate import Count
+    Shape: slot rows (with segment text) routed by seg-hash bucket — the
+    CCNet shard key; each bucket computes its segments' document
+    frequencies by one lexsort run-length and nulls dup segments in
+    place (no Acero join, no separate Count barrier) — then ONE
+    doc-hash-bucketed shuffle where each bucket reassembles its docs
+    vectorized (lexsort by (doc, slot), run-length list rebuild, one
+    binary_join) — no per-doc Python, nothing corpus-sized on the
+    driver."""
+    from .dedup import _ensure_schema
 
-    from .dedup import _ensure_schema, _join_partitions
-    from .hashing import word_hashes
+    mark_empty = pa.schema(
+        [("doc_id", pa.int64()), ("slot", pa.int64()),
+         ("seg", pa.string()), ("bucket", pa.int64())]
+    ).empty_table()
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    n_docs = pq.read_metadata(src).num_rows
-    nparts = _join_partitions(n_docs * 8, n_docs * 8)
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = _ensure_schema(
-        docs.map_batches(_segment_pairs, batch_format="pyarrow"),
-        pa.schema(
-            [("doc_id", pa.int64()), ("seg_hash", pa.int64()), ("mult", pa.int64())]
-        ),
-    )
-    freq = _ensure_schema(
-        pairs.groupby("seg_hash").aggregate(Count(alias_name="nd")),
-        pa.schema([("seg_hash", pa.int64()), ("nd", pa.int64())]),
-    )
-    slots = _ensure_schema(
-        docs.map_batches(_slot_segment_rows, batch_format="pyarrow"),
-        pa.schema(
-            [("doc_id", pa.int64()), ("slot", pa.int64()),
-             ("seg_hash", pa.int64()), ("seg", pa.string())]
-        ),
-    )
-    joined = slots.join(
-        freq, "inner", num_partitions=nparts,
-        on=("seg_hash",), right_on=("seg_hash",), right_suffix="_r",
-    )
-
-    def mark(t: pa.Table) -> pa.Table:
-        # null out dup segments (keep the row: a fully-dup doc must still
-        # appear in the output, as ''); route by doc-hash bucket
-        seg = pc.if_else(pc.less(t["nd"], 2), t["seg"], pa.scalar(None, pa.string()))
-        bucket = pc.cast(
-            pc.bit_wise_and(
-                pa.array(
-                    word_hashes(
-                        pc.cast(t["doc_id"], pa.string()).combine_chunks()
-                    ).view(np.int64)
-                ),
-                LINE_DEDUP_BUCKETS - 1,
-            ),
-            pa.int32(),
-        )
+    def mark_sweep(g: pa.Table) -> pa.Table:
+        # slot rows of this seg-hash bucket: doc frequency per segment by
+        # a (seg_hash, doc) lexsort run-length; dup segments nulled (the
+        # row survives so a fully-dup doc still reaches the rebuild, as
+        # ''); re-routed by doc-hash bucket for the reassembly shuffle
+        if len(g) == 0:
+            return mark_empty
+        sh = g["seg_hash"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, sh))
+        sh_s, d_s = sh[order], d[order]
+        new_seg = np.concatenate(([True], sh_s[1:] != sh_s[:-1]))
+        new_pair = new_seg | np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        run_id = np.cumsum(new_seg) - 1
+        nd = np.bincount(run_id[new_pair], minlength=run_id[-1] + 1)
+        dup_sorted = np.repeat(nd >= 2, np.diff(
+            np.append(np.flatnonzero(new_seg), len(sh_s))
+        ))
+        dup = np.empty(len(sh_s), dtype=bool)
+        dup[order] = dup_sorted
+        seg_col = g["seg"]
+        if isinstance(seg_col, pa.ChunkedArray):
+            seg_col = seg_col.combine_chunks()
+        seg = pc.if_else(pa.array(~dup), seg_col, pa.scalar(None, pa.string()))
+        bucket = (
+            d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) % np.uint64(LINE_DEDUP_BUCKETS)
         return pa.table(
-            {"doc_id": t["doc_id"], "slot": t["slot"], "seg": seg, "bucket": bucket}
+            {
+                "doc_id": g["doc_id"],
+                "slot": g["slot"],
+                "seg": seg,
+                "bucket": pa.array(bucket.astype(np.int64)),
+            }
         )
+
+    rebuild_empty = pa.schema(
+        [("doc_id", pa.int64()), ("clean_text", pa.string())]
+    ).empty_table()
 
     def rebuild(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return rebuild_empty
         d = g["doc_id"].to_numpy(zero_copy_only=False)
         slot = g["slot"].to_numpy(zero_copy_only=False)
         order = np.lexsort((slot, d))
@@ -745,8 +767,19 @@ def q_doc_line_dedup_clean(sf_dir: str):
             }
         )
 
+    slots = _ensure_schema(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_slot_segment_rows, batch_format="pyarrow")
+        .map_batches(_seg_bucket, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("slot", pa.int64()),
+             ("seg_hash", pa.int64()), ("seg", pa.string()),
+             ("bucket", pa.int64())]
+        ),
+    )
     return (
-        joined.map_batches(mark, batch_format="pyarrow")
+        slots.groupby("bucket")
+        .map_groups(mark_sweep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(rebuild, batch_format="pyarrow")
     )

@@ -336,21 +336,47 @@ def _hist_pass_grouped(
     return out
 
 
-def _collect_group_interval(
-    ds: rd.Dataset, group_col: str, grp, lo: float, hi: float, closed: bool
-) -> np.ndarray:
+def _collect_group_intervals(
+    ds: rd.Dataset, group_col: str, specs: list
+) -> dict:
+    """ONE scan collecting every pending (group, interval) selection at
+    once — collect cost must not grow with group × quantile count.
+    ``specs`` rows are (key, grp, lo, hi, closed); returns
+    {key: sorted values}.  Total collected rows are budget-bounded by
+    the caller (each spec's bin count ≤ budget)."""
+    if not specs:
+        return {}
+    sp = list(specs)
+
     def sel(t: pa.Table) -> pa.Table:
         g = t[group_col].to_numpy(zero_copy_only=False)
         v = t["value"].to_numpy(zero_copy_only=False)
-        m = (
-            (g == grp)
-            & ~np.isnan(v)
-            & _member_mask(np.nan_to_num(v, nan=math.inf), lo, hi, closed)
+        ok = ~np.isnan(v)
+        sids, vals = [], []
+        for j, (_, grp, lo, hi, closed) in enumerate(sp):
+            m = ok & (g == grp) & _member_mask(
+                np.nan_to_num(v, nan=math.inf), lo, hi, closed
+            )
+            hit = v[m]
+            if len(hit):
+                sids.append(np.full(len(hit), j, dtype=np.int64))
+                vals.append(hit)
+        if not sids:
+            return pa.schema(
+                [("sid", pa.int64()), ("value", pa.float64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "sid": pa.array(np.concatenate(sids), type=pa.int64()),
+                "value": pa.array(np.concatenate(vals), type=pa.float64()),
+            }
         )
-        return t.filter(pa.array(m))
 
-    vals = ds.map_batches(sel, batch_format="pyarrow").to_pandas()["value"].to_numpy()
-    return np.sort(vals)
+    df = ds.map_batches(sel, batch_format="pyarrow").to_pandas()
+    out = {}
+    for j, (key, *_rest) in enumerate(sp):
+        out[key] = np.sort(df.loc[df.sid == j, "value"].to_numpy())
+    return out
 
 
 def q_evt_value_percentiles_by_type(
@@ -383,6 +409,8 @@ def q_evt_value_percentiles_by_type(
         hist = _hist_pass_grouped(ds, group_col, intervals, bins)
         iv_index = {iv: j for j, iv in enumerate(intervals)}
         nxt = {}
+        collects = []  # (key, grp, lo, hi, closed) — batched into ONE scan
+        ranks = {}
         for (grp, q), (qlo, qhi, closed, k) in state.items():
             counts = hist[iv_index[(grp, qlo, qhi, closed)]]
             cum = np.cumsum(counts)
@@ -390,14 +418,18 @@ def q_evt_value_percentiles_by_type(
             in_bin_rank = k - (int(cum[b - 1]) if b else 0)
             blo, bhi, bclosed = _bin_interval(qlo, qhi, closed, b, bins)
             if counts[b] <= budget:
-                vals = _collect_group_interval(ds, group_col, grp, blo, bhi, bclosed)
-                resolved[(grp, q)] = float(vals[in_bin_rank])
+                collects.append(((grp, q), grp, blo, bhi, bclosed))
+                ranks[(grp, q)] = in_bin_rank
             else:
                 nxt[(grp, q)] = (blo, bhi, bclosed, in_bin_rank)
+        for key, vals in _collect_group_intervals(ds, group_col, collects).items():
+            resolved[key] = float(vals[ranks[key]])
         state = nxt
-    for (grp, q), (qlo, qhi, qcl, k) in state.items():  # pass cap hit
-        vals = _collect_group_interval(ds, group_col, grp, qlo, qhi, qcl)
-        resolved[(grp, q)] = float(vals[min(k, len(vals) - 1)])
+    # pass cap hit: collect the survivors' whole intervals in one scan
+    cap = [((grp, q), grp, s[0], s[1], s[2]) for (grp, q), s in state.items()]
+    for key, vals in _collect_group_intervals(ds, group_col, cap).items():
+        k = state[key][3]
+        resolved[key] = float(vals[min(k, len(vals) - 1)])
 
     keys = sorted(resolved)
     return pa.table(
