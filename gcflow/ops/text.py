@@ -801,6 +801,65 @@ def q_doc_redact(sf_dir: str):
     )
 
 
+def q_doc_sample_temperature(sf_dir: str):
+    """Temperature-based mixture sampling (the mT5 / XLM-R multilingual
+    data-balancing family, α = 0.5): each language is downsampled with
+    acceptance rate sqrt(c_min / c_lang), so the sampled mixture moves
+    from the corpus distribution toward uniform while the rarest
+    language keeps every document.
+
+    Determinism is integer-exact ACROSS ENGINES: the per-doc uniform is
+    the first 8 hex chars of md5(text); the per-language threshold is
+    floor(sqrt(c_min/c_l)·2³²), and sqrt/division are IEEE
+    correctly-rounded (unlike pow), so DuckDB and numpy agree bitwise.
+    Scale shape: one tiny per-language count pass (partial value_counts
+    → groupby-sum; languages are few so the driver collect is bounded),
+    then one streaming filter pass with the threshold dict captured in
+    the closure — no shuffle of the corpus itself."""
+    import math
+
+    part_schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
+
+    def lang_counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        g = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"]).cast(part_schema)
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(lang_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("n")
+        .to_pandas()
+    )
+    c = dict(zip(counts["lang"], counts["sum(n)"]))
+    if not c:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())}
+        )
+    nmin = min(c.values())
+    thr = {l: math.floor(math.sqrt(nmin / n) * 2**32) for l, n in c.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        us = np.fromiter(
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                for s in t["text"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(t),
+        )
+        ts = np.fromiter(
+            (thr[l] for l in t["lang"].to_pylist()), dtype=np.int64, count=len(t)
+        )
+        return t.select(["doc_id", "lang"]).filter(pa.array(us < ts))
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 TEXT_QUERIES = {
@@ -816,6 +875,7 @@ TEXT_QUERIES = {
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_redact": q_doc_redact,
     "doc_dsir_weight": q_doc_dsir_weight,
+    "doc_sample_temperature": q_doc_sample_temperature,
 }
 
 TEXT_ORACLES = {
@@ -957,3 +1017,15 @@ WITH tf AS (
 SELECT doc_id, term, tf, df FROM r WHERE rn = 1
 """,
 }
+
+
+TEXT_ORACLES["doc_sample_temperature"] = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (SELECT lang,
+             CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / n) * 4294967296) AS BIGINT)
+               AS thr
+      FROM c, m)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE r.thr >= 4294967296 OR substr(md5(d.text), 1, 8) < printf('%08x', r.thr)
+"""

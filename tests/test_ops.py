@@ -1354,3 +1354,38 @@ def test_line_dedup_clean_matches_duckdb(ray_session, tmp_path):
     by = got.set_index("doc_id")["clean_text"]
     assert by[0] == "i j" and by[1] == "x y" and by[2] == "q r"
     assert by[3] == ""  # every slot duplicated across docs
+
+
+def test_sample_temperature_matches_twin(ray_session):
+    """Temperature sampling (α=0.5): exact agreement with a scalar python
+    twin, rarest language kept whole, dominant language downsampled
+    toward the uniform mixture."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import q_doc_sample_temperature
+
+    got = q_doc_sample_temperature(SF).to_pandas().sort_values("doc_id")
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    langs: dict = {}
+    for l in t["lang"].to_pylist():
+        langs[l] = langs.get(l, 0) + 1
+    nmin = min(langs.values())
+    thr = {l: math.floor(math.sqrt(nmin / n) * 2**32) for l, n in langs.items()}
+    keep = [
+        d
+        for d, s, l in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        )
+        if int(hashlib.md5(s.encode()).hexdigest()[:8], 16) < thr[l]
+    ]
+    assert list(got.doc_id) == sorted(keep)
+    # the rarest language keeps every document (threshold == 2^32)
+    rare = min(langs, key=langs.get)
+    assert (got.lang == rare).sum() == langs[rare]
+    # the dominant language is actually downsampled
+    dom = max(langs, key=langs.get)
+    assert (got.lang == dom).sum() < langs[dom]
