@@ -67,7 +67,7 @@ def all_query_names():
 def test_query_vs_oracle(ray_session, name):
     import __ray_entry__ as e
 
-    ray_df = _to_df(e.queries()[name](SF))
+    ray_df = _to_df(e.queries_full()[name](SF))
     con = _con(SF)
     sql_df = con.execute(e.oracle_sql()[name]).df()
     _compare(name, ray_df, sql_df)

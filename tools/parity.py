@@ -69,7 +69,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entry
 
-    queries = entry.queries()
+    queries = getattr(entry, "queries_full", entry.queries)()
     oracles = entry.oracle_sql()
 
     con = duckdb.connect()
