@@ -598,7 +598,13 @@ def q_doc_line_dedup(sf_dir: str):
     ≥2 distinct documents.  One explode pass → ONE seg-hash-bucketed
     shuffle (each bucket computes its segments' document frequencies by
     a lexsort run-length and folds them straight into per-doc partials)
-    → a tiny per-doc sum."""
+    → a tiny per-doc sum.
+
+    Segment identity here is the 64-bit seg_hash (segment text is never
+    shipped on this stats-only path): a hash collision can overcount
+    n_dup_segments by one, at ~2^-64 per segment pair — acceptable for a
+    non-destructive statistic.  The removal transform
+    (q_doc_line_dedup_clean) verifies by exact segment text instead."""
     from ray.data.aggregate import Sum
 
     from .dedup import _ensure_schema
@@ -670,8 +676,14 @@ def _slot_segment_rows(t: pa.Table) -> pa.Table:
     seg_start = np.repeat(row_off[:-1], nseg) + slot * SEG_WORDS
     seg_len = np.minimum(SEG_WORDS, np.repeat(lens, nseg) - slot * SEG_WORDS)
     offsets = np.concatenate(([0], np.cumsum(seg_len)))
-    # slots tile each doc's word range contiguously → values can be sliced
-    # per doc, but across docs the flat ranges are already adjacent
+    # Load-bearing contiguity invariant: rebuilding the list offsets from
+    # cumsum(seg_len) is correct only because slots tile each doc's word
+    # range contiguously AND the docs' flat ranges are adjacent in
+    # toks.values starting at 0 (a sliced/offset list array would break
+    # this silently — e.g. after a combine_chunks on a sliced batch).
+    assert total == 0 or (
+        seg_start[0] == 0 and np.array_equal(seg_start, offsets[:-1])
+    ), "segment slots must tile toks.values contiguously from offset 0"
     segs = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), toks.values)
     return pa.table(
         {
@@ -690,8 +702,10 @@ def q_doc_line_dedup_clean(sf_dir: str):
 
     Shape: slot rows (with segment text) routed by seg-hash bucket — the
     CCNet shard key; each bucket computes its segments' document
-    frequencies by one lexsort run-length and nulls dup segments in
-    place (no Acero join, no separate Count barrier) — then ONE
+    frequencies by one lexsort run-length over EXACT segment text
+    (dictionary-encoded in-bucket; the 64-bit hash only routes, so a
+    hash collision can never delete non-duplicate text) and nulls dup
+    segments in place (no Acero join, no separate Count barrier) — then ONE
     doc-hash-bucketed shuffle where each bucket reassembles its docs
     vectorized (lexsort by (doc, slot), run-length list rebuild, one
     binary_join) — no per-doc Python, nothing corpus-sized on the
@@ -705,12 +719,22 @@ def q_doc_line_dedup_clean(sf_dir: str):
 
     def mark_sweep(g: pa.Table) -> pa.Table:
         # slot rows of this seg-hash bucket: doc frequency per segment by
-        # a (seg_hash, doc) lexsort run-length; dup segments nulled (the
+        # a (segment, doc) lexsort run-length; dup segments nulled (the
         # row survives so a fully-dup doc still reaches the rebuild, as
-        # ''); re-routed by doc-hash bucket for the reassembly shuffle
+        # ''); re-routed by doc-hash bucket for the reassembly shuffle.
+        # The destructive decision uses EXACT segment equality, not the
+        # 64-bit seg_hash: equal text always shares a bucket (same hash),
+        # so dictionary-encoding the co-located text gives exact
+        # within-bucket string keys — a hash collision can never delete
+        # non-duplicate text (the routing hash only co-locates).
         if len(g) == 0:
             return mark_empty
-        sh = g["seg_hash"].to_numpy(zero_copy_only=False)
+        seg_exact = g["seg"]
+        if isinstance(seg_exact, pa.ChunkedArray):
+            seg_exact = seg_exact.combine_chunks()
+        sh = seg_exact.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         d = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((d, sh))
         sh_s, d_s = sh[order], d[order]
@@ -723,10 +747,7 @@ def q_doc_line_dedup_clean(sf_dir: str):
         ))
         dup = np.empty(len(sh_s), dtype=bool)
         dup[order] = dup_sorted
-        seg_col = g["seg"]
-        if isinstance(seg_col, pa.ChunkedArray):
-            seg_col = seg_col.combine_chunks()
-        seg = pc.if_else(pa.array(~dup), seg_col, pa.scalar(None, pa.string()))
+        seg = pc.if_else(pa.array(~dup), seg_exact, pa.scalar(None, pa.string()))
         bucket = (
             d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         ) % np.uint64(LINE_DEDUP_BUCKETS)

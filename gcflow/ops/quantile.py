@@ -247,24 +247,29 @@ QTL_GROUP_BINS = 2048
 
 
 def _grouped_bounds(ds: rd.Dataset, group_col: str):
-    """One scan → {group: (n_non_nan, lo, hi)}."""
+    """One scan → {group: (n_non_nan, lo, hi)}.
+
+    Groups whose values are entirely NULL/NaN survive with n=0 (and
+    lo=+inf, hi=-inf) so the caller can emit (group, q, NULL) exactly
+    like ``quantile_disc ... GROUP BY`` does.  Group KEYS are assumed
+    non-null (a NULL key would break np.unique's object-array sort);
+    pre-filter or fill NULL keys upstream if the source allows them."""
 
     def partial(t: pa.Table) -> pa.Table:
         g = t[group_col].to_numpy(zero_copy_only=False)
         v = t["value"].to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(v)
-        g, v = g[ok], v[ok]
         if len(v) == 0:
             return pa.schema(
                 [(group_col, pa.string()), ("n", pa.int64()),
                  ("lo", pa.float64()), ("hi", pa.float64())]
             ).empty_table()
+        ok = ~np.isnan(v)
         uniq, inv = np.unique(g, return_inverse=True)
-        n = np.bincount(inv)
+        n = np.bincount(inv[ok], minlength=len(uniq))
         lo = np.full(len(uniq), math.inf)
         hi = np.full(len(uniq), -math.inf)
-        np.minimum.at(lo, inv, v)
-        np.maximum.at(hi, inv, v)
+        np.minimum.at(lo, inv[ok], v[ok])
+        np.maximum.at(hi, inv[ok], v[ok])
         return pa.table(
             {
                 group_col: pa.array(uniq),
@@ -395,7 +400,11 @@ def q_evt_value_percentiles_by_type(
     state: dict = {}      # (grp, q) -> (lo, hi, closed, k)
     for grp, (n, lo, hi) in bounds.items():
         for q in qs:
-            if hi <= lo:
+            if n == 0:
+                # all-NULL/NaN group: present in the data, no quantile —
+                # (group, q, NULL), matching quantile_disc GROUP BY
+                resolved[(grp, q)] = math.nan
+            elif hi <= lo:
                 resolved[(grp, q)] = lo
             else:
                 state[(grp, q)] = (lo, hi, True, max(int(math.ceil(q * n)) - 1, 0))
@@ -436,7 +445,10 @@ def q_evt_value_percentiles_by_type(
         {
             group_col: pa.array([g for g, _ in keys]),
             "q": pa.array([q for _, q in keys], type=pa.float64()),
-            "value": pa.array([resolved[k] for k in keys], type=pa.float64()),
+            "value": pa.array(
+                [None if math.isnan(resolved[k]) else resolved[k] for k in keys],
+                type=pa.float64(),
+            ),
         }
     )
 

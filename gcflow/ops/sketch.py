@@ -373,11 +373,12 @@ def tdigest_quantiles(
         return _td_pack(m, w)
 
     def lane_merge(g: pa.Table) -> pa.Table:
+        # one compressed digest per lane; the final (lane-count-sized)
+        # merge happens driver-side below via to_arrow_refs + concat, so
+        # the lane id carried out of here is irrelevant
         m, w = _td_unpack_concat(g)
         m, w = _td_compress(m, w, delta)
-        t = _td_pack(m, w)
-        # all lane results meet in one final group
-        return t.set_column(0, "lane", pa.array([0], type=pa.int64()))
+        return _td_pack(m, w)
 
     lanes = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -604,12 +604,18 @@ def q_doc_dsir_weight(sf_dir: str):
             }
         )
 
+    # counts is consumed twice (scalar totals, then the join's small
+    # side); unpinned, Ray re-executes the full corpus tokenize sweep per
+    # consumer.  Materializing the vocabulary-sized counts caps the op at
+    # two streaming corpus passes (counts lineage + the join's tf side) —
+    # the same stance as q_doc_top_keyword: never pin a tokens-sized
+    # intermediate, do pin vocab-sized ones.
     counts = _ensure_schema(
         tf_ds.map_batches(term_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(term_sum, batch_format="pyarrow"),
         pa.schema([("term", pa.string()), ("n_s", pa.int64()), ("n_t", pa.int64())]),
-    )
+    ).materialize()
 
     # scalar totals: T_s, T_t (token totals) and V (corpus vocabulary) —
     # three tiny aggregates over the term-count Dataset

@@ -1238,6 +1238,49 @@ def test_grouped_percentiles_match_duckdb(ray_session):
         assert np.allclose(got.value.values, want.value.values, rtol=0, atol=0)
 
 
+def test_grouped_percentiles_all_null_group(ray_session, tmp_path):
+    """A group whose values are entirely NULL must still appear in the
+    output as (group, q, NULL) — exactly what quantile_disc GROUP BY
+    emits (ADVICE r4: such groups used to be dropped from bounds)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    from gcflow.ops.quantile import q_evt_value_percentiles_by_type
+
+    t = pa.table(
+        {
+            "event_type": ["a"] * 5 + ["b"] * 3,
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, None, None, None],
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        q_evt_value_percentiles_by_type(str(tmp_path))
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value"
+        " FROM events GROUP BY 1 UNION ALL "
+        "SELECT event_type, 0.9, quantile_disc(value, 0.9) FROM events GROUP BY 1"
+        " UNION ALL "
+        "SELECT event_type, 0.99, quantile_disc(value, 0.99) FROM events GROUP BY 1"
+        " ORDER BY 1, 2"
+    ).df()
+    assert len(got) == len(want) == 6
+    assert (got.event_type.values == want.event_type.values).all()
+    assert got.value.isna().equals(want.value.isna())
+    ok = ~got.value.isna()
+    assert np.allclose(got.value[ok].values, want.value[ok].values, rtol=0, atol=0)
+
+
 def test_props_extract_matches_duckdb(ray_session):
     import duckdb
 
