@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from functools import partial
 
 import numpy as np
 import pyarrow as pa
@@ -27,6 +28,49 @@ def _docs(sf_dir: str, columns) -> rd.Dataset:
 
 
 SUBTOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _content_u64(texts, hash_mode: str) -> np.ndarray:
+    """64-bit content hash per document text — the sampling family's
+    shared primitive, dual-mode like the dedup family (ops/hashing.py):
+
+    - ``"fast"`` (default): seeded vectorized polars/ahash — no per-row
+      Python, process-stable; the 100-TB path.
+    - ``"md5"``: top 64 bits of md5(text) — bitwise reproducible across
+      engines (the SQL oracles mirror md5), per-row Python; the
+      oracle-parity mode the driver-facing queries select.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if hash_mode == "md5":
+        return np.fromiter(
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                for s in texts.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(texts),
+        )
+    from .hashing import word_hashes
+
+    return word_hashes(texts)
+
+
+def _content_hex(texts, hash_mode: str) -> pa.Array:
+    """Hex content fingerprint: the full 32-hex md5 (oracle mode) or the
+    16-hex rendering of the fast 64-bit hash (default).  Both sort as
+    their numeric value, so smallest-k selections downstream behave the
+    same in either mode."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if hash_mode == "md5":
+        return pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in texts.to_pylist()],
+            type=pa.string(),
+        )
+    from .hashing import word_hashes
+
+    return pa.array(np.char.mod("%016x", word_hashes(texts)), type=pa.string())
 
 
 def q_doc_token_count(sf_dir: str):
@@ -47,18 +91,19 @@ def q_doc_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
-def q_doc_sample(sf_dir: str):
-    """Deterministic content-hash sampling (~10%): keep docs whose md5 hex
-    starts below 0x1a — reproducible across engines and runs, unlike
-    seeded RNG sampling (the scale-correct way to sample a distributed
-    corpus consistently)."""
+def q_doc_sample(sf_dir: str, hash_mode: str = "fast"):
+    """Deterministic content-hash sampling (~10%): keep docs whose hash
+    top byte is below 0x1a — reproducible across runs, unlike seeded RNG
+    sampling (the scale-correct way to sample a distributed corpus
+    consistently).  Dual-mode hash (see ``_content_u64``): vectorized by
+    default, md5 in the oracle-parity mode (where top-byte < 0x1a is
+    exactly ``substr(md5(text),1,2) < '1a'``)."""
 
     def f(t: pa.Table) -> pa.Table:
-        keep = [
-            hashlib.md5(s.encode()).hexdigest()[:2] < "1a"
-            for s in t["text"].to_pylist()
-        ]
-        return t.select(["doc_id"]).filter(pa.array(keep))
+        h = _content_u64(t["text"], hash_mode)
+        return t.select(["doc_id"]).filter(
+            pa.array((h >> np.uint64(56)) < np.uint64(0x1A))
+        )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
@@ -120,12 +165,14 @@ def q_doc_lang_id(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
-def q_doc_fingerprint(sf_dir: str):
-    """Content fingerprint (md5 digest per document)."""
+def q_doc_fingerprint(sf_dir: str, hash_mode: str = "fast"):
+    """Content fingerprint per document — dual-mode (see ``_content_hex``):
+    16-hex vectorized hash by default, full md5 hex in oracle mode."""
 
     def f(t: pa.Table) -> pa.Table:
-        fp = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fp, type=pa.string())})
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": _content_hex(t["text"], hash_mode)}
+        )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
@@ -198,13 +245,14 @@ def q_doc_top_terms(sf_dir: str):
 STRAT_PER_CLASS = 25
 
 
-def q_doc_sample_stratified(sf_dir: str):
+def q_doc_sample_stratified(sf_dir: str, hash_mode: str = "fast"):
     """Deterministic stratified sampling: the STRAT_PER_CLASS docs with
     the smallest content hash per predicted-language class — per-batch
     partial top-k (associative), then a final per-class reduce
     (``groupby(pred_lang).map_groups`` — class cardinality is tiny, so
     per-group machinery is fine here, unlike per-user/per-conv keys).
-    Arrow end to end (sort_indices + ranked prefix filter)."""
+    Arrow end to end (sort_indices + ranked prefix filter); dual-mode
+    content hash (see ``_content_hex``)."""
     import numpy as np
 
     stop_re = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
@@ -220,10 +268,7 @@ def q_doc_sample_stratified(sf_dir: str):
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
                 "pred_lang": pred,
-                "h": pa.array(
-                    [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()],
-                    type=pa.string(),
-                ),
+                "h": _content_hex(t["text"], hash_mode),
             }
         )
 
@@ -807,16 +852,18 @@ def q_doc_redact(sf_dir: str):
     )
 
 
-def q_doc_sample_temperature(sf_dir: str):
+def q_doc_sample_temperature(sf_dir: str, hash_mode: str = "fast"):
     """Temperature-based mixture sampling (the mT5 / XLM-R multilingual
     data-balancing family, α = 0.5): each language is downsampled with
     acceptance rate sqrt(c_min / c_lang), so the sampled mixture moves
     from the corpus distribution toward uniform while the rarest
     language keeps every document.
 
-    Determinism is integer-exact ACROSS ENGINES: the per-doc uniform is
-    the first 8 hex chars of md5(text); the per-language threshold is
-    floor(sqrt(c_min/c_l)·2³²), and sqrt/division are IEEE
+    The per-doc uniform is the top 32 bits of the content hash
+    (dual-mode, see ``_content_u64`` — vectorized by default; in the
+    md5 oracle mode it equals the first 8 hex chars of md5(text), so
+    determinism is integer-exact ACROSS ENGINES); the per-language
+    threshold is floor(sqrt(c_min/c_l)·2³²), and sqrt/division are IEEE
     correctly-rounded (unlike pow), so DuckDB and numpy agree bitwise.
     Scale shape: one tiny per-language count pass (partial value_counts
     → groupby-sum; languages are few so the driver collect is bounded),
@@ -848,14 +895,7 @@ def q_doc_sample_temperature(sf_dir: str):
     thr = {l: math.floor(math.sqrt(nmin / n) * 2**32) for l, n in c.items()}
 
     def keep(t: pa.Table) -> pa.Table:
-        us = np.fromiter(
-            (
-                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                for s in t["text"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=len(t),
-        )
+        us = (_content_u64(t["text"], hash_mode) >> np.uint64(32)).astype(np.int64)
         ts = np.fromiter(
             (thr[l] for l in t["lang"].to_pylist()), dtype=np.int64, count=len(t)
         )
@@ -868,20 +908,23 @@ def q_doc_sample_temperature(sf_dir: str):
 
 _STOP_SQL = "', '".join(STOPWORDS)
 
+# the sampling/fingerprint registry entries pin hash_mode="md5": the SQL
+# oracles mirror md5, so the driver-checked path is the oracle-parity
+# mode; library callers get the vectorized fast mode by default
 TEXT_QUERIES = {
     "doc_token_count": q_doc_token_count,
-    "doc_sample": q_doc_sample,
+    "doc_sample": partial(q_doc_sample, hash_mode="md5"),
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
+    "doc_fingerprint": partial(q_doc_fingerprint, hash_mode="md5"),
     "doc_top_terms": q_doc_top_terms,
-    "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_sample_stratified": partial(q_doc_sample_stratified, hash_mode="md5"),
     "doc_top_keyword": q_doc_top_keyword,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_redact": q_doc_redact,
     "doc_dsir_weight": q_doc_dsir_weight,
-    "doc_sample_temperature": q_doc_sample_temperature,
+    "doc_sample_temperature": partial(q_doc_sample_temperature, hash_mode="md5"),
 }
 
 TEXT_ORACLES = {

