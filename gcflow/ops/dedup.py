@@ -1026,8 +1026,10 @@ def q_emb_cosine_dedup_lsh(sf_dir: str):
 
 # --------------------------------- embedding near-dup, SemDeDup (k-means)
 
-SEMDEDUP_K = 16      # k-means cells; size so n_cell ≈ corpus / k fits a worker
+SEMDEDUP_CELL_TARGET = 4096  # target rows/cell: in-cell cost is O(n_cell²)
+SEMDEDUP_K_MIN = 16          # floor keeps tiny test corpora multi-cell
 SEMDEDUP_ITERS = 3
+SEMDEDUP_TRAIN_MAX = 20_000  # codebook training sample ceiling (driver-side)
 
 
 def _unpack_packed(col) -> np.ndarray:
@@ -1047,31 +1049,67 @@ def _unpack_packed(col) -> np.ndarray:
     return seg.view(np.float64).reshape(len(a), -1)
 
 
-def q_emb_semdedup(sf_dir: str, k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS):
+def _semdedup_codebook(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """Codebook from a bounded, deterministic strided corpus sample —
+    the IVF ``_train_centroids`` pattern (similarity.py): the stride
+    comes from the parquet footer row count so the sample spans the
+    whole corpus; only ≤ SEMDEDUP_TRAIN_MAX vectors ever reach the
+    driver (O(sample × dim)), and Lloyd runs driver-local on the
+    sample — the corpus itself is never materialized for training."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    total = pq.read_metadata(src).num_rows
+    stride = max(1, (total + total // 10) // SEMDEDUP_TRAIN_MAX)
+
+    def take_stride(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % stride == 0))
+
+    samp = (
+        _emb_corpus_packed_ds(sf_dir)
+        .map_batches(take_stride, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    X = np.vstack([np.frombuffer(b, dtype=np.float64) for b in samp["sh"]])
+    # deterministic init: the k smallest sampled doc_ids
+    C = X[: min(k, len(X))].copy()
+    if len(C) < k:  # degenerate tiny corpus: pad with re-used rows
+        C = np.vstack([C, X[np.arange(k - len(C)) % len(X)]])
+    for _ in range(iters):
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            m = X[a == j]
+            if len(m):
+                C[j] = m.mean(axis=0)  # empty cells keep their centroid
+    return C
+
+
+def q_emb_semdedup(sf_dir: str, k: int | None = None, iters: int = SEMDEDUP_ITERS):
     """Embedding near-dup via SemDeDup (Abbas et al. 2023): k-means the
-    corpus (distributed Lloyd, driver sees k rows per iteration), then
-    find cosine ≥ 0.95 pairs ONLY within each cell — one shuffle keyed by
+    corpus (codebook from a bounded driver-side sample), then find
+    cosine ≥ 0.95 pairs ONLY within each cell — one shuffle keyed by
     cell, per-cell pairwise cosine with memory-bounded chunked matmuls.
-    Compute drops from O(N²) to O(Σ n_cell²) ≈ O(N²/k); raising k holds
-    n_cell ≈ N/k to worker size at any corpus scale.  Approximate (a pair
+    Compute drops from O(N²) to O(Σ n_cell²) ≈ O(N²/k); k is derived
+    from the corpus row count (parquet footer) to hold n_cell ≈
+    SEMDEDUP_CELL_TARGET at any corpus scale, so in-cell cost stays a
+    worker-sized constant as the corpus grows.  Approximate (a pair
     straddling a cell boundary is missed — recall vs the exact path
     asserted in pytest; emitted pairs are exact-cosine verified, so
     precision is 1) → rows-only driver check."""
-    from .cluster import lloyd_iterations
+    import pyarrow.parquet as pq
 
-    corpus = _emb_corpus_packed_ds(sf_dir).materialize()
-
-    init = sorted(
-        corpus.map_batches(
-            lambda t: t.filter(pc.less(t["doc_id"], k)), batch_format="pyarrow"
-        ).take_all(),
-        key=lambda r: r["doc_id"],
-    )
-    C0 = np.vstack([np.frombuffer(r["sh"], dtype=np.float64) for r in init])
-    C = lloyd_iterations(
-        corpus, C0, iters, to_matrix=lambda t: _unpack_packed(t["sh"])
-    )
+    if k is None:
+        total = pq.read_metadata(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).num_rows
+        n_est = total + total // 10  # the planted dups add ~10%
+        k = max(SEMDEDUP_K_MIN, -(-n_est // SEMDEDUP_CELL_TARGET))
+    C = _semdedup_codebook(sf_dir, k, iters)
     cref = ray.put(C)
+    corpus = _emb_corpus_packed_ds(sf_dir)  # streams: assign is one pass
 
     def assign(t: pa.Table) -> pa.Table:
         Cl = ray.get(cref)
