@@ -31,6 +31,61 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "80"))
 
 
+def _grammar_probe_worker(lines_target: int = 60_000) -> float:
+    """Single-core recursive-descent throughput (lines/s) — run me in a
+    pinned subprocess, not in the bench driver."""
+    try:
+        os.sched_setaffinity(0, {0})
+    except OSError:
+        pass
+    from gcflow.grammar import parse_log
+
+    fixture_path = os.path.join(REPO, "tests", "fixtures", "basic-java8-gc.log")
+    with open(fixture_path) as f:
+        fixture = f.read()
+    if not fixture.endswith("\n"):
+        fixture += "\n"
+    n_lines = fixture.count("\n")
+    reps = max(1, lines_target // n_lines)
+    blob = fixture * reps
+    parse_log(blob[: len(fixture) * 2])  # warm (regex compile, imports)
+    t0 = time.perf_counter()
+    parse_log(blob)
+    dt = time.perf_counter() - t0
+    return round(n_lines * reps / dt, 1)
+
+
+def _host_fingerprint() -> dict:
+    """Substrate fingerprint carried in every bench JSON (round-4
+    lesson: per-round sandbox VMs are NOT the same hardware — a silent
+    host swap read as a 2× wall-clock regression until a hand A/B
+    caught it).  membw: tools/membw.py aggregate DRAM bandwidth at P=1
+    and P=32; grammar: pinned single-core parse throughput."""
+    fp: dict = {}
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "membw.py"), "1", "32"],
+            capture_output=True, text=True, timeout=300, check=True,
+        )
+        fp["membw_gbps"] = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # fingerprint must never sink the bench
+        fp["membw_error"] = str(exc)[:200]
+    try:
+        r = subprocess.run(
+            [
+                sys.executable, "-c",
+                "import sys; sys.path.insert(0, %r); "
+                "from bench import _grammar_probe_worker; "
+                "print(_grammar_probe_worker())" % REPO,
+            ],
+            capture_output=True, text=True, timeout=300, check=True,
+        )
+        fp["grammar_lines_per_sec"] = float(r.stdout.strip().splitlines()[-1])
+    except Exception as exc:
+        fp["grammar_error"] = str(exc)[:200]
+    return fp
+
+
 def _scaling_main():
     # N and 4N parallelism levels; default 8→32.  On this 32-physical-core
     # host the 32-CPU level shares cores with raylet/driver/object-store —
@@ -38,6 +93,7 @@ def _scaling_main():
     # saturation artifact (both pairs reported in BASELINE.md).
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    host_fp = _host_fingerprint()  # before the legs: idle box, unperturbed
     out = {}
     for ncpu in (lo, hi):
         env = dict(
@@ -96,6 +152,7 @@ def _scaling_main():
                 "sf": out[hi]["sf"],
                 "turns": out[hi]["turns"],
                 "cpus": [lo, hi],
+                "host_fingerprint": host_fp,
             }
         )
     )
@@ -103,6 +160,8 @@ def _scaling_main():
 
 def main():
     os.environ.setdefault("PYTHONPATH", REPO)
+    # fingerprint the substrate before Ray starts (idle box, unperturbed)
+    host_fp = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else _host_fingerprint()
     import ray
 
     ray.init(
@@ -273,6 +332,7 @@ def main():
                 "heap_turns": int(heap_turns),
                 "heap_turns_per_sec": round(heap_turns / heap_sec, 1),
                 "replicate": REPLICATE,
+                "host_fingerprint": host_fp,
             }
         )
     )
