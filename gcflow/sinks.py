@@ -104,11 +104,28 @@ def write_tsv(
     path: str,
     delimiter: str = "\t",
     with_rates: bool = True,
-) -> None:
-    """Single-file TSV with header from the FIRST event (reference
-    schema-on-first-row semantics, OutputFormat.scala:12-15).  Streams via
-    iter_batches — for the distributed fan-out use Parquet sinks (the TSV
-    contract is inherently sequential/ragged)."""
+    schema: str = "first",
+):
+    """TSV sink, two modes:
+
+    - ``schema="first"`` (default, reference semantics): single
+      sequential file with the header taken from the FIRST event
+      (OutputFormat.scala:12-15).  Streams via iter_batches; inherently
+      sequential because later rows may be ragged w.r.t. that header.
+    - ``schema="union"`` (distributed mode for the 100× case): one cheap
+      distributed key-survey pass fixes a GLOBAL header — every key any
+      event emits, ordered by its earliest in-row position then name —
+      after which every block writes its own shard file under ``path``
+      (a directory) independently, missing keys as "".  Shards are
+      atomically published (tmp + rename) and content-hash named, so a
+      re-run overwrites rather than duplicates.  ``path`` must be
+      shared storage on a real cluster.  Returns a small DataFrame of
+      (shard, rows).
+    """
+    if schema == "union":
+        return _write_tsv_union(events, path, delimiter, with_rates)
+    if schema != "first":
+        raise ValueError(f"schema must be 'first' or 'union', got {schema!r}")
     wrote_header = False
     with open(path, "w") as f:
         for batch in events.iter_batches(batch_size=4096, batch_format="pyarrow"):
@@ -118,6 +135,70 @@ def write_tsv(
                     f.write(delimiter.join(k for k, _ in seq) + "\n")
                     wrote_header = True
                 f.write(delimiter.join(v for _, v in seq) + "\n")
+    return None
+
+
+def _write_tsv_union(
+    events: rd.Dataset, path: str, delimiter: str, with_rates: bool
+):
+    """Distributed TSV: global union header (survey pass), then per-block
+    shard writes.  The per-row export walk mirrors the sequential
+    writer's reference semantics (arrow_export_seq is row-wise by
+    contract); the distribution win is that blocks write concurrently
+    and nothing event-sized ever reaches the driver."""
+    import hashlib
+
+    def key_pos(t: pa.Table) -> pa.Table:
+        pos: dict[str, int] = {}
+        for row in t.to_pylist():
+            for i, (k, _) in enumerate(arrow_export_seq(row, with_rates)):
+                p = pos.get(k)
+                if p is None or i < p:
+                    pos[k] = i
+        return pa.table(
+            {
+                "key": pa.array(list(pos), type=pa.string()),
+                "pos": pa.array([pos[k] for k in pos], type=pa.int64()),
+            }
+        )
+
+    survey = (
+        events.map_batches(key_pos, batch_format="pyarrow")
+        .groupby("key")
+        .min("pos")
+        .to_pandas()  # keys are few (attribute names), never event-sized
+    )
+    header = list(survey.sort_values(["min(pos)", "key"])["key"])
+    hidx = {k: i for i, k in enumerate(header)}
+    os.makedirs(path, exist_ok=True)
+
+    shard_schema = pa.schema([("shard", pa.string()), ("rows", pa.int64())])
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return shard_schema.empty_table()
+        lines = [delimiter.join(header)]
+        for row in t.to_pylist():
+            vals = [""] * len(header)
+            for k, v in arrow_export_seq(row, with_rates):
+                vals[hidx[k]] = v
+            lines.append(delimiter.join(vals))
+        blob = "\n".join(lines) + "\n"
+        shard = os.path.join(
+            path, f"part-{hashlib.md5(blob.encode()).hexdigest()[:16]}.tsv"
+        )
+        tmp = f"{shard}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        os.replace(tmp, shard)  # atomic publish
+        return pa.table(
+            {"shard": [shard], "rows": pa.array([len(t) ], type=pa.int64())}
+        ).cast(shard_schema)
+
+    return (
+        events.map_batches(write_shard, batch_size=4096, batch_format="pyarrow")
+        .to_pandas()
+    )
 
 
 _GRAPHITE_EMPTY = pa.schema(

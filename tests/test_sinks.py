@@ -76,6 +76,53 @@ def test_tsv_sink(fragment_events, tmp_path):
     assert lines[1].split("\t")[1] == "524176.359"
 
 
+def test_tsv_union_schema_shards(ray_session, tmp_path):
+    """schema="union" golden: a GLOBAL header covering every key any
+    event emits (earliest-in-row position order), per-block shard files,
+    missing keys as "" — and the per-event values agree cell-for-cell
+    with the per-row export walk the sequential writer uses."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        tr.fixture_transcripts(names=["fragment.txt", "basic-java8-gc.log"])
+    )
+    events = pl.parse_events(ds, mode="basic", enrich=False)
+    out = str(tmp_path / "tsv_union")
+    manifest = sinks.write_tsv(events, out, with_rates=False, schema="union")
+    shards = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".tsv")
+    )
+    assert list(sorted(manifest["shard"])) == shards
+    rows = []
+    header = None
+    for s in shards:
+        lines = open(s).read().rstrip("\n").split("\n")
+        if header is None:
+            header = lines[0]
+        assert lines[0] == header  # identical global header in every shard
+        rows += lines[1:]
+    cols = header.split("\t")
+    # ties at in-row position 0 break by name ("age" < "datetime":
+    # null-ts events start their walk at "age")
+    assert cols[0] == "age" and "datetime" in cols
+    assert len(rows) == int(manifest["rows"].sum())
+    # every event's cells match its export walk; absent keys are ""
+    want_rows = events.to_pandas().to_dict("records")
+    want = set()
+    for r in want_rows:
+        cells = [""] * len(cols)
+        for k, v in sinks.arrow_export_seq(r, with_rates=False):
+            assert k in cols
+            cells[cols.index(k)] = v
+        want.add("\t".join(cells))
+    assert set(rows) == want and len(rows) == len(want_rows)
+    # re-run overwrites (content-hash names), never duplicates
+    sinks.write_tsv(events, out, with_rates=False, schema="union")
+    assert sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".tsv")
+    ) == shards
+
+
 def test_graphite_tcp_transport(fragment_events):
     """send_graphite streams the exact graphite_lines over one TCP
     connection (reference --dest host:port, OutputSink.scala:18-36)."""
