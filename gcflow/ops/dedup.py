@@ -361,6 +361,24 @@ def _ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
+def _sanitize_shuffle_output(ds: rd.Dataset, target_blocks: int = 8) -> rd.Dataset:
+    """Purge the SCHEMA-LESS zero-row blocks that hash-shuffle operators
+    (``groupby().map_groups()`` / aggregates) emit for empty partitions.
+
+    Ray 2.49's map_batches never calls its UDF on a zero-column block
+    (verified empirically), so :func:`_ensure_schema` alone cannot repair
+    them — and an Acero hash-join partition whose inputs are ONLY such
+    blocks dies with ``No match or multiple matches for key field
+    reference`` once ``num_partitions`` exceeds the populated key
+    cardinality of that side (found by the 24× cardinality stress:
+    a 43-term vocabulary over 77 join partitions).  ``repartition``
+    concatenates blocks, so the schema-less empties vanish into their
+    schema-ful neighbours.  Use on the groupby-derived SMALL side of a
+    join (vocabulary/group-sized — the concat is cheap there; never call
+    this on a corpus-sized side)."""
+    return ds.repartition(target_blocks)
+
+
 def _join_partitions(n_left: int, n_right: int) -> int:
     """Partition count tracking the LARGER join side: one hash-join
     partition per ~JOIN_ROWS_PER_PARTITION rows, uncapped — fixed

@@ -335,7 +335,11 @@ def q_doc_top_keyword(sf_dir: str):
     passes beat pinning a tokens-sized intermediate at 100 TB."""
     import numpy as np
 
-    from .dedup import _ensure_schema, _join_partitions
+    from .dedup import (
+        _ensure_schema,
+        _join_partitions,
+        _sanitize_shuffle_output,
+    )
 
     def tf_partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
@@ -366,9 +370,15 @@ def q_doc_top_keyword(sf_dir: str):
             return pa.schema([("term", pa.string()), ("df", pa.int64())]).empty_table()
         return pa.table({"term": t["term"], "df": pc.cast(t["count()"], pa.int64())})
 
-    df_ds = _ensure_schema(
-        tf_ds().groupby("term").count().map_batches(df_rename, batch_format="pyarrow"),
-        pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    # sanitize: the groupby may emit schema-less empty blocks that kill
+    # the term join when num_partitions > populated-term cardinality
+    df_ds = _sanitize_shuffle_output(
+        _ensure_schema(
+            tf_ds().groupby("term").count().map_batches(
+                df_rename, batch_format="pyarrow"
+            ),
+            pa.schema([("term", pa.string()), ("df", pa.int64())]),
+        )
     )
 
     n_docs = rd.read_parquet(
@@ -429,7 +439,11 @@ def q_doc_unigram_logprob(sf_dir: str):
     broadcast); (4) per-doc partial (Σ tf·ln n, Σ tf) combiners reduced
     by a doc-bucket sweep.  The score is ln N − Σ tf·ln n / Σ tf, with
     the SQL oracle mirroring the exact same expression tree."""
-    from .dedup import _ensure_schema, _join_partitions
+    from .dedup import (
+        _ensure_schema,
+        _join_partitions,
+        _sanitize_shuffle_output,
+    )
     from .hashing import word_hashes
 
     tf_schema = pa.schema(
@@ -479,11 +493,15 @@ def q_doc_unigram_logprob(sf_dir: str):
         ).astype(np.int64)
         return pa.table({"term": enc.dictionary, "n": pa.array(n, type=pa.int64())})
 
-    counts = _ensure_schema(
-        tf_ds().map_batches(term_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(term_sum, batch_format="pyarrow"),
-        pa.schema([("term", pa.string()), ("n", pa.int64())]),
+    # sanitize: empty bucket groups come out as schema-less blocks that
+    # kill the term join when num_partitions > populated-term cardinality
+    counts = _sanitize_shuffle_output(
+        _ensure_schema(
+            tf_ds().map_batches(term_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(term_sum, batch_format="pyarrow"),
+            pa.schema([("term", pa.string()), ("n", pa.int64())]),
+        )
     )
 
     def n_tok(t: pa.Table) -> pa.Table:
@@ -571,7 +589,11 @@ def q_doc_dsir_weight(sf_dir: str):
     term-keyed repartition join → per-doc combiners → doc-bucket
     reduce.  No vocabulary broadcast, no second corpus pass for the
     target LM.  The SQL oracle mirrors the identical expression tree."""
-    from .dedup import _ensure_schema, _join_partitions
+    from .dedup import (
+        _ensure_schema,
+        _join_partitions,
+        _sanitize_shuffle_output,
+    )
     from .hashing import word_hashes
 
     stop_re = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
@@ -655,11 +677,15 @@ def q_doc_dsir_weight(sf_dir: str):
     # two streaming corpus passes (counts lineage + the join's tf side) —
     # the same stance as q_doc_top_keyword: never pin a tokens-sized
     # intermediate, do pin vocab-sized ones.
-    counts = _ensure_schema(
-        tf_ds.map_batches(term_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(term_sum, batch_format="pyarrow"),
-        pa.schema([("term", pa.string()), ("n_s", pa.int64()), ("n_t", pa.int64())]),
+    counts = _sanitize_shuffle_output(
+        _ensure_schema(
+            tf_ds.map_batches(term_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(term_sum, batch_format="pyarrow"),
+            pa.schema(
+                [("term", pa.string()), ("n_s", pa.int64()), ("n_t", pa.int64())]
+            ),
+        )
     ).materialize()
 
     # scalar totals: T_s, T_t (token totals) and V (corpus vocabulary) —

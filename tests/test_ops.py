@@ -1438,6 +1438,46 @@ def test_sample_temperature_matches_twin(ray_session):
     assert (got.lang == dom).sum() < langs[dom]
 
 
+def test_term_join_survives_tiny_vocab_many_partitions(
+    ray_session, tmp_path, monkeypatch
+):
+    """Regression for the 24× cardinality-stress failure: Ray's hash
+    shuffle emits SCHEMA-LESS empty blocks for empty groups, map_batches
+    skips its UDF on zero-column blocks (so _ensure_schema can't repair
+    them), and an Acero join partition fed only such blocks dies with
+    'No match or multiple matches for key field'.  With a 5-term
+    vocabulary and JOIN_ROWS_PER_PARTITION=500 (num_partitions ≈ 16 >>
+    vocab), the term joins must still work via
+    _sanitize_shuffle_output."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops import dedup
+    from gcflow.ops.text import (
+        q_doc_dsir_weight,
+        q_doc_top_keyword,
+        q_doc_unigram_logprob,
+    )
+
+    texts = ["the a of", "and to the", "a a and", "of to to the a"] * 30
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    monkeypatch.setattr(dedup, "JOIN_ROWS_PER_PARTITION", 500)
+
+    uni = q_doc_unigram_logprob(str(tmp_path)).to_pandas()
+    assert len(uni) == len(texts)
+    dsir = q_doc_dsir_weight(str(tmp_path)).to_pandas()
+    assert len(dsir) == len(texts)
+    kw = q_doc_top_keyword(str(tmp_path)).to_pandas()
+    assert len(kw) == len(texts)
+
+
 def test_sampling_hash_modes_agree_on_rates(ray_session):
     """The vectorized default hash and the md5 oracle mode must select
     DIFFERENT individual docs but statistically equivalent samples —
