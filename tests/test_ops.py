@@ -1524,3 +1524,111 @@ def test_sampling_hash_modes_agree_on_rates(ray_session):
     assert list(fp1.fp) == list(fp2.fp)
     assert fp1.fp.str.len().eq(16).all()
     assert fp1.fp.str.fullmatch("[0-9a-f]{16}").all()
+
+
+# --------------------------------------------------------------- BPE train
+
+
+def _bpe_twin(texts, num_merges):
+    """Pure-Python Sennrich BPE over raw texts — the serial reference for
+    ops/tokenizer.py.  Mirrors its exact semantics: naive overlap
+    counting, greedy-leftmost apply, ties by (count desc, left id asc,
+    right id asc) with ids = codepoints / 0x110000 (EOW) / 0x110001+rank."""
+    from collections import Counter
+
+    EOW, NEW = 0x110000, 0x110001
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {tuple([ord(c) for c in w] + [EOW]): n for w, n in wc.items()}
+    names = {}
+
+    def name(s):
+        return "</w>" if s == EOW else names[s] if s >= NEW else chr(s)
+
+    out = []
+    for r in range(num_merges):
+        pcnt = Counter()
+        for seq, n in words.items():
+            for i in range(len(seq) - 1):
+                pcnt[(seq[i], seq[i + 1])] += n
+        if not pcnt:
+            break
+        (a, b), n = min(pcnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        new = NEW + r
+        names[new] = name(a) + name(b)
+        out.append((r, name(a), name(b), names[new], int(n)))
+        nxt = {}
+        for seq, cnt in words.items():
+            o, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    o.append(new)
+                    i += 2
+                else:
+                    o.append(seq[i])
+                    i += 1
+            k = tuple(o)
+            nxt[k] = nxt.get(k, 0) + cnt
+        words = nxt
+    return out
+
+
+def test_bpe_train_matches_serial_twin(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.tokenizer import bpe_train
+
+    texts = [
+        "low lower lowest newer new news",
+        "wide wider widest new lower low",
+        "the newest of the new low lows",
+        "wider and wider and wide wide wide",
+    ] * 7
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = bpe_train(str(tmp_path), num_merges=15, num_shards=3).to_pandas()
+    want = _bpe_twin(texts, 15)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_bpe_train_overlap_and_tiebreak(ray_session, tmp_path):
+    """'aaaa' pins both documented choices: overlapping (a,a) pairs count
+    naively (3 per word) but merge greedily leftmost (one survivor pair
+    would remain un-merged mid-word), and the (count, left, right) id
+    tie-break is what picks the second merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.tokenizer import bpe_train
+
+    texts = ["aaaa aaaa aaaa"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = bpe_train(str(tmp_path), num_merges=3, num_shards=2).to_pandas()
+    want = _bpe_twin(texts, 3)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert got.iloc[0].pair == "aa" and got.iloc[0].n == 9
+
+
+def test_bpe_train_shard_invariant(ray_session):
+    from gcflow.ops.tokenizer import bpe_train
+
+    a = bpe_train(SF, num_merges=8, num_shards=2).to_pandas()
+    b = bpe_train(SF, num_merges=8, num_shards=5).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 8
