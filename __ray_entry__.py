@@ -56,6 +56,10 @@ _DRIVER_OMIT = (
     "evt_props_extract",      # profiler row sibling; evt_profile stays
     "doc_sample_stratified",  # sampling family; doc_sample +
                               # doc_sample_temperature stay
+    "evt_hopping_windows",    # parameter variant of the tumbling window;
+                              # windows family keeps evt_sessions +
+                              # evt_type_windows driver rows (swapped out
+                              # r5 for the new doc_ngram_overlap scorer)
 )
 
 

@@ -275,12 +275,14 @@ def main():
     from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1
     from gcflow.ops.similarity import q_doc_bm25_topk, q_emb_ann_topk
+    from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.text import (
         q_doc_dsir_weight,
         q_doc_repetition,
         q_doc_top_keyword,
         q_doc_unigram_logprob,
     )
+    from gcflow.ops.tokenizer import q_doc_bpe_train
 
     for name, fn in [
         ("rel_q1", q_rel_q1),
@@ -302,6 +304,8 @@ def main():
         ("doc_line_dedup", q_doc_line_dedup),
         ("doc_line_dedup_clean", q_doc_line_dedup_clean),
         ("evt_value_percentiles_by_type", q_evt_value_percentiles_by_type),
+        ("doc_ngram_overlap", q_doc_ngram_overlap),
+        ("doc_bpe_train", q_doc_bpe_train),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

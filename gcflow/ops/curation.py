@@ -1017,3 +1017,132 @@ SELECT doc_id,
 FROM seg JOIN freq USING (seg)
 GROUP BY 1
 """
+
+
+# ----------------------------------- decontamination, n-gram overlap score
+#
+# The two q_doc_decontaminate variants answer "is this doc contaminated at
+# all?" (leading-gram substring / Bloom-verified word-aligned match).
+# This op is the GPT-3-style REPORT: for every training doc, HOW MANY
+# distinct benchmark n-grams occur anywhere in it (sliding word-aligned
+# windows over the whole doc, not just the leading position) — the number
+# an eval-overlap audit publishes per document before deciding a removal
+# threshold.
+#
+# Scale shape: the bench side is the same bounded small side as the regex
+# variant (leading grams of doc_id % BENCH_MOD == 0 docs, ceiling
+# enforced), broadcast ONCE as a sorted uint64 hash array via ray.put.
+# The corpus pass is one flat-buffer sweep per batch: word hashes ->
+# polynomial gram hashes at EVERY in-doc window (ops/hashing.py, no gram
+# strings), vectorized searchsorted membership probe, and only the sparse
+# surviving candidates materialize their gram strings for EXACT
+# verification against the bench string set (hash collisions cost a
+# candidate row, never a wrong count).  Distinct-per-doc is a lexsort +
+# run-boundary count, no per-row Python on the hot path.  For bench sides
+# over the ceiling, build the probe from the Bloom path's OR-merged bits
+# instead; the exact-verify step is unchanged.
+
+
+def q_doc_ngram_overlap(sf_dir: str):
+    """(doc_id, n_overlap): distinct bench n-grams per training doc."""
+    from .hashing import POLY, gram_hash_scalar
+
+    grams = bench_ngrams(sf_dir)  # bounded + enforced small side
+    bench_hashes = np.sort(
+        np.array([gram_hash_scalar(g) for g in grams], dtype=np.uint64)
+    )
+    bench_set = frozenset(grams)
+    hashes_ref = ray.put(bench_hashes)
+    set_ref = ray.put(bench_set)
+    g = BENCH_NGRAM
+
+    class OverlapScorer:
+        def __init__(self):
+            self.bench_hashes = ray.get(hashes_ref)
+            self.bench_set = ray.get(set_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+            )
+            train = t.filter(
+                pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MOD != 0)
+            )
+            if len(train) == 0:
+                return empty
+            toks = pc.split_pattern(train["text"], " ")
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            flat = pc.list_flatten(toks)
+            flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            offs = offs - offs[0]
+            lens = np.diff(offs)
+            n_win = len(flat) - g + 1
+            if n_win <= 0:
+                return empty
+            wh = _word_hashes(flat)
+            gh = np.zeros(n_win, dtype=np.uint64)
+            for j in range(g):
+                gh = gh * POLY + wh[j : j + n_win]
+            doc_of = np.repeat(np.arange(len(train), dtype=np.int64), lens)
+            valid = doc_of[:n_win] == doc_of[g - 1 :]
+            idx = np.searchsorted(self.bench_hashes, gh)
+            idx[idx == len(self.bench_hashes)] = 0
+            cand = valid & (self.bench_hashes[idx] == gh)
+            pos = np.nonzero(cand)[0]
+            if len(pos) == 0:
+                return empty
+            # sparse exact verify: materialize candidate gram strings only
+            parts = [flat.take(pa.array(pos + j)) for j in range(g)]
+            cand_strs = parts[0]
+            for p in parts[1:]:
+                cand_strs = pc.binary_join_element_wise(cand_strs, p, " ")
+            ok = np.fromiter(
+                (s in self.bench_set for s in cand_strs.to_pylist()),
+                dtype=bool,
+                count=len(pos),
+            )
+            pos = pos[ok]
+            if len(pos) == 0:
+                return empty
+            d, h = doc_of[pos], gh[pos]
+            order = np.lexsort((h, d))
+            d, h = d[order], h[order]
+            first = np.concatenate([[True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+            n_per_doc = np.bincount(d[first], minlength=len(train)).astype(np.int64)
+            hit_docs = np.nonzero(n_per_doc)[0]
+            ids = train["doc_id"].to_numpy(zero_copy_only=False)[hit_docs]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_overlap": pa.array(n_per_doc[hit_docs], type=pa.int64()),
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        OverlapScorer, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+CURATION_QUERIES["doc_ngram_overlap"] = q_doc_ngram_overlap
+
+CURATION_ORACLES["doc_ngram_overlap"] = f"""
+WITH bench AS (
+  SELECT DISTINCT array_to_string(l[1:{BENCH_NGRAM}], ' ') AS ng
+  FROM (SELECT string_split(text, ' ') AS l FROM documents
+        WHERE doc_id % {BENCH_MOD} = 0)
+  WHERE len(l) >= {BENCH_NGRAM}
+),
+train AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE doc_id % {BENCH_MOD} <> 0
+),
+grams AS (
+  SELECT doc_id, array_to_string(l[i : i + {BENCH_NGRAM} - 1], ' ') AS ng
+  FROM train,
+       LATERAL (SELECT unnest(generate_series(1, len(l) - {BENCH_NGRAM} + 1)) AS i) t
+)
+SELECT doc_id, count(DISTINCT g.ng) AS n_overlap
+FROM grams g JOIN bench b USING (ng)
+GROUP BY doc_id
+"""

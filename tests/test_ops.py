@@ -1632,3 +1632,54 @@ def test_bpe_train_shard_invariant(ray_session):
     b = bpe_train(SF, num_merges=8, num_shards=5).to_pandas()
     assert a.equals(b)
     assert len(a) == 8
+
+
+def test_ngram_overlap_matches_duckdb_planted(ray_session, tmp_path):
+    """Planted contamination: doc 29 (bench, doc_id % 29 == 0) leads with a
+    6-gram that docs 1 and 2 repeat mid-text (doc 1 twice — distinct
+    grams count ONCE), doc 3 shares only 5 of 6 words, and doc 58 is a
+    contaminated BENCH doc (excluded: bench side never scores itself)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import CURATION_ORACLES, q_doc_ngram_overlap
+
+    bench_lead = "alpha beta gamma delta epsilon zeta"
+    texts = {
+        29: bench_lead + " tail words here",
+        58: "another bench doc " + bench_lead,
+        1: "prefix " + bench_lead + " middle " + bench_lead + " suffix",
+        2: "x " + bench_lead,
+        3: "alpha beta gamma delta epsilon DIFFERENT",
+        4: "totally unrelated text with many words",
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        q_doc_ngram_overlap(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [1, 2]
+    assert got.n_overlap.tolist() == [1, 1]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+        % (tmp_path / "documents.parquet")
+    )
+    want = (
+        con.execute(CURATION_ORACLES["doc_ngram_overlap"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.n_overlap.tolist() == want.n_overlap.tolist()
