@@ -152,10 +152,14 @@ def main() -> None:
         SEMDEDUP_K_MIN,
         q_emb_semdedup,
     )
+    from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.quantile import q_evt_value_percentiles_by_type
     from gcflow.ops.text import q_doc_dsir_weight, q_doc_unigram_logprob
+    from gcflow.ops.tokenizer import q_doc_bpe_train
 
     ops = {
+        "doc_ngram_overlap": (q_doc_ngram_overlap, "documents"),
+        "doc_bpe_train": (q_doc_bpe_train, "documents"),
         "doc_line_dedup": (q_doc_line_dedup, "documents"),
         "doc_line_dedup_clean": (q_doc_line_dedup_clean, "documents"),
         "doc_unigram_logprob": (q_doc_unigram_logprob, "documents"),
