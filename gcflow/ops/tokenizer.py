@@ -143,6 +143,7 @@ class BpeShard:
         self.counts = (
             np.concatenate(counts) if counts else np.empty(0, dtype=np.int64)
         ).astype(np.int64)
+        self.word_arr = pa.array(words, type=pa.string())
 
     def _pair_mask(self) -> np.ndarray:
         """True at position i when (flat[i], flat[i+1]) lies in one word."""
@@ -165,6 +166,17 @@ class BpeShard:
         uniq, inv = np.unique(keys[m], return_inverse=True)
         tot = np.bincount(inv, weights=w[m], minlength=len(uniq)).astype(np.int64)
         return uniq, tot
+
+    def word_token_lengths(self) -> pa.Table:
+        """(word, n_tokens) under the merges applied so far — the
+        distinct-word encode table (EOW rides inside its merged token or
+        stands as its own, exactly as the symbol sequence says)."""
+        return pa.table(
+            {
+                "word": self.word_arr,
+                "n_tokens": pa.array(np.diff(self.offsets), type=pa.int64()),
+            }
+        )
 
     def apply_merge(self, a: int, b: int, new_id: int) -> None:
         """Replace greedy-leftmost non-overlapping (a, b) with new_id."""
@@ -199,48 +211,43 @@ def _sym_name(sym: int, merged: dict[int, str]) -> str:
     return chr(sym)
 
 
-def bpe_train(
-    sf_dir: str,
-    num_merges: int = BPE_NUM_MERGES,
-    num_shards: int = BPE_SHARDS,
-) -> pa.Table:
-    """Learn ``num_merges`` BPE merges over the documents corpus;
-    returns (rank, left, right, pair, n) in merge order."""
+def _make_shards(sf_dir: str, num_shards: int) -> list:
     refs = word_count_table(sf_dir).materialize().to_arrow_refs()
     groups: list[list] = [[] for _ in range(num_shards)]
     for i, r in enumerate(refs):
         groups[i % num_shards].append(r)
     # pass the block refs as *args so Ray resolves them inside the actor
     # (zero-copy from the object store; no driver-side fetch + reship)
-    actors = [BpeShard.remote(*g) for g in groups if g]
+    return [BpeShard.remote(*g) for g in groups if g]
+
+
+def _train_on_shards(actors: list, num_merges: int) -> pa.Table:
+    """The merge loop; mutates the shards in place and returns the
+    (rank, left, right, pair, n) merge table."""
     merged_names: dict[int, str] = {}
     ranks, lefts, rights, pairs, ns = [], [], [], [], []
-    try:
-        for r in range(num_merges):
-            parts = ray.get([a.pair_counts.remote() for a in actors])
-            keys = np.concatenate([p[0] for p in parts])
-            if len(keys) == 0:
-                break
-            cnts = np.concatenate([p[1] for p in parts])
-            uniq, inv = np.unique(keys, return_inverse=True)
-            tot = np.bincount(inv, weights=cnts, minlength=len(uniq)).astype(np.int64)
-            left = (uniq >> _KEY_SHIFT).astype(np.int64)
-            right = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            best = np.lexsort((right, left, -tot))[0]
-            a_sym, b_sym, n = int(left[best]), int(right[best]), int(tot[best])
-            new_id = _NEW_BASE + r
-            la = _sym_name(a_sym, merged_names)
-            lb = _sym_name(b_sym, merged_names)
-            merged_names[new_id] = la + lb
-            ranks.append(r)
-            lefts.append(la)
-            rights.append(lb)
-            pairs.append(la + lb)
-            ns.append(n)
-            ray.get([a.apply_merge.remote(a_sym, b_sym, new_id) for a in actors])
-    finally:
-        for a in actors:
-            ray.kill(a)
+    for r in range(num_merges):
+        parts = ray.get([a.pair_counts.remote() for a in actors])
+        keys = np.concatenate([p[0] for p in parts])
+        if len(keys) == 0:
+            break
+        cnts = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=cnts, minlength=len(uniq)).astype(np.int64)
+        left = (uniq >> _KEY_SHIFT).astype(np.int64)
+        right = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        best = np.lexsort((right, left, -tot))[0]
+        a_sym, b_sym, n = int(left[best]), int(right[best]), int(tot[best])
+        new_id = _NEW_BASE + r
+        la = _sym_name(a_sym, merged_names)
+        lb = _sym_name(b_sym, merged_names)
+        merged_names[new_id] = la + lb
+        ranks.append(r)
+        lefts.append(la)
+        rights.append(lb)
+        pairs.append(la + lb)
+        ns.append(n)
+        ray.get([a.apply_merge.remote(a_sym, b_sym, new_id) for a in actors])
     return pa.table(
         {
             "rank": pa.array(ranks, type=pa.int64()),
@@ -252,9 +259,109 @@ def bpe_train(
     )
 
 
+def bpe_train(
+    sf_dir: str,
+    num_merges: int = BPE_NUM_MERGES,
+    num_shards: int = BPE_SHARDS,
+) -> pa.Table:
+    """Learn ``num_merges`` BPE merges over the documents corpus;
+    returns (rank, left, right, pair, n) in merge order."""
+    actors = _make_shards(sf_dir, num_shards)
+    try:
+        return _train_on_shards(actors, num_merges)
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+
+# ------------------------------------------------------------ BPE encode
+#
+# The apply side of the trainer: per-document REAL BPE token counts
+# under the learned merges.  The expensive part — encoding — happens on
+# the DISTINCT-WORD table only: after the merge loop the shards already
+# hold every unique word's final symbol sequence, so the encode table
+# (word, n_tokens) falls out of the training state for free.  The
+# per-document pass is then a vectorized dictionary lookup
+# (``pc.index_in`` against the broadcast vocabulary + a bincount sum) —
+# no per-document BPE is ever run.  The broadcast is bounded and
+# enforced (Heaps-law vocab ≪ corpus); past the ceiling, swap the
+# lookup for the term-keyed repartition join the unigram-LM op uses
+# (ops/text.py q_doc_unigram_logprob) — the encode side is unchanged.
+
+VOCAB_BROADCAST_MAX = 500_000
+
+
+def bpe_token_counts(
+    sf_dir: str,
+    num_merges: int = BPE_NUM_MERGES,
+    num_shards: int = BPE_SHARDS,
+):
+    """(doc_id, n_bpe_tokens): real BPE token count per document under
+    ``num_merges`` merges trained on this same corpus."""
+    actors = _make_shards(sf_dir, num_shards)
+    try:
+        _train_on_shards(actors, num_merges)
+        parts = ray.get([a.word_token_lengths.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    vocab = pa.concat_tables(parts).combine_chunks()
+    if len(vocab) > VOCAB_BROADCAST_MAX:
+        raise ValueError(
+            f"vocabulary has {len(vocab)} words, over the "
+            f"{VOCAB_BROADCAST_MAX} broadcast ceiling; route the lookup "
+            "through a term-keyed repartition join (see q_doc_unigram_logprob)"
+        )
+    words_ref = ray.put(vocab["word"].combine_chunks())
+    lens_ref = ray.put(vocab["n_tokens"].to_numpy(zero_copy_only=False))
+
+    class TokenCounter:
+        def __init__(self):
+            self.words = ray.get(words_ref)
+            self.lens = ray.get(lens_ref).astype(np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t["text"], " ")
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            flat = pc.list_flatten(toks)
+            flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs - offs[0])
+            doc_of = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            doc_of = doc_of[keep]
+            idx = pc.index_in(flat, value_set=self.words)
+            pos = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if (pos < 0).any():
+                raise AssertionError(
+                    "document word missing from the trained vocabulary"
+                )
+            n = np.bincount(
+                doc_of, weights=self.lens[pos], minlength=len(t)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "n_bpe_tokens": pa.array(n, type=pa.int64()),
+                }
+            )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def q_doc_bpe_train(sf_dir: str) -> pa.Table:
     return bpe_train(sf_dir)
 
 
-TOKENIZER_QUERIES = {"doc_bpe_train": q_doc_bpe_train}
+def q_doc_bpe_token_count(sf_dir: str):
+    return bpe_token_counts(sf_dir)
+
+
+TOKENIZER_QUERIES = {
+    "doc_bpe_train": q_doc_bpe_train,
+    "doc_bpe_token_count": q_doc_bpe_token_count,
+}
 TOKENIZER_ORACLES: dict[str, str] = {}

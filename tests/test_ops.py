@@ -1683,3 +1683,68 @@ def test_ngram_overlap_matches_duckdb_planted(ray_session, tmp_path):
     )
     assert got.doc_id.tolist() == want.doc_id.tolist()
     assert got.n_overlap.tolist() == want.n_overlap.tolist()
+
+
+def test_bpe_token_count_matches_serial_twin(ray_session, tmp_path):
+    """Per-doc BPE token counts equal a word-by-word serial encode under
+    the same merge sequence (EOW folds into its merged token)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.tokenizer import bpe_token_counts
+
+    texts = [
+        "low lower lowest newer new news",
+        "wide wider widest new lower low",
+        "the newest of the new low lows",
+        "wider and wider and wide wide wide",
+        "",
+    ] * 3
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        bpe_token_counts(str(tmp_path), num_merges=12, num_shards=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # serial twin: evolve each distinct word's symbol sequence under the
+    # same merge loop (aggregate counts weighted by word frequency)
+    from collections import Counter
+
+    EOW, NEW = 0x110000, 0x110001
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    seqs = {w: [ord(c) for c in w] + [EOW] for w in wc}
+    for r in range(12):
+        pcnt = Counter()
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                pcnt[(seq[i], seq[i + 1])] += wc[w]
+        if not pcnt:
+            break
+        (a, b), _ = min(pcnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        new = NEW + r
+        for w, seq in seqs.items():
+            o, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    o.append(new)
+                    i += 2
+                else:
+                    o.append(seq[i])
+                    i += 1
+            seqs[w] = o
+    want = [
+        sum(len(seqs[w]) for w in t.split(" ") if w) for t in texts
+    ]
+    assert got.doc_id.tolist() == list(range(len(texts)))
+    assert got.n_bpe_tokens.tolist() == want
+    assert got.n_bpe_tokens[4] == 0  # empty doc
