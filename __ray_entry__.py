@@ -60,6 +60,11 @@ _DRIVER_OMIT = (
                               # windows family keeps evt_sessions +
                               # evt_type_windows driver rows (swapped out
                               # r5 for the new doc_ngram_overlap scorer)
+    "doc_dup_span_clean",     # ExactSubstr removal transform; the span
+                              # detection sibling doc_dup_spans stays
+    "mm_payload_meta",        # generic payload stats; the three typed
+                              # real-decode siblings (audio/image/video)
+                              # stay (swapped out r5 for doc_dup_spans)
 )
 
 

@@ -1748,3 +1748,102 @@ def test_bpe_token_count_matches_serial_twin(ray_session, tmp_path):
     assert got.doc_id.tolist() == list(range(len(texts)))
     assert got.n_bpe_tokens.tolist() == want
     assert got.n_bpe_tokens[4] == 0  # empty doc
+
+
+def test_dup_spans_matches_duckdb_planted(ray_session, tmp_path):
+    """ExactSubstr span detection on a planted corpus: a 12-word
+    substring shared by two docs must come back as ONE maximal span of
+    length 12 in each (5 duplicated 8-word starts merging), an intra-doc
+    repeat must count as duplication, and unique docs must emit nothing.
+    Checked against the DuckDB oracle (exact-text frequency semantics;
+    the Ray side sweeps 64-bit window hashes)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.span_dedup import SPAN_DEDUP_ORACLES, q_doc_dup_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"  # 12 words, L > K
+    texts = [
+        f"a1 a2 a3 {shared} a4 a5",            # span at words 3..14
+        f"{shared} b1 b2 b3 b4 b5 b6 b7 b8",   # span at words 0..11
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",      # unique → no rows
+        "r1 r2 r3 r4 r5 r6 r7 r8 z1 z2 r1 r2 r3 r4 r5 r6 r7 r8",  # intra-doc repeat
+        "short doc",                           # < K words → no windows
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        q_doc_dup_spans(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(SPAN_DEDUP_ORACLES["doc_dup_spans"])
+        .df()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert (got.values == want.values.astype("int64")).all()
+    rows = {(r.doc_id): (r.span_start, r.span_len) for r in got.itertuples()}
+    assert rows[0] == (3, 12) and rows[1] == (0, 12)  # ONE merged span each
+    assert 2 not in rows and 4 not in rows
+    # intra-doc repeat: both copies of the 8-word run are duplicated and
+    # the uncovered 2-word gap 'z1 z2' keeps them as two separate spans
+    d3 = got[got.doc_id == 3]
+    assert list(map(tuple, d3[["span_start", "span_len"]].values)) == [
+        (0, 8), (10, 8)
+    ]
+
+
+def test_dup_span_clean_matches_duckdb_planted(ray_session, tmp_path):
+    """The removal transform: covered words stripped, untouched docs
+    returned verbatim, a fully-duplicated doc becomes ''."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.span_dedup import SPAN_DEDUP_ORACLES, q_doc_dup_span_clean
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    texts = [
+        f"a1 a2 a3 {shared} a4 a5",
+        f"{shared}",                       # fully duplicated → ''
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",  # untouched
+        "short doc",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        q_doc_dup_span_clean(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(SPAN_DEDUP_ORACLES["doc_dup_span_clean"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.clean_text) == list(want.clean_text)
+    by = got.set_index("doc_id")["clean_text"]
+    assert by[0] == "a1 a2 a3 a4 a5"
+    assert by[1] == ""
+    assert by[2] == texts[2] and by[3] == "short doc"
