@@ -282,6 +282,7 @@ def main():
         q_doc_top_keyword,
         q_doc_unigram_logprob,
     )
+    from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.tokenizer import q_doc_bpe_train
 
     for name, fn in [
@@ -306,6 +307,7 @@ def main():
         ("evt_value_percentiles_by_type", q_evt_value_percentiles_by_type),
         ("doc_ngram_overlap", q_doc_ngram_overlap),
         ("doc_bpe_train", q_doc_bpe_train),
+        ("doc_dup_spans", q_doc_dup_spans),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for
