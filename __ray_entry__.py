@@ -62,6 +62,10 @@ _DRIVER_OMIT = (
                               # r5 for the new doc_ngram_overlap scorer)
     "doc_dup_span_clean",     # ExactSubstr removal transform; the span
                               # detection sibling doc_dup_spans stays
+    "doc_cross_dedup",        # set-restricted variant of the jaccard pair
+                              # machinery (+argmax); the pair family is
+                              # driver-covered by doc_ngram_jaccard +
+                              # doc_minhash_lsh + doc_near_dedup
     "mm_payload_meta",        # generic payload stats; the three typed
                               # real-decode siblings (audio/image/video)
                               # stay (swapped out r5 for doc_dup_spans)

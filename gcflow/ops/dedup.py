@@ -492,6 +492,184 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.7
 )
 
 
+# ------------------------------------------------- cross-corpus near-dup join
+
+CROSS_REF_MOD = 7  # reference-set membership: doc_id % CROSS_REF_MOD == 0
+
+
+def q_doc_cross_dedup(sf_dir: str):
+    """Incremental-crawl dedup: match each NEW document against an
+    existing REFERENCE corpus and report its best near-duplicate —
+    (doc_id, ref_id, jaccard) for every new doc with a ref-side match at
+    jaccard ≥ 0.7, keeping only the top match (max jaccard, ties to the
+    smallest ref_id).  This is the merge-time question ("which existing
+    doc does this new doc duplicate?") that pairwise ``ngram_jaccard``
+    doesn't answer: set-restricted pair generation + an argmax reduce.
+
+    Membership is pure id arithmetic (doc_id % CROSS_REF_MOD == 0 → ref
+    side), so no membership table is shipped anywhere.  Pipeline reuses
+    the jaccard machinery: shingle explode → bucket-sweep cross-pair
+    emit (within-set pairs are never generated — at scale the new-crawl
+    side dominates and its O(n²) within-key pairs are the cost to avoid)
+    → run-length pair counts → two repartition joins for set sizes →
+    vectorized verify → per-new-doc argmax as one doc-bucketed sweep."""
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("ref_id", pa.int64()),
+         ("jaccard", pa.float64())]
+    ).empty_table()
+
+    corpus = corpus_ds(sf_dir).materialize()
+    sizes = _sizes_ds(corpus)
+    kd = corpus.map_batches(_shingle_rows, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(
+            N_PAIR_BUCKETS
+        )
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def cross_sweep(g: pa.Table) -> pa.Table:
+        # per distinct shingle run: ref ids × new ids only (the cross
+        # product that matters; within-set pairs never materialize)
+        if len(g) == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        k = g["k"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.ones(len(k), dtype=bool)  # drop duplicate (k, doc) rows
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        is_ref = d % CROSS_REF_MOD == 0
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        out_new, out_ref = [], []
+        for s, e in zip(starts, ends):
+            ids, r = d[s:e], is_ref[s:e]
+            refs, news = ids[r], ids[~r]
+            if len(refs) and len(news):
+                out_new.append(np.repeat(news, len(refs)))
+                out_ref.append(np.tile(refs, len(news)))
+        a = np.concatenate(out_new) if out_new else np.array([], dtype=np.int64)
+        b = np.concatenate(out_ref) if out_ref else np.array([], dtype=np.int64)
+        # reuse the pair-count sweep downstream: doc_a = new, doc_b = ref
+        return pa.table(
+            {"doc_a": pa.array(a, type=pa.int64()),
+             "doc_b": pa.array(b, type=pa.int64())}
+        )
+
+    pairs = (
+        kd.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cross_sweep, batch_format="pyarrow")
+    )
+    shared = _pair_group_counts(pairs).materialize()
+    n_cand = shared.count()
+    if n_cand == 0:
+        return empty
+    nparts = _join_partitions(n_cand, corpus.count())
+    with_a = _join_attach(
+        shared, sizes, "doc_a",
+        {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared", "sz": "sz_a"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64()},
+        num_partitions=nparts,
+    )
+    with_ab = _join_attach(
+        with_a, sizes, "doc_b",
+        {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared",
+         "sz_a": "sz_a", "sz": "sz_b"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64(),
+         "sz_a": pa.int64()},
+        num_partitions=nparts,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        n_shared = t["n_shared"].to_numpy().astype(np.float64)
+        sa = t["sz_a"].to_numpy().astype(np.float64)
+        sb = t["sz_b"].to_numpy().astype(np.float64)
+        jac = n_shared / (sa + sb - n_shared)  # int inputs → bit-stable
+        m = jac >= JACCARD_THRESHOLD
+        d = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "ref_id": pa.array(
+                    pc.cast(t["doc_b"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )[m],
+                    type=pa.int64(),
+                ),
+                "jaccard": pa.array(jac[m]),
+                "abucket": pa.array(d % N_PAIR_BUCKETS, type=pa.int64()),
+            }
+        )
+
+    def best_match(g: pa.Table) -> pa.Table:
+        # argmax per new doc: (doc, jaccard desc, ref asc) lexsort, first
+        # row of each doc run wins — one sweep for the whole bucket
+        if len(g) == 0:
+            return empty
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        r = g["ref_id"].to_numpy(zero_copy_only=False)
+        j = g["jaccard"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, -j, d))
+        d, r, j = d[order], r[order], j[order]
+        first = np.r_[True, d[1:] != d[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[first], type=pa.int64()),
+                "ref_id": pa.array(r[first], type=pa.int64()),
+                "jaccard": pa.array(j[first]),
+            }
+        )
+
+    scored = _ensure_schema(
+        with_ab.map_batches(verify, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("ref_id", pa.int64()),
+             ("jaccard", pa.float64()), ("abucket", pa.int64())]
+        ),
+    )
+    return scored.groupby("abucket").map_groups(best_match, batch_format="pyarrow")
+
+
+CROSS_DEDUP_SQL = (
+    "WITH "
+    + CORPUS_SQL
+    + f"""
+, words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words
+),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT n.doc_id AS doc_id, r.doc_id AS ref_id, count(*) AS n_shared
+  FROM ex n JOIN ex r ON n.shingle = r.shingle
+  WHERE n.doc_id % {CROSS_REF_MOD} <> 0 AND r.doc_id % {CROSS_REF_MOD} = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT pairs.doc_id AS doc_id, pairs.ref_id AS ref_id,
+         CAST(n_shared AS DOUBLE) / (sn.sz + sr.sz - n_shared) AS jaccard
+  FROM pairs
+  JOIN sizes sn ON sn.doc_id = pairs.doc_id
+  JOIN sizes sr ON sr.doc_id = pairs.ref_id
+  WHERE CAST(n_shared AS DOUBLE) / (sn.sz + sr.sz - n_shared) >= 0.7
+)
+SELECT doc_id, ref_id, jaccard FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY jaccard DESC, ref_id) = 1
+"""
+)
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 N_PERM = 128
@@ -1317,6 +1495,7 @@ def q_doc_near_dedup(sf_dir: str):
 DEDUP_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_cross_dedup": q_doc_cross_dedup,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "emb_cosine_dedup": q_emb_cosine_dedup,
@@ -1367,6 +1546,7 @@ DEDUP_ORACLES = {
 SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text ORDER BY 1
 """,
     "doc_ngram_jaccard": JACCARD_PAIRS_SQL,
+    "doc_cross_dedup": CROSS_DEDUP_SQL,
     "doc_minhash_lsh": JACCARD_PAIRS_SQL,
     "doc_dup_clusters": _DUP_WALK_SQL + """
 SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1

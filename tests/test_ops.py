@@ -1847,3 +1847,61 @@ def test_dup_span_clean_matches_duckdb_planted(ray_session, tmp_path):
     assert by[0] == "a1 a2 a3 a4 a5"
     assert by[1] == ""
     assert by[2] == texts[2] and by[3] == "short doc"
+
+
+def test_cross_dedup_matches_duckdb_planted(ray_session, tmp_path):
+    """Cross-corpus near-dup matching on a planted corpus: new docs must
+    report their BEST reference-side match only (max jaccard, ties to
+    the smallest ref_id), within-set duplicates must never pair, and
+    unique new docs must be absent.  Ref side = doc_id % 7 == 0."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.dedup import DEDUP_ORACLES, q_doc_cross_dedup
+
+    A = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    A2 = A + " w11"                      # 8/9 shared shingles → 0.888…
+    B = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    C = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    rows = [
+        (0, A),    # ref
+        (1, A),    # new → (0, 1.0)
+        (2, A2),   # new → (0, 8/9)
+        (14, B),   # ref
+        (5, B),    # new → (14, 1.0)
+        (7, C),    # ref (also plants an exact new-side copy at 2000007)
+        (28, C),   # ref — ties with 7 for doc 4; min ref_id wins
+        (4, C),    # new → (7, 1.0) by tie-break
+        (6, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),  # unique new → absent
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "text": pa.array([r[1] for r in rows])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        q_doc_cross_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(DEDUP_ORACLES["doc_cross_dedup"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.ref_id) == list(want.ref_id)
+    assert got.jaccard.tolist() == want.jaccard.tolist()  # bit-stable floats
+    by = {r.doc_id: (r.ref_id, r.jaccard) for r in got.itertuples()}
+    assert by[1] == (0, 1.0) and by[5] == (14, 1.0)
+    assert by[2][0] == 0 and abs(by[2][1] - 8 / 9) < 1e-12
+    assert by[4] == (7, 1.0)      # tie between refs 7 and 28 → min ref_id
+    assert 6 not in by            # unique doc
+    assert 0 not in by and 14 not in by  # ref docs never appear as new
