@@ -504,23 +504,33 @@ def q_doc_cross_dedup(sf_dir: str):
     jaccard ≥ 0.7, keeping only the top match (max jaccard, ties to the
     smallest ref_id).  This is the merge-time question ("which existing
     doc does this new doc duplicate?") that pairwise ``ngram_jaccard``
-    doesn't answer: set-restricted pair generation + an argmax reduce.
+    doesn't answer: set-restricted candidate generation + an argmax.
 
     Membership is pure id arithmetic (doc_id % CROSS_REF_MOD == 0 → ref
-    side), so no membership table is shipped anywhere.  Pipeline reuses
-    the jaccard machinery: shingle explode → bucket-sweep cross-pair
-    emit (within-set pairs are never generated — at scale the new-crawl
-    side dominates and its O(n²) within-key pairs are the cost to avoid)
-    → run-length pair counts → two repartition joins for set sizes →
-    vectorized verify → per-new-doc argmax as one doc-bucketed sweep."""
+    side), so no membership table is shipped anywhere.  Candidates come
+    from MinHash BAND keys, not raw shingle keys: a shingle-keyed pair
+    emit is quadratic in each n-gram's *popularity* (a common 3-gram
+    shared by 10⁴ documents alone emits 10⁷⁺ pairs — measured
+    timing out on the ×24 replica stress corpus), while band runs only
+    group docs whose 4-permutation signature agrees, i.e. true
+    near-duplicate families — run length tracks family size, never gram
+    frequency.  Within each bucket the ref×new cross products are
+    deduped before the exchange.  Candidates are then exact-verified
+    against the packed per-doc shingle sets (two repartition joins +
+    the segmented sort-merge verify — LSH only gates, jaccard is exact
+    and matches the SQL oracle bit-for-bit; recall ≈ 1 at ≥ 0.7 under
+    the 32×4 banding, same claim the minhash path's hash-match pins),
+    and one doc-bucketed sweep keeps each new doc's best match."""
     empty = pa.schema(
         [("doc_id", pa.int64()), ("ref_id", pa.int64()),
          ("jaccard", pa.float64())]
     ).empty_table()
 
     corpus = corpus_ds(sf_dir).materialize()
-    sizes = _sizes_ds(corpus)
-    kd = corpus.map_batches(_shingle_rows, batch_format="pyarrow")
+    sets = _shingle_sets_ds(corpus)
+    bands = corpus.map_batches(
+        MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t["k"].to_numpy()
@@ -530,12 +540,12 @@ def q_doc_cross_dedup(sf_dir: str):
         return t.append_column("bucket", pa.array(b.astype(np.int64)))
 
     def cross_sweep(g: pa.Table) -> pa.Table:
-        # per distinct shingle run: ref ids × new ids only (the cross
-        # product that matters; within-set pairs never materialize)
+        # per band-key run: ref ids × new ids only (within-set pairs
+        # never materialize); one pair dedupe per bucket before the
+        # exchange — bands of the same family repeat the same pairs
+        out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
         if len(g) == 0:
-            return pa.schema(
-                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
-            ).empty_table()
+            return out_schema.empty_table()
         k = g["k"].to_numpy()
         d = g["doc_id"].to_numpy()
         order = np.lexsort((d, k))
@@ -553,56 +563,58 @@ def q_doc_cross_dedup(sf_dir: str):
             if len(refs) and len(news):
                 out_new.append(np.repeat(news, len(refs)))
                 out_ref.append(np.tile(refs, len(news)))
-        a = np.concatenate(out_new) if out_new else np.array([], dtype=np.int64)
-        b = np.concatenate(out_ref) if out_ref else np.array([], dtype=np.int64)
-        # reuse the pair-count sweep downstream: doc_a = new, doc_b = ref
+        if not out_new:
+            return out_schema.empty_table()
+        a, b = np.concatenate(out_new), np.concatenate(out_ref)
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        # doc_a = new, doc_b = ref for the downstream joins
         return pa.table(
-            {"doc_a": pa.array(a, type=pa.int64()),
-             "doc_b": pa.array(b, type=pa.int64())}
+            {"doc_a": pa.array(a[first], type=pa.int64()),
+             "doc_b": pa.array(b[first], type=pa.int64())}
         )
 
     pairs = (
-        kd.map_batches(add_bucket, batch_format="pyarrow")
+        bands.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(cross_sweep, batch_format="pyarrow")
     )
-    shared = _pair_group_counts(pairs).materialize()
-    n_cand = shared.count()
+
+    def count_to_cand(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        return t.select(["doc_a", "doc_b"])
+
+    # cross-bucket pair dedupe (the count is discarded)
+    cand = _pair_group_counts(pairs).map_batches(
+        count_to_cand, batch_format="pyarrow"
+    ).materialize()
+    n_cand = cand.count()
     if n_cand == 0:
         return empty
     nparts = _join_partitions(n_cand, corpus.count())
     with_a = _join_attach(
-        shared, sizes, "doc_a",
-        {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared", "sz": "sz_a"},
-        {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64()},
+        cand, sets, "doc_a", {"doc_a": "doc_a", "doc_b": "doc_b", "sh": "sh_a"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64()},
         num_partitions=nparts,
     )
     with_ab = _join_attach(
-        with_a, sizes, "doc_b",
-        {"doc_a": "doc_a", "doc_b": "doc_b", "n_shared": "n_shared",
-         "sz_a": "sz_a", "sz": "sz_b"},
-        {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64(),
-         "sz_a": pa.int64()},
+        with_a, sets, "doc_b",
+        {"doc_a": "doc_a", "doc_b": "doc_b", "sh_a": "sh_a", "sh": "sh_b"},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "sh_a": pa.binary()},
         num_partitions=nparts,
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        n_shared = t["n_shared"].to_numpy().astype(np.float64)
-        sa = t["sz_a"].to_numpy().astype(np.float64)
-        sb = t["sz_b"].to_numpy().astype(np.float64)
-        jac = n_shared / (sa + sb - n_shared)  # int inputs → bit-stable
-        m = jac >= JACCARD_THRESHOLD
-        d = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)[m]
+    def rekey(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": pa.array(d, type=pa.int64()),
-                "ref_id": pa.array(
-                    pc.cast(t["doc_b"], pa.int64()).to_numpy(
-                        zero_copy_only=False
-                    )[m],
-                    type=pa.int64(),
-                ),
-                "jaccard": pa.array(jac[m]),
+                "ref_id": pc.cast(t["doc_b"], pa.int64()),
+                "jaccard": t["jaccard"],
                 "abucket": pa.array(d % N_PAIR_BUCKETS, type=pa.int64()),
             }
         )
@@ -627,7 +639,8 @@ def q_doc_cross_dedup(sf_dir: str):
         )
 
     scored = _ensure_schema(
-        with_ab.map_batches(verify, batch_format="pyarrow"),
+        with_ab.map_batches(_verify_packed_sets, batch_format="pyarrow")
+        .map_batches(rekey, batch_format="pyarrow"),
         pa.schema(
             [("doc_id", pa.int64()), ("ref_id", pa.int64()),
              ("jaccard", pa.float64()), ("abucket", pa.int64())]

@@ -1905,3 +1905,58 @@ def test_cross_dedup_matches_duckdb_planted(ray_session, tmp_path):
     assert by[4] == (7, 1.0)      # tie between refs 7 and 28 → min ref_id
     assert 6 not in by            # unique doc
     assert 0 not in by and 14 not in by  # ref docs never appear as new
+
+
+def test_dup_spans_matches_bruteforce_random(ray_session, tmp_path):
+    """Randomized twin check: q_doc_dup_spans vs a brute-force python
+    reference (dict-counted exact window strings + interval union) over
+    a seeded corpus drawn from a 6-word vocabulary, which forces heavy
+    genuine window duplication, intra-doc repeats, and adjacent-span
+    merges that the planted tests can't enumerate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.span_dedup import DUP_SPAN_WORDS as K
+    from gcflow.ops.span_dedup import q_doc_dup_spans
+
+    rs = np.random.RandomState(123)
+    vocab = ["va", "vb", "vc", "vd", "ve", "vf"]
+    texts = [
+        " ".join(rs.choice(vocab, size=rs.randint(1, 40)))
+        for _ in range(60)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    # brute force: global window-string counts, then per-doc span union
+    from collections import Counter
+    counts = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - K + 1):
+            counts[" ".join(w[i : i + K])] += 1
+    want = []
+    for d, t in enumerate(texts):
+        w = t.split(" ")
+        starts = [
+            i for i in range(len(w) - K + 1)
+            if counts[" ".join(w[i : i + K])] >= 2
+        ]
+        if not starts:
+            continue
+        s0, prev = starts[0], starts[0]
+        for s in starts[1:]:
+            if s - prev > K:
+                want.append((d, s0, prev + K - s0))
+                s0 = s
+            prev = s
+        want.append((d, s0, prev + K - s0))
+
+    got = sorted(
+        map(tuple, q_doc_dup_spans(str(tmp_path)).to_pandas().values)
+    )
+    assert got == sorted(want)
