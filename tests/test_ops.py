@@ -1960,3 +1960,47 @@ def test_dup_spans_matches_bruteforce_random(ray_session, tmp_path):
         map(tuple, q_doc_dup_spans(str(tmp_path)).to_pandas().values)
     )
     assert got == sorted(want)
+
+
+def test_quality_classifier_matches_serial_twin(ray_session):
+    """Distributed IRLS logistic fit vs the in-memory twin running
+    identical arithmetic on the whole corpus, at sf0.001: scores agree
+    to float-reassociation tolerance, the output is bit-deterministic
+    across runs (partials merge in sorted batch-key order), and scores
+    are valid probabilities."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.classifier import (
+        _feat_matrix,
+        _feature_table,
+        _sigmoid,
+        logreg_fit_serial,
+        q_doc_quality_classifier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_quality_classifier(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    X, y = _feat_matrix(_feature_table(t))
+    w = logreg_fit_serial(X, y)
+    want = _sigmoid(X @ w)[np.argsort(t["doc_id"].to_numpy())]
+    assert len(got) == len(t)
+    assert np.abs(got.quality_score.to_numpy() - want).max() < 1e-10
+    assert ((got.quality_score > 0) & (got.quality_score < 1)).all()
+    assert got.label.to_numpy().sum() == (t["lang"].to_numpy(
+        zero_copy_only=False) == "en").sum()
+    again = (
+        q_doc_quality_classifier(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got.quality_score.to_numpy() == again.quality_score.to_numpy()).all()
