@@ -282,6 +282,8 @@ def main():
         q_doc_top_keyword,
         q_doc_unigram_logprob,
     )
+    from gcflow.ops.classifier import q_doc_quality_classifier
+    from gcflow.ops.dedup import q_doc_cross_dedup
     from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.tokenizer import q_doc_bpe_train
 
@@ -308,6 +310,8 @@ def main():
         ("doc_ngram_overlap", q_doc_ngram_overlap),
         ("doc_bpe_train", q_doc_bpe_train),
         ("doc_dup_spans", q_doc_dup_spans),
+        ("doc_cross_dedup", q_doc_cross_dedup),
+        ("doc_quality_classifier", q_doc_quality_classifier),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

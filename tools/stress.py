@@ -154,6 +154,7 @@ def main() -> None:
     )
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.quantile import q_evt_value_percentiles_by_type
+    from gcflow.ops.classifier import q_doc_quality_classifier
     from gcflow.ops.dedup import q_doc_cross_dedup
     from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.text import q_doc_dsir_weight, q_doc_unigram_logprob
@@ -169,6 +170,7 @@ def main() -> None:
         "doc_pack_sequences": (q_doc_pack_sequences, "documents"),
         "doc_dup_spans": (q_doc_dup_spans, "documents"),
         "doc_cross_dedup": (q_doc_cross_dedup, "documents"),
+        "doc_quality_classifier": (q_doc_quality_classifier, "documents"),
         "evt_value_percentiles_by_type": (
             q_evt_value_percentiles_by_type, "events",
         ),
