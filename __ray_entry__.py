@@ -56,6 +56,8 @@ _DRIVER_OMIT = (
     "evt_props_extract",      # profiler row sibling; evt_profile stays
     "doc_sample_stratified",  # sampling family; doc_sample +
                               # doc_sample_temperature stay
+    "doc_sample_unimax",      # sampling family (water-fill quotas);
+                              # same driver-coverage rationale
     "evt_hopping_windows",    # parameter variant of the tumbling window;
                               # windows family keeps evt_sessions +
                               # evt_type_windows driver rows (swapped out

@@ -1104,3 +1104,166 @@ r AS (SELECT lang,
 SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
 WHERE r.thr >= 4294967296 OR substr(md5(d.text), 1, 8) < printf('%08x', r.thr)
 """
+
+
+# ------------------------------------------------------- UniMax sampling
+# Chung et al. 2023 ("UniMax: Fairer and More Effective Language
+# Sampling for Large-Scale Multilingual Pretraining", §3.2): allocate a
+# total corpus budget across languages by WATER-FILLING — process
+# languages in ascending capacity order, each taking
+# min(capacity, remaining_budget / remaining_languages) — so low-resource
+# languages are included whole (up to the epoch cap) and the surplus is
+# split evenly among high-resource ones.  Differs from temperature
+# sampling (q_doc_sample_temperature) in that quotas are exact counts
+# derived from a global optimum, not per-doc acceptance probabilities.
+
+UNIMAX_BUDGET_FRAC = 0.8   # B = floor(0.8 × corpus docs)
+UNIMAX_EPOCHS = 1          # cap_l = c_l × EPOCHS (1 = no-repetition pass)
+UNIMAX_MAX_LANGS = 100_000  # ceiling on the bounded language-counts collect
+
+
+def unimax_quotas(counts: dict, budget: float) -> dict:
+    """Driver-side water-fill over the (tiny) language-count table.
+    Float64 arithmetic is mirrored VERBATIM by the recursive-CTE oracle
+    (same visit order, same share division, same floor), so the integer
+    quotas agree bitwise with the SQL."""
+    import math
+
+    langs = sorted(counts, key=lambda l: (float(counts[l]) * UNIMAX_EPOCHS, l))
+    rem = float(budget)
+    n = len(langs)
+    out = {}
+    for idx, l in enumerate(langs):
+        q = min(float(counts[l]) * UNIMAX_EPOCHS, rem / (n - idx))
+        rem -= q
+        out[l] = int(math.floor(q))
+    return out
+
+
+def q_doc_sample_unimax(sf_dir: str, hash_mode: str = "fast"):
+    """(doc_id, lang): the UniMax sample — per-language quota_l docs
+    with the smallest content hash (deterministic, dual-mode hash like
+    the rest of the sampling family).
+
+    Scale shape: one partial-combined counts pass collects ONE row per
+    language to the driver (bounded by UNIMAX_MAX_LANGS — language
+    inventories are thousands at most); the water-fill runs on that
+    data-independent state; selection reuses the stratified-sampling
+    per-batch partial top-k + per-language reduce, with the quota dict
+    broadcast once via ray.put."""
+    import numpy as np
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pcount(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "np"])
+
+    cdf = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(pcount, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("np", alias_name="c"))
+        .to_pandas()
+    )
+    if len(cdf) > UNIMAX_MAX_LANGS:
+        raise ValueError(
+            f"unimax counts collect over ceiling: {len(cdf)} langs "
+            f"> {UNIMAX_MAX_LANGS}"
+        )
+    total = int(cdf["c"].sum())
+    import math
+
+    budget = math.floor(UNIMAX_BUDGET_FRAC * total)
+    quotas = unimax_quotas(dict(zip(cdf["lang"], cdf["c"])), float(budget))
+    q_ref = ray.put(quotas)
+
+    def head_per_lang(t: pa.Table, _q=q_ref) -> pa.Table:
+        # keep each language's quota_l smallest-hash rows (per-batch
+        # partial: keeping quota_l per batch is a superset of the global
+        # answer, so the per-lang reduce sees ≤ quota_l × batches rows)
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()),
+             ("h", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        quotas = ray.get(_q)
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("lang", "ascending"), ("h", "ascending"),
+                           ("doc_id", "ascending")],
+            )
+        )
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], lang[1:] != lang[:-1]))
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.append(starts, len(lang)))
+        rank = np.arange(len(lang)) - np.repeat(starts, runlen)
+        qarr = np.repeat(
+            np.array([quotas.get(l, 0) for l in lang[starts]], dtype=np.int64),
+            runlen,
+        )
+        return t.filter(pa.array(rank < qarr))
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "h": _content_hex(t["text"], hash_mode),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        lambda t: head_per_lang(hash_rows(t)), batch_format="pyarrow"
+    )
+    final = partials.groupby("lang").map_groups(
+        head_per_lang, batch_format="pyarrow"
+    )
+    return final.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+TEXT_QUERIES["doc_sample_unimax"] = partial(q_doc_sample_unimax, hash_mode="md5")
+
+TEXT_ORACLES["doc_sample_unimax"] = f"""
+WITH RECURSIVE cnt AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) * {UNIMAX_EPOCHS} AS cap
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(floor({UNIMAX_BUDGET_FRAC} * sum(cap) / {UNIMAX_EPOCHS})
+              AS DOUBLE) AS b,
+         count(*) AS nl
+  FROM cnt
+),
+ranked AS (
+  SELECT lang, cap, CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i
+  FROM cnt
+),
+alloc AS (
+  SELECT CAST(0 AS BIGINT) AS i, (SELECT b FROM tot) AS rem,
+         CAST(NULL AS VARCHAR) AS lang, CAST(0 AS DOUBLE) AS quota
+  UNION ALL
+  SELECT r.i,
+         a.rem - LEAST(r.cap, a.rem / ((SELECT nl FROM tot) - a.i)),
+         r.lang,
+         LEAST(r.cap, a.rem / ((SELECT nl FROM tot) - a.i))
+  FROM alloc a JOIN ranked r ON r.i = a.i + 1
+),
+quota AS (
+  SELECT lang, CAST(floor(quota) AS BIGINT) AS q FROM alloc
+  WHERE lang IS NOT NULL
+),
+r2 AS (
+  SELECT doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents d
+)
+SELECT doc_id, lang FROM r2 JOIN quota USING (lang) WHERE rn <= q
+"""

@@ -2004,3 +2004,67 @@ def test_quality_classifier_matches_serial_twin(ray_session):
         .reset_index(drop=True)
     )
     assert (got.quality_score.to_numpy() == again.quality_score.to_numpy()).all()
+
+
+def test_unimax_quotas_waterfill():
+    """The water-fill allocator against hand-derived expectations: with
+    budget 400 over caps (64,70,73,75,218) the four small languages are
+    included whole and the surplus goes to the largest."""
+    from gcflow.ops.text import unimax_quotas
+
+    q = unimax_quotas({"fr": 64, "de": 70, "es": 73, "zh": 75, "en": 218}, 400.0)
+    assert q == {"fr": 64, "de": 70, "es": 73, "zh": 75, "en": 118}
+    # all-uncapped case: equal shares
+    q = unimax_quotas({"a": 100, "b": 100, "c": 100}, 150.0)
+    assert q == {"a": 50, "b": 50, "c": 50}
+    # budget above total capacity: everything included whole
+    q = unimax_quotas({"a": 10, "b": 20}, 1000.0)
+    assert q == {"a": 10, "b": 20}
+
+
+def test_unimax_sample_matches_duckdb_planted(ray_session, tmp_path):
+    """UniMax sampling on a skewed planted corpus vs the recursive-CTE
+    oracle, plus mode equivalence: the fast-hash default selects the
+    same per-language COUNTS as the md5 oracle mode (quotas are
+    hash-independent; only which docs fill them differs)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import TEXT_ORACLES, q_doc_sample_unimax
+
+    rs = np.random.RandomState(7)
+    langs = ["aa"] * 200 + ["bb"] * 30 + ["cc"] * 10
+    texts = [f"{l} doc {i} " + " ".join(rs.choice(list("xyzw"), 5))
+             for i, l in enumerate(langs)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(langs)), type=pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(langs)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        q_doc_sample_unimax(str(tmp_path), hash_mode="md5")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(TEXT_ORACLES["doc_sample_unimax"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.lang) == list(want.lang)
+    # budget floor(0.8×240)=192; caps asc (cc=10, bb=30, aa=200):
+    # cc whole, bb whole, aa gets the 152 surplus
+    by = got.lang.value_counts().to_dict()
+    assert by == {"aa": 152, "bb": 30, "cc": 10}
+    fast = q_doc_sample_unimax(str(tmp_path)).to_pandas()
+    assert fast.lang.value_counts().to_dict() == by
