@@ -49,6 +49,8 @@ _DRIVER_OMIT = (
     "rel_distinct_segments",
     "rel_order_status",
     "rel_top_order_per_cust",
+    "rel_topk_orders",        # top-k is driver-covered by gc_top_pauses
+                              # (swapped out r5 for the new evt_funnel)
     # variant pairs: the scale-path/superset sibling stays driver-facing
     "doc_decontaminate",      # RE2 variant; Bloom scale path stays
     "evt_value_percentiles",  # global; grouped variant stays

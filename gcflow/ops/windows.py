@@ -211,3 +211,117 @@ SELECT event_type, ws AS window_start, count(*) AS n
 FROM x GROUP BY 1, 2
 """,
 }
+
+
+# ----------------------------------------------------------- funnel analysis
+# Ordered multi-stage sequence matching (the product-analytics "funnel"
+# and the event-sequence operator of a behavioral training-data
+# pipeline): for each user, the earliest completion of
+# view → click → purchase, where each stage must occur strictly after
+# the previous stage's chosen event.  Earliest-completion semantics
+# (stage k = FIRST qualifying event after stage k-1) is the standard
+# greedy funnel and is optimal: taking the earliest stage-k event never
+# excludes a later completion.
+#
+# Shape: rows are filtered to the three stage types AT THE READ
+# (column-pruned + type-pruned before the shuffle), co-located per user
+# by the session bucket sweep, and each bucket resolves ALL its users'
+# funnels in exactly ``n_stages`` vectorized reduceat passes — stage
+# k's per-row eligibility mask compares against the user's stage-k-1
+# position broadcast by np.repeat; no per-user Python loop.
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_evt_funnel(sf_dir: str):
+    """(user_id, ts_view, ts_click, ts_purchase) for every user who
+    completes the funnel, each timestamp the earliest valid choice."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    stages = FUNNEL_STAGES
+    out_names = ["user_id"] + [f"ts_{s}" for s in stages]
+    empty = pa.schema(
+        [("user_id", pa.int64())]
+        + [(f"ts_{s}", pa.timestamp("us")) for s in stages]
+    ).empty_table()
+
+    def prune_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(stages)))
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        ) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    INF = np.iinfo(np.int64).max
+
+    def sweep(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return empty
+        uid = g["user_id"].to_numpy()
+        tsi = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsi, uid))
+        u, s, e = uid[order], tsi[order], et[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        seg_starts = np.flatnonzero(new_user)
+        seg_len = np.diff(np.append(seg_starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        # stage-by-stage: per-user position of the earliest qualifying
+        # event (strictly after the previous stage's position; (user, ts)
+        # pairs are unique so position order == strict time order)
+        prev = np.full(len(seg_starts), -1, dtype=np.int64)  # "before start"
+        stage_pos = []
+        for st in stages:
+            prev_row = np.repeat(prev, seg_len)
+            cand = np.where((e == st) & (pos > prev_row), pos, INF)
+            first = np.minimum.reduceat(cand, seg_starts)
+            stage_pos.append(first)
+            prev = first  # users already at INF stay at INF (pos > INF never)
+        done = stage_pos[-1] < INF
+        if not done.any():
+            return empty
+        cols = {"user_id": pa.array(u[seg_starts][done], type=pa.int64())}
+        ts_arr = g["ts"].take(pa.array(order))
+        for st, p in zip(stages, stage_pos):
+            cols[f"ts_{st}"] = ts_arr.take(pa.array(p[done]))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(prune_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(out_names) if len(t) else empty,
+                     batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_funnel"] = q_evt_funnel
+
+WINDOW_ORACLES["evt_funnel"] = """
+WITH a AS (
+  SELECT user_id, min(ts) AS ts_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, min(e.ts) AS ts_click
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > a.ts_view GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ts_purchase
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > b.ts_click GROUP BY 1
+)
+SELECT a.user_id, ts_view, ts_click, ts_purchase
+FROM a JOIN b USING (user_id) JOIN c USING (user_id)
+"""

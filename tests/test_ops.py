@@ -2068,3 +2068,72 @@ def test_unimax_sample_matches_duckdb_planted(ray_session, tmp_path):
     assert by == {"aa": 152, "bb": 30, "cc": 10}
     fast = q_doc_sample_unimax(str(tmp_path)).to_pandas()
     assert fast.lang.value_counts().to_dict() == by
+
+
+def test_funnel_matches_duckdb_planted(ray_session, tmp_path):
+    """Funnel matching on a planted events table: completion requires
+    view → click → purchase STRICTLY in time order (a purchase before
+    the click must not count), stage choices are earliest-valid, and
+    users missing any stage are absent."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_funnel
+
+    def ts(minute):
+        return np.datetime64("2026-01-01T00:00", "us") + np.timedelta64(
+            minute, "m"
+        )
+
+    rows = [
+        # user 1: clean completion; two clicks → earliest valid wins
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "click"), (1, 3, "purchase"),
+        # user 2: purchase BEFORE the click → no completion
+        (2, 0, "view"), (2, 2, "purchase"), (2, 3, "click"),
+        # user 3: click before the first view doesn't count; later ones do
+        (3, 0, "click"), (3, 1, "view"), (3, 2, "click"), (3, 3, "purchase"),
+        # user 4: missing purchase
+        (4, 0, "view"), (4, 1, "click"),
+        # user 5: stages interleaved with noise types
+        (5, 0, "error"), (5, 1, "view"), (5, 2, "signup"), (5, 3, "click"),
+        (5, 4, "error"), (5, 5, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), type=pa.int64()),
+                "ts": pa.array([ts(m) for _, m, _ in rows],
+                               type=pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _ in rows], type=pa.int64()),
+                "event_type": pa.array([e for _, _, e in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_evt_funnel(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_funnel"])
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.user_id) == list(want.user_id) == [1, 3, 5]
+    for c in ("ts_view", "ts_click", "ts_purchase"):
+        assert list(got[c]) == list(want[c])
+    by = got.set_index("user_id")
+    assert by.loc[1, "ts_click"] == ts(1)      # earliest valid click
+    assert by.loc[3, "ts_click"] == ts(2)      # pre-view click skipped
+    assert by.loc[5, "ts_purchase"] == ts(5)   # noise types ignored
