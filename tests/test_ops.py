@@ -2137,3 +2137,89 @@ def test_funnel_matches_duckdb_planted(ray_session, tmp_path):
     assert by.loc[1, "ts_click"] == ts(1)      # earliest valid click
     assert by.loc[3, "ts_click"] == ts(2)      # pre-view click skipped
     assert by.loc[5, "ts_purchase"] == ts(5)   # noise types ignored
+
+
+def test_funnel_matches_bruteforce_random(ray_session, tmp_path):
+    """Randomized funnel twin: the vectorized bucket sweep vs a
+    per-user python scan over a seeded events table with shuffled
+    timestamps and noise types."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import FUNNEL_STAGES, q_evt_funnel
+
+    rs = np.random.RandomState(42)
+    n = 800
+    users = rs.randint(0, 40, size=n)
+    # unique (user, ts): permute minutes globally
+    minutes = rs.permutation(n)
+    types = rs.choice(
+        list(FUNNEL_STAGES) + ["error", "signup"], size=n
+    )
+    base = np.datetime64("2026-02-01T00:00", "us")
+    ts = base + minutes.astype("timedelta64[m]")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array(users, type=pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(np.zeros(n)),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.user_id: (r.ts_view, r.ts_click, r.ts_purchase)
+        for r in q_evt_funnel(str(tmp_path)).to_pandas().itertuples()
+    }
+    want = {}
+    for u in np.unique(users):
+        m = users == u
+        ev = sorted(zip(ts[m], types[m]))
+        picks, prev = [], None
+        for stage in FUNNEL_STAGES:
+            nxt = next(
+                (t for t, e in ev
+                 if e == stage and (prev is None or t > prev)),
+                None,
+            )
+            if nxt is None:
+                picks = None
+                break
+            picks.append(nxt)
+            prev = nxt
+        if picks:
+            want[int(u)] = tuple(np.datetime64(p) for p in picks)
+    assert set(got) == set(want)
+    for u in want:
+        assert tuple(np.datetime64(x) for x in got[u]) == want[u]
+
+
+def test_unimax_quota_invariants_random():
+    """Water-fill invariants over random count tables: quotas never
+    exceed caps, the float allocation exactly exhausts min(budget,
+    total), and fairness — any language below its cap receives at least
+    as much as every smaller language."""
+    import numpy as np
+
+    from gcflow.ops.text import unimax_quotas
+
+    rs = np.random.RandomState(9)
+    for _ in range(50):
+        L = rs.randint(1, 12)
+        counts = {f"l{i}": int(rs.randint(1, 1000)) for i in range(L)}
+        total = sum(counts.values())
+        budget = float(rs.randint(1, total + 200))
+        q = unimax_quotas(counts, budget)
+        assert set(q) == set(counts)
+        assert all(0 <= q[l] <= counts[l] for l in counts)
+        # floors lose < 1 per language; the float allocation is exact
+        assert sum(q.values()) <= min(budget, total) < sum(q.values()) + L + 1
+        uncapped = [l for l in counts if q[l] < counts[l]]
+        if uncapped:
+            m = min(q[l] for l in uncapped)
+            assert all(q[l] <= m + 1 for l in counts if counts[l] <= m)
