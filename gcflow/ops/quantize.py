@@ -137,3 +137,161 @@ SELECT vec_id,
 FROM s
 """,
 }
+
+
+# ------------------------------------------------- product quantization
+# Jégou et al. 2011 ("Product Quantization for Nearest Neighbor
+# Search"): split each vector into M subspaces and vector-quantize each
+# subspace with its own k-codeword codebook — M log2(k)-bit codes per
+# vector (here 8 bytes for a 64-dim fp32 vector = 32×) with far lower
+# distortion than scalar quantization at the same rate; the storage/IVF
+# layout every billion-scale ANN system uses.
+#
+# Training is a FUSED multi-codebook Lloyd: ONE streaming pass per
+# iteration assigns every subspace of every vector (a single batched
+# argmin over the (M, k) codebooks) and emits per-(subspace, cell)
+# partials — (M × k) rows of d_sub × 8 bytes reach the driver per
+# iteration, independent of corpus size, M× cheaper than M separate
+# k-means fits and identical arithmetic.  Codebook init is
+# deterministic (vectors vec_id < k, subsliced).  Iterative training is
+# not SQL-expressible → rows-only; pytest pins codes + distortion
+# against a serial numpy twin and checks the rate/distortion sanity vs
+# int8.
+
+PQ_M = 8          # subspaces (64-dim → 8 dims each)
+PQ_K = 16         # codewords per subspace (4-bit codes)
+PQ_ITERS = 5
+
+
+def pq_fit(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+           iters: int = PQ_ITERS) -> np.ndarray:
+    """(m, k, d_sub) codebooks via fused distributed Lloyd."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with family style)
+    import pyarrow.parquet as pq_
+
+    import ray
+    from .cluster import _init_centroids
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq_.ParquetFile(src).read_row_group(0, columns=["embedding"])
+    dim = len(first["embedding"][0])
+    assert dim % m == 0, (dim, m)
+    d_sub = dim // m
+    C = _init_centroids(src, k).reshape(k, m, d_sub).transpose(1, 0, 2).copy()
+    ds = rd.read_parquet(src, columns=["embedding"])
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            Cl = ray.get(_cref)            # (m, k, d_sub)
+            vals, offs = _flat_f64(t["embedding"])
+            V = vals.reshape(-1, m, d_sub)  # (n, m, d_sub)
+            # ‖v−c‖² argmin via the expanded form per subspace
+            d2 = -2.0 * np.einsum("nmd,mkd->nmk", V, Cl) + (
+                Cl * Cl
+            ).sum(axis=2)[None, :, :]
+            a = np.argmin(d2, axis=2)       # (n, m)
+            rows = {"m": [], "cell": [], "n": [], "s": []}
+            for mi in range(m):
+                cells, counts = np.unique(a[:, mi], return_counts=True)
+                sums = np.zeros((len(cells), d_sub))
+                np.add.at(sums, np.searchsorted(cells, a[:, mi]), V[:, mi, :])
+                rows["m"].extend([mi] * len(cells))
+                rows["cell"].extend(cells.tolist())
+                rows["n"].extend(counts.tolist())
+                rows["s"].extend(sums.tobytes()[i * d_sub * 8:(i + 1) * d_sub * 8]
+                                 for i in range(len(cells)))
+            return pa.table(
+                {
+                    "m": pa.array(rows["m"], type=pa.int64()),
+                    "cell": pa.array(rows["cell"], type=pa.int64()),
+                    "n": pa.array(rows["n"], type=pa.int64()),
+                    "s": pa.array(rows["s"], type=pa.binary()),
+                }
+            )
+
+        def merge(g: pa.Table) -> pa.Table:
+            if len(g) == 0:
+                return pa.schema(
+                    [("m", pa.int64()), ("cell", pa.int64()),
+                     ("n", pa.int64()), ("s", pa.binary())]
+                ).empty_table()
+            n = int(g["n"].to_numpy().sum())
+            s = np.zeros(d_sub)
+            # deterministic accumulation order (float sums reassociate)
+            for b in sorted(g["s"].to_pylist()):
+                s += np.frombuffer(b, dtype=np.float64)
+            return pa.table(
+                {
+                    "m": g["m"][:1], "cell": g["cell"][:1],
+                    "n": pa.array([n], type=pa.int64()),
+                    "s": pa.array([s.tobytes()], type=pa.binary()),
+                }
+            )
+
+        got = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["m", "cell"])
+            .map_groups(merge, batch_format="pyarrow")
+            .to_pandas()
+        )
+        for _, r in got.iterrows():
+            if r["n"] > 0:
+                C[int(r["m"]), int(r["cell"])] = (
+                    np.frombuffer(r["s"], dtype=np.float64) / r["n"]
+                )
+    return C
+
+
+def pq_encode(ds: rd.Dataset, C: np.ndarray) -> rd.Dataset:
+    """(vec_id, codes binary[m], recon_err float64) — streaming pass."""
+    import ray
+
+    m, k, d_sub = C.shape
+    cref = ray.put(C)
+
+    def encode(t: pa.Table, _cref=cref) -> pa.Table:
+        Cl = ray.get(_cref)
+        vals, offs = _flat_f64(t["embedding"])
+        V = vals.reshape(-1, m, d_sub)
+        d2 = -2.0 * np.einsum("nmd,mkd->nmk", V, Cl) + (
+            Cl * Cl
+        ).sum(axis=2)[None, :, :]
+        a = np.argmin(d2, axis=2).astype(np.uint8)       # (n, m)
+        recon = np.take_along_axis(
+            Cl[None, :, :, :].repeat(len(V), axis=0),
+            a[:, :, None, None].astype(np.int64), axis=2,
+        )[:, :, 0, :]
+        err = ((V - recon) ** 2).sum(axis=(1, 2))
+        n = len(V)
+        codes = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None,
+             pa.py_buffer((np.arange(n + 1, dtype=np.int32) * m).tobytes()),
+             pa.py_buffer(a.tobytes())],
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "codes": codes,
+                "recon_err": pa.array(err, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def q_emb_pq(sf_dir: str):
+    """Product-quantize every embedding: (vec_id, codes, recon_err)."""
+    C = pq_fit(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return pq_encode(ds, C)
+
+
+QUANTIZE_QUERIES["emb_pq"] = q_emb_pq
+# iterative codebook training is not SQL-expressible — rows-only
