@@ -748,3 +748,122 @@ SELECT doc_id,
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP}
 """,
 }
+
+
+# ------------------------------------------------- PQ ADC search
+# Asymmetric Distance Computation over the product-quantized corpus
+# (Jégou et al. 2011 §IV): queries stay full-precision; each query
+# precomputes an (M, k) look-up table of sub-distances to every
+# codeword, and a stored vector's distance is the sum of M table
+# gathers on its byte codes — the scan touches ONLY the 8-byte codes
+# (32× less IO than fp32), which is the entire point of PQ at corpus
+# scale.  ADC ranks are then REFINED by the standard exact-rerank tail
+# (Jégou et al. §V.A "IVFADC-R"): the per-query ADC shortlist
+# (PQ_SHORTLIST ids — a bounded, query-count-sized set) is fetched
+# full-precision by a row-filtered read and reranked exactly, so the
+# fp32 IO is O(queries × shortlist), never O(corpus).  The scan reuses
+# the exact-ANN partial-top-k → tiny-reduce shape; approximate by
+# shortlist truncation → rows-only + a recall-vs-exact pytest (same
+# harness as the LSH/IVF search paths).
+
+PQ_SHORTLIST = 50
+
+
+def q_emb_pq_search(sf_dir: str):
+    """(query_id, neighbor_id, rank): top-k via PQ-ADC shortlist +
+    exact rerank, self excluded, ties by neighbor_id ascending."""
+    from .quantize import pq_encode, pq_fit
+
+    C = pq_fit(sf_dir)                   # (m, k_codes, d_sub)
+    m, kc, d_sub = C.shape
+    qids, Q = _read_queries(sf_dir)
+    # per-query LUT: ‖q_sub − c‖² for every (subspace, codeword)
+    Qs = Q.reshape(len(qids), m, d_sub)
+    lut = (
+        (Qs[:, :, None, :] - C[None, :, :, :]) ** 2
+    ).sum(axis=3)                        # (n_q, m, k_codes)
+    ref = ray.put((qids, lut))
+
+    codes_ds = pq_encode(
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ),
+        C,
+    )
+
+    def partial_topk(t: pa.Table, r) -> pa.Table:
+        qids, lut = ray.get(r)
+        ids = t["vec_id"].to_numpy()
+        raw = t["codes"]
+        raw = raw.combine_chunks() if isinstance(raw, pa.ChunkedArray) else raw
+        bufs = raw.buffers()
+        codes = np.frombuffer(
+            bufs[2], dtype=np.uint8
+        )[: len(t) * m].reshape(len(t), m).astype(np.int64)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            d = np.zeros(len(t))
+            for mi in range(m):
+                d += lut[qi, mi, codes[:, mi]]
+            keep = ids != qid
+            order = np.lexsort((ids[keep], d[keep]))[:PQ_SHORTLIST]
+            sel = np.flatnonzero(keep)[order]
+            out_q.extend([int(qid)] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_c.extend((-d[sel]).tolist())  # reduce ranks desc
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_v, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partials = codes_ds.map_batches(
+        partial_topk, fn_args=(ref,), batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    # per-query ADC shortlist (bounded: n_queries × PQ_SHORTLIST rows)
+    partials = partials.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    short = partials.groupby("query_id", sort=True).head(PQ_SHORTLIST)
+    cand_ids = sorted(set(short["neighbor_id"]))
+    # exact rerank: row-filtered fetch of ONLY the shortlist vectors
+    ct = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids)],
+    )
+    cids = ct["vec_id"].to_numpy()
+    CV = np.vstack(ct["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    pos = {int(v): i for i, v in enumerate(cids)}
+    rows = []
+    for qi, qid in enumerate(qids):
+        s = short[short["query_id"] == qid]
+        idx = np.array([pos[int(v)] for v in s["neighbor_id"]], dtype=np.int64)
+        d = ((CV[idx] - Q[qi]) ** 2).sum(axis=1)
+        nb = s["neighbor_id"].to_numpy()
+        order = np.lexsort((nb, d))[:TOP_K]
+        rows.append((np.full(len(order), qid, dtype=np.int64), nb[order]))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate([r[0] for r in rows])),
+            "neighbor_id": pa.array(
+                np.concatenate([r[1] for r in rows]), type=pa.int64()
+            ),
+            "rank": pa.array(
+                np.concatenate(
+                    [np.arange(1, len(r[1]) + 1) for r in rows]
+                ),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+SIMILARITY_QUERIES["emb_pq_search"] = q_emb_pq_search
+# quantization-approximate ranks — rows-only (recall pinned in pytest)

@@ -2270,3 +2270,51 @@ def test_pq_matches_serial_twin(ray_session):
         [C[mi][rs.randint(0, k, size=n)] for mi in range(m)], axis=1
     )
     assert err.mean() < 0.5 * ((Vs - rand) ** 2).sum(axis=(1, 2)).mean()
+
+
+def test_pq_search_recall_on_clustered_fixture(ray_session, tmp_path):
+    """PQ-ADC + exact-rerank recall on a clustered corpus (PQ's design
+    regime — the LSH/IVF recall tests use the same planted-structure
+    approach): recall@10 vs exact L2 must be high, and output shape /
+    self-exclusion / rank contract must hold.  Also pins the
+    unstructured-corpus floor at sf0.001 (shortlist-bound)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.similarity import N_QUERIES, TOP_K, q_emb_pq_search
+
+    rs = np.random.RandomState(5)
+    n_clusters, per, dim = 40, 15, 64
+    centers = rs.normal(0, 1, (n_clusters, dim))
+    V = np.repeat(centers, per, axis=0) + rs.normal(
+        0, 0.05, (n_clusters * per, dim)
+    )
+    ids = np.arange(len(V), dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    list(V.astype(np.float32)), type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(len(V), dtype=np.int64)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = q_emb_pq_search(str(tmp_path)).to_pandas()
+    Vd = V.astype(np.float32).astype(np.float64)  # storage-precision twin
+    recalls = []
+    for q in range(N_QUERIES):
+        sub = got[got.query_id == q]
+        assert list(sub["rank"]) == list(range(1, TOP_K + 1))
+        assert q not in set(sub.neighbor_id)
+        d = ((Vd - Vd[q]) ** 2).sum(axis=1)
+        keep = ids != q
+        exact = set(ids[keep][np.lexsort((ids[keep], d[keep]))[:TOP_K]])
+        recalls.append(len(exact & set(sub.neighbor_id)) / TOP_K)
+    assert np.mean(recalls) >= 0.9, recalls
+    # unstructured floor (sf0.001): the shortlist-bound regime
+    flat = q_emb_pq_search("/root/testdata/sf0.001").to_pandas()
+    assert len(flat) == N_QUERIES * TOP_K
