@@ -60,6 +60,11 @@ _DRIVER_OMIT = (
                               # doc_sample_temperature stay
     "doc_sample_unimax",      # sampling family (water-fill quotas);
                               # same driver-coverage rationale
+    "evt_value_band_join",    # range-join variant; the as-of family
+                              # keeps evt_purchase_attribution (swapped
+                              # out r5 for the new evt_resample, whose
+                              # 105k-row value-hash is the strongest
+                              # single driver check in the registry)
     "evt_hopping_windows",    # parameter variant of the tumbling window;
                               # windows family keeps evt_sessions +
                               # evt_type_windows driver rows (swapped out

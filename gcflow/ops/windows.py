@@ -325,3 +325,139 @@ c AS (
 SELECT a.user_id, ts_view, ts_click, ts_purchase
 FROM a JOIN b USING (user_id) JOIN c USING (user_id)
 """
+
+
+# --------------------------------------------------------- resample + ffill
+# Time-series regularization — the feature-engineering resample: each
+# user's event stream becomes a dense HOURLY grid from their first to
+# their last event, carrying the hour's LAST observed value
+# (deterministic last-observation-carried-forward; empty hours
+# forward-fill).  Close-value semantics (copy, never average) keep the
+# floats bit-exact against the SQL oracle — no cross-engine summation
+# order to reconcile.
+#
+# Shape: one user-bucket shuffle (the session sweep pattern); each
+# bucket builds ALL its users' grids vectorized — per-user grid via
+# repeat/arange offsets, closes scattered by hour index, gap rows
+# forward-filled with one np.maximum.accumulate (safe across user
+# boundaries because every user's first grid hour contains their first
+# event).  Output rows = Σ per-user grid lengths; nothing reaches the
+# driver.
+
+HOUR_US = 3_600_000_000
+
+
+def q_evt_resample(sf_dir: str):
+    """(user_id, hour, value, n_events, filled): dense per-user hourly
+    series, last-observation per hour, gaps forward-filled."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    empty = pa.schema(
+        [("user_id", pa.int64()), ("hour", pa.timestamp("us")),
+         ("value", pa.float64()), ("n_events", pa.int64()),
+         ("filled", pa.bool_())]
+    ).empty_table()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        ) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return empty
+        uid = g["user_id"].to_numpy()
+        tsi = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsi, uid))
+        u, h, v = uid[order], tsi[order] // HOUR_US, val[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        seg_starts = np.flatnonzero(new_user)
+        seg_ends = np.append(seg_starts[1:], n) - 1
+        h0, h1 = h[seg_starts], h[seg_ends]
+        glen = h1 - h0 + 1
+        total = int(glen.sum())
+        goff = np.cumsum(glen) - glen
+        # per-user dense hour grid
+        grid_pos = np.arange(total, dtype=np.int64) - np.repeat(goff, glen)
+        out_user = np.repeat(u[seg_starts], glen)
+        out_hour = np.repeat(h0, glen) + grid_pos
+        # scatter: each event row targets its user's grid slot; rows are
+        # (ts, event_id)-sorted, so the LAST write per slot is the close
+        slot = np.repeat(goff, np.diff(np.append(seg_starts, n))) + (
+            h - np.repeat(h0, np.diff(np.append(seg_starts, n)))
+        )
+        closes = np.full(total, np.nan)
+        closes[slot] = v          # later duplicates overwrite = close
+        n_events = np.zeros(total, dtype=np.int64)
+        np.add.at(n_events, slot, 1)
+        # forward-fill: index of the last observed slot at or before i
+        # (every user's slot 0 is observed, so no cross-user bleed)
+        obs = n_events > 0
+        last_obs = np.maximum.accumulate(
+            np.where(obs, np.arange(total, dtype=np.int64), 0)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out_user, type=pa.int64()),
+                "hour": pa.array(
+                    (out_hour * HOUR_US).astype("datetime64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "value": pa.array(closes[last_obs], type=pa.float64()),
+                "n_events": pa.array(n_events, type=pa.int64()),
+                "filled": pa.array(~obs),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_resample"] = q_evt_resample
+
+WINDOW_ORACLES["evt_resample"] = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, h, value,
+         row_number() OVER (PARTITION BY user_id, h
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, h) AS n
+  FROM b
+),
+hourly AS (
+  SELECT user_id, h, value AS close_value, n FROM ranked WHERE rn = 1
+),
+bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1),
+grid AS (
+  SELECT user_id, h0 + to_hours(CAST(i AS BIGINT)) AS h
+  FROM bounds,
+       LATERAL (SELECT unnest(range(0,
+                  CAST(date_diff('hour', h0, h1) AS BIGINT) + 1)) AS i) t
+),
+joined AS (
+  SELECT g.user_id, g.h, hh.close_value, coalesce(hh.n, 0) AS n_events
+  FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h
+)
+SELECT user_id, h AS hour,
+       last_value(close_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY h
+               ROWS UNBOUNDED PRECEDING) AS value,
+       CAST(n_events AS BIGINT) AS n_events,
+       n_events = 0 AS filled
+FROM joined
+"""

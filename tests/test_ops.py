@@ -2318,3 +2318,70 @@ def test_pq_search_recall_on_clustered_fixture(ray_session, tmp_path):
     # unstructured floor (sf0.001): the shortlist-bound regime
     flat = q_emb_pq_search("/root/testdata/sf0.001").to_pandas()
     assert len(flat) == N_QUERIES * TOP_K
+
+
+def test_resample_matches_duckdb_planted(ray_session, tmp_path):
+    """Hourly resample + forward-fill on a planted events table: the
+    hour's LAST observation wins, empty hours carry the previous value
+    with filled=true, grids are per-user (no cross-user bleed), and a
+    single-event user yields a one-row grid."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_resample
+
+    def ts(h, m=0):
+        return np.datetime64("2026-03-01T00:00", "us") + np.timedelta64(
+            h * 60 + m, "m"
+        )
+
+    rows = [
+        # user 1: two events in hour 0 (close = the later, 2.0), gap
+        # hours 1-2, then hour 3
+        (1, ts(0, 10), 1.0), (1, ts(0, 50), 2.0), (1, ts(3, 5), 7.0),
+        # user 2: single event → one-row grid
+        (2, ts(5, 30), 9.0),
+        # user 3: events in consecutive hours, no gaps
+        (3, ts(1, 0), 4.0), (3, ts(2, 59), 5.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([r[2] for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_evt_resample(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_resample"])
+        .df()
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    assert list(got.user_id) == list(want.user_id)
+    assert list(got.hour) == list(want.hour)
+    assert got.value.tolist() == want.value.tolist()  # bit-exact copies
+    assert got.n_events.tolist() == want.n_events.tolist()
+    assert got.filled.tolist() == want.filled.tolist()
+    u1 = got[got.user_id == 1]
+    assert u1.value.tolist() == [2.0, 2.0, 2.0, 7.0]       # close + ffill
+    assert u1.filled.tolist() == [False, True, True, False]
+    assert len(got[got.user_id == 2]) == 1                  # one-row grid
+    assert got[got.user_id == 3].filled.tolist() == [False, False]
