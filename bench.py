@@ -286,6 +286,7 @@ def main():
     from gcflow.ops.dedup import q_doc_cross_dedup
     from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.tokenizer import q_doc_bpe_train
+    from gcflow.ops.windows import q_evt_funnel, q_evt_resample
 
     for name, fn in [
         ("rel_q1", q_rel_q1),
@@ -312,6 +313,8 @@ def main():
         ("doc_dup_spans", q_doc_dup_spans),
         ("doc_cross_dedup", q_doc_cross_dedup),
         ("doc_quality_classifier", q_doc_quality_classifier),
+        ("evt_funnel", q_evt_funnel),
+        ("evt_resample", q_evt_resample),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -157,7 +157,13 @@ def main() -> None:
     from gcflow.ops.classifier import q_doc_quality_classifier
     from gcflow.ops.dedup import q_doc_cross_dedup
     from gcflow.ops.span_dedup import q_doc_dup_spans
-    from gcflow.ops.text import q_doc_dsir_weight, q_doc_unigram_logprob
+    from gcflow.ops.quantize import q_emb_pq
+    from gcflow.ops.text import (
+        q_doc_dsir_weight,
+        q_doc_sample_unimax,
+        q_doc_unigram_logprob,
+    )
+    from gcflow.ops.windows import q_evt_funnel, q_evt_resample
     from gcflow.ops.tokenizer import q_doc_bpe_train
 
     ops = {
@@ -171,6 +177,10 @@ def main() -> None:
         "doc_dup_spans": (q_doc_dup_spans, "documents"),
         "doc_cross_dedup": (q_doc_cross_dedup, "documents"),
         "doc_quality_classifier": (q_doc_quality_classifier, "documents"),
+        "doc_sample_unimax": (q_doc_sample_unimax, "documents"),
+        "evt_funnel": (q_evt_funnel, "events"),
+        "evt_resample": (q_evt_resample, "events"),
+        "emb_pq": (q_emb_pq, "embeddings"),
         "evt_value_percentiles_by_type": (
             q_evt_value_percentiles_by_type, "events",
         ),
