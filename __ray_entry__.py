@@ -75,6 +75,8 @@ _DRIVER_OMIT = (
                               # machinery (+argmax); the pair family is
                               # driver-covered by doc_ngram_jaccard +
                               # doc_minhash_lsh + doc_near_dedup
+    "doc_softdedup_weight",   # reweighting composition over the same
+                              # cluster machinery; same family rationale
     "mm_payload_meta",        # generic payload stats; the three typed
                               # real-decode siblings (audio/image/video)
                               # stay (swapped out r5 for doc_dup_spans)

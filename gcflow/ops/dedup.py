@@ -1569,6 +1569,7 @@ SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1
 SELECT c.doc_id FROM corpus c
 WHERE c.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 """,
+
     # doc_simhash: implementation-defined signature → rows-only check
     "emb_cosine_dedup": "WITH " + EMB_DUP_SQL + """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1577,3 +1578,120 @@ FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.95
 """,
 }
+
+
+# ------------------------------------------------------------- soft dedup
+
+def q_doc_softdedup_weight(sf_dir: str):
+    """SoftDeDup: keep every document but DOWN-WEIGHT duplicates —
+    (doc_id, weight) with weight = 1/|cluster| for members of a
+    jaccard ≥ 0.7 duplicate cluster and 1.0 for unique docs, so each
+    duplicate set contributes exactly one document-equivalent of
+    training mass (the soft alternative to dropping near-dups, the
+    frequency-reweighting family of He et al. 2024 "SoftDedup";
+    1.0/int is bit-identical in both engines so the oracle
+    value-hashes exactly).
+
+    Composition: dup clusters → ONE component-keyed bucket sweep
+    computes each cluster's size and emits every member's 1/n → ONE
+    id-keyed bucket sweep attaches the weights to the full corpus
+    (the near_dedup union shape: no Acero join, no broadcast — the
+    member-weight set scales with the dup fraction, never collected)."""
+    clusters = q_doc_dup_clusters(sf_dir)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("weight", pa.float64())])
+
+    corpus_rows = corpus_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "weight": pa.array(np.full(len(t), np.nan)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if isinstance(clusters, pa.Table):  # dup-free corpus → all 1.0
+        return corpus_rows.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "weight": pa.array(np.ones(len(t))),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def add_cbucket(t: pa.Table) -> pa.Table:
+        c = t["component"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cbucket", pa.array(c % N_PAIR_BUCKETS, type=pa.int64())
+        )
+
+    def size_sweep(g: pa.Table) -> pa.Table:
+        # every member of a component is in this bucket (routing key ==
+        # component), so run length == cluster size
+        if len(g) == 0:
+            return out_schema.empty_table()
+        c = g["component"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        cs, ds_ = c[order], d[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        runlen = np.diff(np.append(starts, len(cs)))
+        w = np.repeat(1.0 / runlen, runlen)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_, type=pa.int64()),
+                "weight": pa.array(w, type=pa.float64()),
+            }
+        )
+
+    member_w = _ensure_schema(
+        clusters.map_batches(add_cbucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(size_sweep, batch_format="pyarrow"),
+        out_schema,
+    )
+
+    def add_ibucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ibucket", pa.array(d % 256, type=pa.int64())
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        # per doc run: the member weight if present (≤1 member row per
+        # doc), else 1.0 — fmin skips the corpus row's NaN placeholder
+        if len(g) == 0:
+            return out_schema.empty_table()
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        w = g["weight"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        ds_, ws = d[order], w[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        wmin = np.fmin.reduceat(ws, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[starts], type=pa.int64()),
+                "weight": pa.array(np.where(np.isnan(wmin), 1.0, wmin)),
+            }
+        )
+
+    return (
+        _ensure_schema(corpus_rows, out_schema)
+        .union(member_w)
+        .map_batches(add_ibucket, batch_format="pyarrow")
+        .groupby("ibucket")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+
+DEDUP_QUERIES["doc_softdedup_weight"] = q_doc_softdedup_weight
+
+DEDUP_ORACLES["doc_softdedup_weight"] = _DUP_WALK_SQL + """
+, comp AS (SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1),
+csize AS (SELECT component, count(*) AS n FROM comp GROUP BY 1),
+w AS (SELECT c.doc_id, 1.0 / s.n AS weight
+      FROM comp c JOIN csize s USING (component))
+SELECT corpus.doc_id, coalesce(w.weight, 1.0) AS weight
+FROM corpus LEFT JOIN w USING (doc_id)
+"""

@@ -2385,3 +2385,43 @@ def test_resample_matches_duckdb_planted(ray_session, tmp_path):
     assert u1.filled.tolist() == [False, True, True, False]
     assert len(got[got.user_id == 2]) == 1                  # one-row grid
     assert got[got.user_id == 3].filled.tolist() == [False, False]
+
+
+def test_softdedup_weight_matches_duckdb(ray_session):
+    """SoftDeDup reweighting at sf0.001: weights match the recursive-CTE
+    oracle exactly, every doc appears once, each duplicate cluster
+    contributes ~1 document-equivalent, and unique docs carry 1.0."""
+    import duckdb
+    import numpy as np
+
+    from gcflow.ops.dedup import DEDUP_ORACLES, q_doc_softdedup_weight
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_softdedup_weight(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(DEDUP_ORACLES["doc_softdedup_weight"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert got.weight.tolist() == want.weight.tolist()  # 1/int bit-exact
+    assert got.doc_id.is_unique
+    assert ((got.weight > 0) & (got.weight <= 1.0)).all()
+    # the planted exact copies (doc_id%10==7 → +2_000_000) must be
+    # down-weighted on both sides of each pair
+    dup_ids = got[got.doc_id >= 2_000_000].doc_id.to_numpy()
+    assert len(dup_ids) > 0
+    by = got.set_index("doc_id").weight
+    for d in dup_ids:
+        assert by[d] < 1.0 and by[d - 2_000_000] < 1.0
+        assert by[d] == by[d - 2_000_000]
