@@ -274,7 +274,11 @@ def main():
     from gcflow.ops.quantile import q_evt_value_percentiles_by_type
     from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1
-    from gcflow.ops.similarity import q_doc_bm25_topk, q_emb_ann_topk
+    from gcflow.ops.similarity import (
+        q_doc_bm25_topk,
+        q_emb_ann_topk,
+        q_emb_pq_search,
+    )
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.text import (
         q_doc_dsir_weight,
@@ -315,6 +319,7 @@ def main():
         ("doc_quality_classifier", q_doc_quality_classifier),
         ("evt_funnel", q_evt_funnel),
         ("evt_resample", q_evt_resample),
+        ("emb_pq_search", q_emb_pq_search),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -2425,3 +2425,66 @@ def test_softdedup_weight_matches_duckdb(ray_session):
     for d in dup_ids:
         assert by[d] < 1.0 and by[d - 2_000_000] < 1.0
         assert by[d] == by[d - 2_000_000]
+
+
+def test_resample_matches_pandas_twin_random(ray_session, tmp_path):
+    """Randomized resample twin: the vectorized bucket sweep vs pandas
+    resample('h').last().ffill() per user over a seeded events table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_resample
+
+    rs = np.random.RandomState(31)
+    n = 600
+    users = rs.randint(0, 25, size=n)
+    minutes = rs.permutation(n * 3)[:n]  # sparse → real gaps
+    ts = np.datetime64("2026-04-01T00:00", "us") + minutes.astype(
+        "timedelta64[m]"
+    )
+    vals = rs.normal(0, 1, n)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array(users, type=pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_evt_resample(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"user_id": users, "ts": ts, "value": vals})
+    frames = []
+    for u, g in df.groupby("user_id"):
+        s = (
+            g.sort_values("ts")
+            .set_index("ts")["value"]
+            .resample("h")
+            .last()
+            .ffill()
+        )
+        frames.append(
+            pd.DataFrame(
+                {"user_id": u, "hour": s.index, "value": s.to_numpy()}
+            )
+        )
+    want = (
+        pd.concat(frames)
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.user_id.to_numpy() == want.user_id.to_numpy()).all()
+    assert (got.hour.to_numpy() == want.hour.to_numpy()).all()
+    assert (got.value.to_numpy() == want.value.to_numpy()).all()
