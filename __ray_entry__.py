@@ -77,6 +77,11 @@ _DRIVER_OMIT = (
                               # doc_minhash_lsh + doc_near_dedup
     "doc_softdedup_weight",   # reweighting composition over the same
                               # cluster machinery; same family rationale
+    "rel_q3",                 # relational join family driver-covered by
+                              # rel_q1 + rel_nation_revenue
+    "evt_anomaly",            # quantile family driver-covered by
+                              # evt_value_percentiles_by_type (fences
+                              # derive from the same exact quartiles)
     "mm_payload_meta",        # generic payload stats; the three typed
                               # real-decode siblings (audio/image/video)
                               # stay (swapped out r5 for doc_dup_spans)

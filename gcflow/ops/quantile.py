@@ -34,6 +34,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -461,4 +462,79 @@ UNION ALL
 SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ anomaly flags
+# Tukey-fence outlier detection — the monitoring/cleaning pass over an
+# event stream: an event is anomalous when its value leaves
+# [q1 − 1.5·IQR, q3 + 1.5·IQR] for its event type.  The quartiles are
+# the EXACT grouped quantile_disc elements from the shared-scan
+# selection above (no sampled sketch), so fences — and therefore the
+# flag set — are bit-identical to the SQL oracle; the flagging itself
+# is one streaming pass against the driver-built (tiny,
+# group-cardinality-sized) fence table broadcast via ray.put.
+
+
+def q_evt_anomaly(sf_dir: str):
+    """(event_id, event_type, value) of every Tukey-fence outlier."""
+    import numpy as np
+
+    import ray
+
+    qt = q_evt_value_percentiles_by_type(sf_dir, qs=(0.25, 0.75))
+    et = qt["event_type"].to_pylist()
+    qq = qt["q"].to_pylist()
+    vv = qt["value"].to_pylist()
+    q1 = {g: v for g, q, v in zip(et, qq, vv) if q == 0.25}
+    q3 = {g: v for g, q, v in zip(et, qq, vv) if q == 0.75}
+    fences = {
+        g: (q1[g] - 1.5 * (q3[g] - q1[g]), q3[g] + 1.5 * (q3[g] - q1[g]))
+        for g in q1
+        if q1[g] is not None and q3[g] is not None
+    }
+    ref = ray.put(fences)
+    empty = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64())]
+    ).empty_table()
+
+    def flag(t: pa.Table, _r=ref) -> pa.Table:
+        f = ray.get(_r)
+        if len(t) == 0 or not f:
+            return empty
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(g, return_inverse=True)
+        lo = np.array([f.get(u, (-np.inf, np.inf))[0] for u in uniq])[inv]
+        hi = np.array([f.get(u, (-np.inf, np.inf))[1] for u in uniq])[inv]
+        m = (v < lo) | (v > hi)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()).filter(
+                    pa.array(m)
+                ),
+                "event_type": t["event_type"].filter(pa.array(m)),
+                "value": t["value"].filter(pa.array(m)),
+            }
+        )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    return rd.read_parquet(
+        src, columns=["event_id", "event_type", "value"]
+    ).map_batches(flag, batch_format="pyarrow")
+
+
+QUANTILE_QUERIES["evt_anomaly"] = q_evt_anomaly
+QUANTILE_ORACLES["evt_anomaly"] = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN q USING (event_type)
+WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
 """

@@ -298,3 +298,157 @@ SELECT o_orderstatus, count(*) AS n,
 FROM orders GROUP BY 1 ORDER BY 1
 """,
 }
+
+
+# ------------------------------------------------------------------ TPC-H Q3
+# The shipping-priority query — the canonical selective THREE-table
+# repartition-join plan: filter every side at the read (segment,
+# order date, ship date), pre-aggregate lineitem revenue per order
+# inside each batch (the combiner bounds the shuffle at one row per
+# (batch, orderkey)), then two hash-partitioned joins whose partition
+# counts track the larger side.  Revenue is integer cents (round at
+# e4 precision like rel_q1) so the float-summation order can never
+# diverge from the oracle.
+
+Q3_CUTOFF = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def q_rel_q3(sf_dir: str, k: int = 10):
+    """Top-k unshipped orders by revenue for one market segment:
+    (l_orderkey, revenue_e4, o_orderdate)."""
+    import numpy as np
+
+    from .dedup import _ensure_schema, _join_partitions
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], Q3_SEGMENT)
+        return pa.table(
+            {"c_custkey": pc.cast(t.filter(keep)["c_custkey"], pa.int64())}
+        )
+
+    cust_keys_ds = _ensure_schema(
+        cust.map_batches(cust_keys, batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        cut = pa.scalar(cutoff).cast(t["o_orderdate"].type)
+        keep = pc.less(t["o_orderdate"], cut)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+            }
+        )
+
+    orders_f = _ensure_schema(
+        orders.map_batches(order_rows, batch_format="pyarrow"),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us"))]
+        ),
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cut = pa.scalar(cutoff).cast(t["l_shipdate"].type)
+        keep = pc.greater(t["l_shipdate"], cut)
+        t = t.filter(keep)
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    10000.0,
+                )
+            ),
+            pa.int64(),
+        )
+        g = pa.table(
+            {"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()), "rev": rev}
+        ).group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    li_p = _ensure_schema(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+    )
+
+    nparts = _join_partitions(orders.count(), li.count())
+    # orders ⋈ segment customers (semi-join via inner on keys)
+    o_cust = orders_f.join(
+        cust_keys_ds, "inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    joined = li_p.join(
+        o_cust, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "rev": t["rev"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="revenue_e4"))
+    )
+    top = (
+        agg.to_pandas()
+        .sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(top["l_orderkey"], type=pa.int64()),
+            "revenue_e4": pa.array(top["revenue_e4"], type=pa.int64()),
+            "o_orderdate": pa.array(top["o_orderdate"], type=pa.timestamp("us")),
+        }
+    )
+
+
+RELATIONAL_QUERIES["rel_q3"] = q_rel_q3
+
+RELATIONAL_ORACLES["rel_q3"] = f"""
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""

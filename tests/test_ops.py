@@ -2488,3 +2488,80 @@ def test_resample_matches_pandas_twin_random(ray_session, tmp_path):
     assert (got.user_id.to_numpy() == want.user_id.to_numpy()).all()
     assert (got.hour.to_numpy() == want.hour.to_numpy()).all()
     assert (got.value.to_numpy() == want.value.to_numpy()).all()
+
+
+def test_rel_q3_matches_duckdb(ray_session):
+    """TPC-H Q3 at sf0.001: the three-table repartition-join plan
+    matches the oracle ordering and integer-cents revenue exactly."""
+    import duckdb
+
+    from gcflow.ops.relational import RELATIONAL_ORACLES, q_rel_q3
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rel_q3(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(RELATIONAL_ORACLES["rel_q3"]).df()
+    assert len(got) == len(want) > 0
+    assert got.l_orderkey.tolist() == want.l_orderkey.tolist()
+    assert got.revenue_e4.tolist() == want.revenue_e4.tolist()
+    assert list(got.o_orderdate) == list(want.o_orderdate)
+    assert got.revenue_e4.is_monotonic_decreasing
+
+
+def test_anomaly_matches_duckdb_planted(ray_session, tmp_path):
+    """Tukey fences on a planted table: a far outlier is flagged, the
+    bulk is not, and fences are per-type (a value normal for one type
+    can be anomalous for another)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import QUANTILE_ORACLES, q_evt_anomaly
+
+    # type A: tight values around 10 with one spike; type B: wide range
+    # where the same spike value is normal
+    vals_a = [10.0, 10.1, 10.2, 10.3, 10.4, 10.5, 10.6, 10.7, 500.0]
+    vals_b = [0.0, 100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0]
+    vals = vals_a + vals_b
+    types = ["A"] * len(vals_a) + ["B"] * len(vals_b)
+    base = np.datetime64("2026-05-01T00:00", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), type=pa.int64()),
+                "ts": pa.array(
+                    [base + np.timedelta64(i, "m") for i in range(len(vals))],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(vals), type=pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * len(vals)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_evt_anomaly(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.execute(QUANTILE_ORACLES["evt_anomaly"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.event_id.tolist() == want.event_id.tolist()
+    assert got.value.tolist() == want.value.tolist()
+    assert got.event_id.tolist() == [8]  # the 500.0 spike in type A only
