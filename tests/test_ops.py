@@ -2565,3 +2565,63 @@ def test_anomaly_matches_duckdb_planted(ray_session, tmp_path):
     assert got.event_id.tolist() == want.event_id.tolist()
     assert got.value.tolist() == want.value.tolist()
     assert got.event_id.tolist() == [8]  # the 500.0 spike in type A only
+
+
+def test_als_matches_serial_twin(ray_session):
+    """Distributed ALS vs a serial twin running identical arithmetic
+    (same init, same per-entity row order, same ridge solves) at
+    sf0.001: factors agree bit-for-bit, and the regularized objective
+    decreases across alternations."""
+    import numpy as np
+
+    from gcflow.ops.factorize import (
+        ALS_DIM,
+        ALS_ITERS,
+        ALS_LAMBDA,
+        _init_factors,
+        als_fit,
+        interactions_ds,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    U_ids, U, V_ids, V = als_fit(sf)
+
+    inter = interactions_ds(sf).to_pandas()
+    c = inter["cust"].to_numpy()
+    p = inter["part"].to_numpy()
+    r = inter["qty"].to_numpy().astype(np.float64)
+    d, lam = ALS_DIM, ALS_LAMBDA
+
+    def serial_half(e, o, o_ids, F):
+        pos = np.empty(int(o_ids.max()) + 1, dtype=np.int64)
+        pos[o_ids] = np.arange(len(o_ids))
+        order = np.lexsort((o, e))
+        es, os_, rs = e[order], o[order], r[order]
+        uniq, inv = np.unique(es, return_inverse=True)
+        Vm = F[pos[os_]]
+        A = np.zeros((len(uniq), d, d))
+        np.add.at(A, inv, Vm[:, :, None] * Vm[:, None, :])
+        b = np.zeros((len(uniq), d))
+        np.add.at(b, inv, Vm * rs[:, None])
+        A += lam * np.eye(d)[None]
+        return uniq, np.linalg.solve(A, b)
+
+    part_ids = np.sort(np.unique(p))
+    sV_ids, sV = part_ids, _init_factors(part_ids, d)
+    objs = []
+    sU_ids = sU = None
+    for _ in range(ALS_ITERS):
+        sU_ids, sU = serial_half(c, p, sV_ids, sV)
+        sV_ids, sV = serial_half(p, c, sU_ids, sU)
+        up = np.empty(int(sU_ids.max()) + 1, dtype=np.int64)
+        up[sU_ids] = np.arange(len(sU_ids))
+        vp = np.empty(int(sV_ids.max()) + 1, dtype=np.int64)
+        vp[sV_ids] = np.arange(len(sV_ids))
+        pred = (sU[up[c]] * sV[vp[p]]).sum(1)
+        objs.append(
+            ((pred - r) ** 2).sum()
+            + lam * ((sU**2).sum() + (sV**2).sum())
+        )
+    assert (U_ids == sU_ids).all() and (V_ids == sV_ids).all()
+    assert (U == sU).all() and (V == sV).all()  # bit-identical
+    assert all(objs[i + 1] <= objs[i] * (1 + 1e-12) for i in range(len(objs) - 1))
