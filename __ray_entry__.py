@@ -82,6 +82,8 @@ _DRIVER_OMIT = (
     "evt_anomaly",            # quantile family driver-covered by
                               # evt_value_percentiles_by_type (fences
                               # derive from the same exact quartiles)
+    "evt_rollup",             # grouped-aggregate family driver-covered
+                              # by rel_q1 + gc_heap_agg + gc_sink_counts
     "mm_payload_meta",        # generic payload stats; the three typed
                               # real-decode siblings (audio/image/video)
                               # stay (swapped out r5 for doc_dup_spans)

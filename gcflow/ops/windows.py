@@ -461,3 +461,87 @@ SELECT user_id, h AS hour,
        n_events = 0 AS filled
 FROM joined
 """
+
+
+# ------------------------------------------------------- rollup aggregation
+# Multi-level (OLAP GROUPING SETS) aggregation — the reporting rollup:
+# counts and integer-cents value sums at THREE levels at once —
+# (event_type, hour-of-day), (event_type), and grand total — matching
+# SQL GROUP BY ROLLUP exactly.  One streaming pass computes per-batch
+# partials for the FINEST level only; the coarser levels are derived
+# from the finest inside the final (tiny, ≤ types × 24 rows) reduce —
+# no second corpus pass, no extra shuffle.  NULL grouping keys are
+# rendered as the sentinel '*' so the schema stays non-null and the
+# value-hash is stable.
+
+
+def q_evt_rollup(sf_dir: str):
+    """(event_type, hour, n, value_cents) at rollup levels: finest =
+    (type, hour-of-day), then per-type totals (hour='*'), then the
+    grand total (type='*', hour='*')."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": hour,
+                "cents": cents,
+            }
+        ).group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "hour", "sp", "np"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("sp", alias_name="value_cents"),
+                   Sum("np", alias_name="n"))
+        .to_pandas()  # ≤ types × 24 rows — the rollup frontier, tiny
+    )
+    per_type = (
+        fine.groupby("event_type", as_index=False)[["value_cents", "n"]]
+        .sum()
+        .assign(hour="*")
+    )
+    total = {
+        "event_type": "*",
+        "hour": "*",
+        "value_cents": int(fine["value_cents"].sum()),
+        "n": int(fine["n"].sum()),
+    }
+    fine = fine.assign(hour=fine["hour"].astype(str))
+    import pandas as pd
+
+    out = pd.concat(
+        [fine, per_type, pd.DataFrame([total])], ignore_index=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "hour": pa.array(out["hour"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "value_cents": pa.array(out["value_cents"], type=pa.int64()),
+        }
+    )
+
+
+WINDOW_QUERIES["evt_rollup"] = q_evt_rollup
+
+WINDOW_ORACLES["evt_rollup"] = """
+SELECT coalesce(event_type, '*') AS event_type,
+       CASE WHEN GROUPING(h) = 1 THEN '*' ELSE CAST(h AS VARCHAR) END AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, value FROM events)
+GROUP BY ROLLUP (event_type, h)
+"""

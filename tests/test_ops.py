@@ -2625,3 +2625,40 @@ def test_als_matches_serial_twin(ray_session):
     assert (U_ids == sU_ids).all() and (V_ids == sV_ids).all()
     assert (U == sU).all() and (V == sV).all()  # bit-identical
     assert all(objs[i + 1] <= objs[i] * (1 + 1e-12) for i in range(len(objs) - 1))
+
+
+def test_rollup_matches_duckdb(ray_session):
+    """ROLLUP aggregation at sf0.001: all three levels match the SQL
+    GROUP BY ROLLUP exactly, and the coarser levels are consistent sums
+    of the finest."""
+    import duckdb
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_rollup
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_rollup(sf)
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_rollup"])
+        .df()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    fine = got[(got.event_type != "*") & (got.hour != "*")]
+    per_type = got[(got.event_type != "*") & (got.hour == "*")]
+    total = got[got.event_type == "*"]
+    assert len(total) == 1
+    assert total.n.iloc[0] == fine.n.sum() == per_type.n.sum()
+    assert (
+        per_type.set_index("event_type").n
+        == fine.groupby("event_type").n.sum()
+    ).all()
