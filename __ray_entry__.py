@@ -84,6 +84,10 @@ _DRIVER_OMIT = (
                               # derive from the same exact quartiles)
     "evt_rollup",             # grouped-aggregate family driver-covered
                               # by rel_q1 + gc_heap_agg + gc_sink_counts
+    "rel_fk_check",           # anti-join audit; join family covered
+                              # (zero-orphan on the clean synthetic
+                              # tables — the planted pytest is the
+                              # discriminating check)
     "mm_payload_meta",        # generic payload stats; the three typed
                               # real-decode siblings (audio/image/video)
                               # stay (swapped out r5 for doc_dup_spans)

@@ -452,3 +452,135 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
 LIMIT 10
 """
+
+
+# ------------------------------------------------------- integrity audit
+# Referential-integrity audit — the data-quality gate a pipeline runs
+# before training joins: for each FK edge, how many child rows have no
+# parent (and how many distinct orphan keys).  Pure anti-join counts,
+# computed WITHOUT Acero: child keys are pre-counted per batch (the
+# combiner bounds the shuffle at one row per (batch, key)), parent keys
+# deduped per batch, then ONE key-hash bucket sweep per edge classifies
+# each key run — a run with child rows and no parent flag is an orphan.
+# Output one row per audited edge, so the result is driver-tiny no
+# matter the corpus.
+
+FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+FK_BUCKETS = 64
+
+
+def q_rel_fk_check(sf_dir: str):
+    """(child_table, fk, n_orphan_rows, n_orphan_keys) per FK edge."""
+    import numpy as np
+
+    from .dedup import _ensure_schema
+
+    out_rows = []
+    for child, ckey, parent, pkey in FK_EDGES:
+        child_ds = _read(sf_dir, child, columns=[ckey])
+        parent_ds = _read(sf_dir, parent, columns=[pkey])
+
+        def child_partial(t: pa.Table, _k=ckey) -> pa.Table:
+            g = t.group_by([_k]).aggregate([([], "count_all")])
+            g = g.rename_columns(["key", "nc"])
+            return pa.table(
+                {
+                    "key": pc.cast(g["key"], pa.int64()),
+                    "nc": pc.cast(g["nc"], pa.int64()),
+                }
+            )
+
+        def parent_partial(t: pa.Table, _k=pkey) -> pa.Table:
+            keys = pc.unique(pc.cast(t[_k], pa.int64()))
+            return pa.table(
+                {
+                    "key": keys,
+                    "nc": pa.array(
+                        np.zeros(len(keys), dtype=np.int64) - 1
+                    ),  # parent marker: nc = -1
+                }
+            )
+
+        schema = pa.schema([("key", pa.int64()), ("nc", pa.int64())])
+        tagged = _ensure_schema(
+            child_ds.map_batches(child_partial, batch_format="pyarrow"),
+            schema,
+        ).union(
+            _ensure_schema(
+                parent_ds.map_batches(parent_partial, batch_format="pyarrow"),
+                schema,
+            )
+        )
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = (
+                (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            ) % FK_BUCKETS
+            return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+        def sweep(g: pa.Table) -> pa.Table:
+            # per key run: orphan iff no parent marker present
+            if len(g) == 0:
+                return pa.table(
+                    {"rows": pa.array([], pa.int64()),
+                     "keys": pa.array([], pa.int64())}
+                )
+            k = g["key"].to_numpy(zero_copy_only=False)
+            nc = g["nc"].to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            ks, ncs = k[order], nc[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            ends = np.append(starts[1:], len(ks))
+            has_parent = np.minimum.reduceat(ncs, starts) < 0
+            child_rows = np.add.reduceat(np.maximum(ncs, 0), starts)
+            orphan = (~has_parent) & (child_rows > 0)
+            return pa.table(
+                {
+                    "rows": pa.array([int(child_rows[orphan].sum())],
+                                     type=pa.int64()),
+                    "keys": pa.array([int(orphan.sum())], type=pa.int64()),
+                }
+            )
+
+        agg = (
+            tagged.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(sweep, batch_format="pyarrow")
+            .to_pandas()  # ≤ FK_BUCKETS rows
+        )
+        out_rows.append(
+            (child, ckey, int(agg["rows"].sum()), int(agg["keys"].sum()))
+        )
+    return pa.table(
+        {
+            "child_table": pa.array([r[0] for r in out_rows]),
+            "fk": pa.array([r[1] for r in out_rows]),
+            "n_orphan_rows": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "n_orphan_keys": pa.array([r[3] for r in out_rows], type=pa.int64()),
+        }
+    )
+
+
+RELATIONAL_QUERIES["rel_fk_check"] = q_rel_fk_check
+
+RELATIONAL_ORACLES["rel_fk_check"] = """
+SELECT 'orders' AS child_table, 'o_custkey' AS fk,
+       count(*) FILTER (c_custkey IS NULL) AS n_orphan_rows,
+       count(DISTINCT o_custkey) FILTER (c_custkey IS NULL) AS n_orphan_keys
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem', 'l_orderkey',
+       count(*) FILTER (o_orderkey IS NULL),
+       count(DISTINCT l_orderkey) FILTER (o_orderkey IS NULL)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'customer', 'c_nationkey',
+       count(*) FILTER (n_nationkey IS NULL),
+       count(DISTINCT c_nationkey) FILTER (n_nationkey IS NULL)
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""

@@ -2662,3 +2662,61 @@ def test_rollup_matches_duckdb(ray_session):
         per_type.set_index("event_type").n
         == fine.groupby("event_type").n.sum()
     ).all()
+
+
+def test_fk_check_matches_duckdb_planted(ray_session, tmp_path):
+    """Integrity audit on tables with PLANTED orphans: counts and
+    distinct-key counts must match the LEFT-JOIN oracle per edge, and
+    the clean edge must report zero."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.relational import RELATIONAL_ORACLES, q_rel_fk_check
+
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0, 1], type=pa.int64()),
+                  "n_name": pa.array(["A", "B"])}),
+        str(tmp_path / "nation.parquet"),
+    )
+    # customers 1-3 exist; customer 3 and 4 reference nation 9 (orphan)
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "c_nationkey": pa.array([0, 1, 9, 9], type=pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    # orders 10-13; order 13 references missing customer 7 twice
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([10, 11, 12, 13], type=pa.int64()),
+                  "o_custkey": pa.array([1, 2, 7, 7], type=pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    # lineitems all reference existing orders → clean edge
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([10, 10, 11], type=pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = (
+        q_rel_fk_check(str(tmp_path))
+        .to_pandas()
+        .sort_values("child_table")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("nation", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = (
+        con.execute(RELATIONAL_ORACLES["rel_fk_check"])
+        .df()
+        .sort_values("child_table")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    by = got.set_index("child_table")
+    assert by.loc["customer", "n_orphan_rows"] == 2    # two rows → nation 9
+    assert by.loc["customer", "n_orphan_keys"] == 1    # one distinct key
+    assert by.loc["orders", "n_orphan_rows"] == 2      # custkey 7 twice
+    assert by.loc["orders", "n_orphan_keys"] == 1
+    assert by.loc["lineitem", "n_orphan_rows"] == 0    # clean edge
