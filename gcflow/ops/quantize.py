@@ -166,19 +166,28 @@ PQ_ITERS = 5
 def pq_fit(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
            iters: int = PQ_ITERS) -> np.ndarray:
     """(m, k, d_sub) codebooks via fused distributed Lloyd."""
-    import pyarrow.compute as pc  # noqa: F401  (parity with family style)
     import pyarrow.parquet as pq_
 
-    import ray
     from .cluster import _init_centroids
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     first = pq_.ParquetFile(src).read_row_group(0, columns=["embedding"])
     dim = len(first["embedding"][0])
+    ds = rd.read_parquet(src, columns=["embedding"])
+    return pq_fit_from(ds, _init_centroids(src, k), dim, m=m, k=k, iters=iters)
+
+
+def pq_fit_from(ds: rd.Dataset, init_vecs: np.ndarray, dim: int,
+                m: int = PQ_M, k: int = PQ_K,
+                iters: int = PQ_ITERS) -> np.ndarray:
+    """The fused multi-codebook Lloyd core over ANY Dataset with an
+    ``embedding`` list column (raw vectors, residuals, …); ``init_vecs``
+    is a deterministic (k, dim) seed matrix."""
+    import ray
+
     assert dim % m == 0, (dim, m)
     d_sub = dim // m
-    C = _init_centroids(src, k).reshape(k, m, d_sub).transpose(1, 0, 2).copy()
-    ds = rd.read_parquet(src, columns=["embedding"])
+    C = init_vecs.reshape(k, m, d_sub).transpose(1, 0, 2).copy()
 
     for _ in range(iters):
         cref = ray.put(C)

@@ -867,3 +867,260 @@ def q_emb_pq_search(sf_dir: str):
 
 SIMILARITY_QUERIES["emb_pq_search"] = q_emb_pq_search
 # quantization-approximate ranks — rows-only (recall pinned in pytest)
+
+
+# ------------------------------------------------------------- IVF-PQ search
+# The full billion-scale ANN layout (Jégou et al. 2011 §V "IVFADC"):
+# coarse IVF cells prune the corpus to nprobe partitions, and WITHIN
+# the probed cells the scan reads only 8-byte RESIDUAL-PQ codes (each
+# vector encoded against its cell centroid's residual — residual
+# magnitudes are far smaller than raw vectors, so the same code budget
+# quantizes much finer).  The per-(query, cell) ADC tables are built
+# once on the driver (n_q × nprobe × M × k floats — KBs) and broadcast;
+# the shortlist reranks exactly against row-filtered full vectors, as
+# in q_emb_pq_search.  The codes sidecar is built once per corpus and
+# published race-safely next to the IVF index (same tmp-dir + atomic
+# rename protocol).
+
+
+def build_ivfpq_codes(sf_dir: str, index_root: str = "/tmp/gcflow_ivfpq"):
+    """(codes_dir, codebooks): residual-PQ codes per IVF cell, cached
+    per (corpus, params) like the IVF/LSH indexes."""
+    import hashlib as _hl
+
+    from .quantize import PQ_ITERS, PQ_K, PQ_M, pq_fit_from
+
+    index_dir, counts, C_coarse = build_ivf_index(sf_dir)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|ivfpq{IVF_NLIST}x{PQ_M}x{PQ_K}|it{PQ_ITERS}"
+    )
+    codes_dir = os.path.join(index_root, _hl.md5(key.encode()).hexdigest()[:16])
+    cb_path = os.path.join(codes_dir, "codebooks.npy")
+    if os.path.exists(cb_path):
+        return codes_dir, np.load(cb_path)
+
+    dim = C_coarse.shape[1]
+    ccref = ray.put(C_coarse)
+
+    def residual(t: pa.Table) -> pa.Table:
+        Cc = ray.get(ccref)
+        V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        cells = t["cell_id"].to_numpy().astype(np.int64)
+        R = V - Cc[cells]
+        flat = pa.array(R.reshape(-1), type=pa.float64())
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(R) + 1, dtype=np.int32) * dim), flat
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cell_id": t["cell_id"],
+                "embedding": lists,
+            }
+        )
+
+    # the IVF index dir holds .npy sidecars next to the cell=* subdirs —
+    # enumerate the parquet files explicitly (cell_id is a data column)
+    cell_files = []
+    for d in sorted(os.listdir(index_dir)):
+        gd = os.path.join(index_dir, d)
+        if d.startswith("cell=") and os.path.isdir(gd):
+            cell_files.extend(
+                os.path.join(gd, f) for f in sorted(os.listdir(gd))
+                if f.endswith(".parquet")
+            )
+    res_ds = rd.read_parquet(
+        cell_files, columns=["vec_id", "cell_id", "embedding"]
+    ).map_batches(residual, batch_format="pyarrow")
+
+    # deterministic init: residuals of the k smallest vec_ids
+    import pyarrow.dataset as pads
+
+    init_t = pads.dataset(cell_files).to_table(
+        columns=["vec_id", "cell_id", "embedding"],
+        filter=pads.field("vec_id") < PQ_K,
+    )
+    ids = init_t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    Vi = np.vstack(init_t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )[order]
+    cells_i = init_t["cell_id"].to_numpy().astype(np.int64)[order]
+    init_vecs = Vi - C_coarse[cells_i]
+
+    cb = pq_fit_from(res_ds, init_vecs, dim)
+    # encode per batch WITH the cell column carried along (pq_encode
+    # drops it), so the partitioned write needs no re-attach join
+    cbref = ray.put(cb)
+
+    def encode_with_cell(t: pa.Table) -> pa.Table:
+        Cl = ray.get(cbref)
+        mm, kk, d_sub = Cl.shape
+        V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        ).reshape(-1, mm, d_sub)
+        d2 = -2.0 * np.einsum("nmd,mkd->nmk", V, Cl) + (
+            Cl * Cl
+        ).sum(axis=2)[None, :, :]
+        a = np.argmin(d2, axis=2).astype(np.uint8)
+        n = len(V)
+        codes = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None,
+             pa.py_buffer((np.arange(n + 1, dtype=np.int32) * mm).tobytes()),
+             pa.py_buffer(a.tobytes())],
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cell_id": t["cell_id"],
+                "cell": t["cell_id"],
+                "codes": codes,
+            }
+        )
+
+    tmp_dir = f"{codes_dir}.building.{os.getpid()}"
+    res_ds.map_batches(encode_with_cell, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["cell"]
+    )
+    if not _publish_index(tmp_dir, codes_dir, [(cb_path, cb)]):
+        return codes_dir, np.load(cb_path)
+    return codes_dir, cb
+
+
+def q_emb_ivfpq_search(sf_dir: str, nprobe: int | None = None):
+    """(query_id, neighbor_id, rank): IVFADC — probe nprobe cells, ADC
+    over the probed cells' residual-PQ codes only, exact rerank."""
+    qids, Q = _read_queries(sf_dir)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    index_dir, counts, C_coarse = build_ivf_index(sf_dir)
+    codes_dir, cb = build_ivfpq_codes(sf_dir)
+    m, kc, d_sub = cb.shape
+    dim = C_coarse.shape[1]
+
+    if nprobe is None:
+        nprobe = int(IVF_NPROBE) if IVF_NPROBE is not None else _auto_nprobe(counts)
+    nprobe = min(nprobe, IVF_NLIST)
+    cell_order = np.argsort(-(Qn @ C_coarse.T), axis=1, kind="stable")[:, :nprobe]
+    selected = sorted(set(cell_order.ravel().tolist()))
+    sel_pos = {g: i for i, g in enumerate(selected)}
+    # per-(query, selected-cell) ADC tables over the RESIDUAL space:
+    # ‖(q − c_cell) − r‖² per codeword — built once, a few hundred KB
+    lut = np.zeros((len(qids), len(selected), m, kc))
+    probe_ok = np.zeros((len(qids), len(selected)), dtype=bool)
+    for qi in range(len(qids)):
+        for g in cell_order[qi]:
+            resq = (Q[qi] - C_coarse[g]).reshape(m, d_sub)
+            lut[qi, sel_pos[g]] = (
+                (resq[:, None, :] - cb) ** 2
+            ).sum(axis=2)
+            probe_ok[qi, sel_pos[g]] = True
+
+    paths = []
+    for g in selected:
+        gd = os.path.join(codes_dir, f"cell={g}")
+        if os.path.isdir(gd):
+            paths.extend(
+                os.path.join(gd, f) for f in sorted(os.listdir(gd))
+                if f.endswith(".parquet")
+            )
+    empty = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("cos", pa.float64())]
+    ).empty_table()
+    if not paths:
+        return _topk_reduce(empty.to_pandas())
+
+    ref = ray.put((qids, lut, probe_ok, sel_pos))
+
+    def scan(t: pa.Table, _r=ref) -> pa.Table:
+        qids, lut, probe_ok, sel_pos = ray.get(_r)
+        ids = t["vec_id"].to_numpy()
+        cells = t["cell_id"].to_numpy().astype(np.int64)
+        raw = t["codes"]
+        raw = raw.combine_chunks() if isinstance(raw, pa.ChunkedArray) else raw
+        bufs = raw.buffers()
+        codes = np.frombuffer(bufs[2], dtype=np.uint8)[
+            : len(t) * lut.shape[2]
+        ].reshape(len(t), lut.shape[2]).astype(np.int64)
+        spos = np.array([sel_pos[c] for c in cells], dtype=np.int64)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            ok = probe_ok[qi, spos] & (ids != qid)
+            if not ok.any():
+                continue
+            sp, cd, vid = spos[ok], codes[ok], ids[ok]
+            d = np.zeros(len(sp))
+            for mi in range(lut.shape[2]):
+                d += lut[qi, sp, mi, cd[:, mi]]
+            order = np.lexsort((vid, d))[:PQ_SHORTLIST]
+            out_q.extend([int(qid)] * len(order))
+            out_v.extend(vid[order].tolist())
+            out_c.extend((-d[order]).tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_v, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partials = rd.read_parquet(
+        paths, columns=["vec_id", "cell_id", "codes"]
+    ).map_batches(scan, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if len(partials) == 0:
+        return _topk_reduce(empty.to_pandas())
+    partials = partials.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    short = partials.groupby("query_id", sort=True).head(PQ_SHORTLIST)
+    cand_ids = sorted(set(short["neighbor_id"]))
+    ct = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids)],
+    )
+    cids = ct["vec_id"].to_numpy()
+    CV = np.vstack(ct["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    pos = {int(v): i for i, v in enumerate(cids)}
+    rows = []
+    for qi, qid in enumerate(qids):
+        s = short[short["query_id"] == qid]
+        if len(s) == 0:
+            continue
+        idx = np.array([pos[int(v)] for v in s["neighbor_id"]], dtype=np.int64)
+        d = ((CV[idx] - Q[qi]) ** 2).sum(axis=1)
+        nb = s["neighbor_id"].to_numpy()
+        order = np.lexsort((nb, d))[:TOP_K]
+        rows.append((np.full(len(order), qid, dtype=np.int64), nb[order]))
+    if not rows:
+        return pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+             ("rank", pa.int64())]
+        ).empty_table()
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate([r[0] for r in rows])),
+            "neighbor_id": pa.array(
+                np.concatenate([r[1] for r in rows]), type=pa.int64()
+            ),
+            "rank": pa.array(
+                np.concatenate([np.arange(1, len(r[1]) + 1) for r in rows]),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+SIMILARITY_QUERIES["emb_ivfpq_search"] = q_emb_ivfpq_search
+# cell pruning + code quantization — rows-only (recall pinned in pytest)

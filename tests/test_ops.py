@@ -2720,3 +2720,58 @@ def test_fk_check_matches_duckdb_planted(ray_session, tmp_path):
     assert by.loc["orders", "n_orphan_rows"] == 2      # custkey 7 twice
     assert by.loc["orders", "n_orphan_keys"] == 1
     assert by.loc["lineitem", "n_orphan_rows"] == 0    # clean edge
+
+
+def test_ivfpq_search_recall_on_clustered_fixture(ray_session, tmp_path):
+    """IVFADC (coarse cells + residual-PQ codes + exact rerank) on a
+    clustered corpus: recall@10 vs exact L2 must be high, the rank
+    contract must hold, and the codes sidecar must be cell-partitioned
+    8-byte codes (the IO the scan actually touches)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.similarity import (
+        N_QUERIES,
+        TOP_K,
+        build_ivfpq_codes,
+        q_emb_ivfpq_search,
+    )
+
+    rs = np.random.RandomState(17)
+    n_clusters, per, dim = 40, 15, 64
+    centers = rs.normal(0, 1, (n_clusters, dim))
+    V = np.repeat(centers, per, axis=0) + rs.normal(
+        0, 0.05, (n_clusters * per, dim)
+    )
+    ids = np.arange(len(V), dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    list(V.astype(np.float32)), type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(len(V), dtype=np.int64)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = q_emb_ivfpq_search(str(tmp_path)).to_pandas()
+    Vd = V.astype(np.float32).astype(np.float64)
+    recalls = []
+    for q in range(N_QUERIES):
+        sub = got[got.query_id == q]
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        assert q not in set(sub.neighbor_id)
+        d = ((Vd - Vd[q]) ** 2).sum(axis=1)
+        keep = ids != q
+        exact = set(ids[keep][np.lexsort((ids[keep], d[keep]))[:TOP_K]])
+        recalls.append(len(exact & set(sub.neighbor_id)) / TOP_K)
+    assert np.mean(recalls) >= 0.85, recalls
+    codes_dir, cb = build_ivfpq_codes(str(tmp_path))
+    assert cb.shape[0] * 1 == 8  # M subspaces → 8-byte codes
+    cells = [d for d in os.listdir(codes_dir) if d.startswith("cell=")]
+    assert len(cells) > 1  # genuinely partitioned
