@@ -277,6 +277,7 @@ def main():
     from gcflow.ops.similarity import (
         q_doc_bm25_topk,
         q_emb_ann_topk,
+        q_emb_ivfpq_search,
         q_emb_pq_search,
     )
     from gcflow.ops.curation import q_doc_ngram_overlap
@@ -320,6 +321,7 @@ def main():
         ("evt_funnel", q_evt_funnel),
         ("evt_resample", q_evt_resample),
         ("emb_pq_search", q_emb_pq_search),
+        ("emb_ivfpq_search", q_emb_ivfpq_search),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

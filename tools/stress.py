@@ -158,6 +158,7 @@ def main() -> None:
     from gcflow.ops.dedup import q_doc_cross_dedup
     from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.quantize import q_emb_pq
+    from gcflow.ops.similarity import q_emb_ivfpq_search
     from gcflow.ops.text import (
         q_doc_dsir_weight,
         q_doc_sample_unimax,
@@ -181,6 +182,7 @@ def main() -> None:
         "evt_funnel": (q_evt_funnel, "events"),
         "evt_resample": (q_evt_resample, "events"),
         "emb_pq": (q_emb_pq, "embeddings"),
+        "emb_ivfpq_search": (q_emb_ivfpq_search, "embeddings"),
         "evt_value_percentiles_by_type": (
             q_evt_value_percentiles_by_type, "events",
         ),
