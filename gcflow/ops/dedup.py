@@ -1371,8 +1371,18 @@ def q_doc_dup_clusters(sf_dir: str):
     so an unchanged sum is a fixpoint.  No per-round driver collect; the
     per-round driver traffic is one scalar.  Output: (doc_id, component)
     for every document in a pair, component = smallest doc_id reachable
-    through jaccard ≥ 0.7 edges."""
-    pairs = q_doc_ngram_jaccard(sf_dir)
+    through jaccard ≥ 0.7 edges.
+
+    Edges come from the MinHash-band path, not the exact shingle-keyed
+    pair emit: both verify candidates by exact jaccard and share the
+    same oracle (recall ≈ 1 at ≥ 0.7 under the 32×4 banding — the claim
+    the minhash op's own hash-match pins every round), but the exact
+    path's per-shingle cross products are quadratic in n-gram
+    POPULARITY and time out on replica-heavy corpora (measured on the
+    ×24 stress, see BASELINE.md), while band runs track near-dup family
+    size.  The clustering and its compositions (near_dedup keep-list,
+    SoftDeDup weights) inherit the scale-robust source."""
+    pairs = q_doc_minhash_lsh(sf_dir)
     if isinstance(pairs, pa.Table):  # dup-free corpus short-circuit
         return pa.schema(
             [("doc_id", pa.int64()), ("component", pa.int64())]

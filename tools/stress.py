@@ -155,7 +155,7 @@ def main() -> None:
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.quantile import q_evt_value_percentiles_by_type
     from gcflow.ops.classifier import q_doc_quality_classifier
-    from gcflow.ops.dedup import q_doc_cross_dedup
+    from gcflow.ops.dedup import q_doc_cross_dedup, q_doc_softdedup_weight
     from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.quantize import q_emb_pq
     from gcflow.ops.similarity import q_emb_ivfpq_search
@@ -177,6 +177,7 @@ def main() -> None:
         "doc_pack_sequences": (q_doc_pack_sequences, "documents"),
         "doc_dup_spans": (q_doc_dup_spans, "documents"),
         "doc_cross_dedup": (q_doc_cross_dedup, "documents"),
+        "doc_softdedup_weight": (q_doc_softdedup_weight, "documents"),
         "doc_quality_classifier": (q_doc_quality_classifier, "documents"),
         "doc_sample_unimax": (q_doc_sample_unimax, "documents"),
         "evt_funnel": (q_evt_funnel, "events"),
