@@ -114,6 +114,11 @@ def logreg_fit(feats: rd.Dataset, iters: int = IRLS_ITERS,
         w_ref = ray.put(w)
 
         def partial(t: pa.Table, _w=w_ref) -> pa.Table:
+            if len(t) == 0:  # empty block: pc.min below would yield null
+                return pa.schema(
+                    [("k", pa.int64()), ("b", pa.int64()),
+                     ("h", pa.binary()), ("g", pa.binary())]
+                ).empty_table()
             X, y = _feat_matrix(t)
             H, g = irls_step_partials(ray.get(_w), X, y)
             bmin = int(pc.min(t["doc_id"]).as_py())  # deterministic merge key

@@ -1065,6 +1065,10 @@ def q_doc_ngram_overlap(sf_dir: str):
             empty = pa.table(
                 {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
             )
+            # empty bench side: nothing can overlap (and the searchsorted
+            # probe below would index into a zero-length array)
+            if len(self.bench_hashes) == 0:
+                return empty
             train = t.filter(
                 pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MOD != 0)
             )

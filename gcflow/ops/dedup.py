@@ -272,6 +272,16 @@ def _cooccur_pairs(kd: rd.Dataset, num_buckets: int = N_PAIR_BUCKETS) -> rd.Data
     )
 
 
+def _count_to_cand(t: pa.Table) -> pa.Table:
+    """Drop the multiplicity from a ``_pair_group_counts`` result,
+    keeping just the distinct (doc_a, doc_b) candidate pairs."""
+    if len(t) == 0:
+        return pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        ).empty_table()
+    return t.select(["doc_a", "doc_b"])
+
+
 def _pair_group_counts(
     pairs: rd.Dataset, val: str | None = None, num_buckets: int = N_PAIR_BUCKETS
 ) -> rd.Dataset:
@@ -581,16 +591,9 @@ def q_doc_cross_dedup(sf_dir: str):
         .map_groups(cross_sweep, batch_format="pyarrow")
     )
 
-    def count_to_cand(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.schema(
-                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
-            ).empty_table()
-        return t.select(["doc_a", "doc_b"])
-
     # cross-bucket pair dedupe (the count is discarded)
     cand = _pair_group_counts(pairs).map_batches(
-        count_to_cand, batch_format="pyarrow"
+        _count_to_cand, batch_format="pyarrow"
     ).materialize()
     n_cand = cand.count()
     if n_cand == 0:
@@ -815,15 +818,8 @@ def q_doc_minhash_lsh(sf_dir: str):
     )
     pairs = _cooccur_pairs(bands)
 
-    def count_to_cand(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.schema(
-                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
-            ).empty_table()
-        return t.select(["doc_a", "doc_b"])
-
     cand = _pair_group_counts(pairs).map_batches(
-        count_to_cand, batch_format="pyarrow"
+        _count_to_cand, batch_format="pyarrow"
     ).materialize()
     n_cand = cand.count()
     if n_cand == 0:  # see q_doc_ngram_jaccard: empty left crashes join
@@ -1269,7 +1265,10 @@ def _semdedup_codebook(sf_dir: str, k: int, iters: int) -> np.ndarray:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     total = pq.read_metadata(src).num_rows
-    stride = max(1, (total + total // 10) // SEMDEDUP_TRAIN_MAX)
+    # ceil division: floor would let the sample reach ~2× the ceiling
+    # when n_est sits just under a stride boundary
+    n_est = total + total // 10
+    stride = max(1, -(-n_est // SEMDEDUP_TRAIN_MAX))
 
     def take_stride(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)

@@ -768,6 +768,70 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP}
 
 PQ_SHORTLIST = 50
 
+_RANK_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+     ("rank", pa.int64())]
+)
+
+
+def _rerank_shortlist(
+    partials, qids, Q: np.ndarray, sf_dir: str, shortlist: int = PQ_SHORTLIST
+) -> pa.Table:
+    """Shared exact-rerank tail of the PQ / IVF-PQ searches: take the
+    per-query ADC shortlist (pandas ``partials`` with columns query_id /
+    neighbor_id / cos, cos descending = ADC distance ascending), fetch
+    ONLY the shortlist vectors full-precision via a row-filtered parquet
+    read (O(queries × shortlist) fp32 IO, never O(corpus)), rerank by
+    exact L2, and emit (query_id, neighbor_id, rank) with ties broken by
+    neighbor_id ascending.  All degenerate-corpus guards live here once
+    so the two callers cannot drift."""
+    if len(partials) == 0:
+        return _RANK_SCHEMA.empty_table()
+    partials = partials.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    short = partials.groupby("query_id", sort=True).head(shortlist)
+    cand_ids = sorted(set(short["neighbor_id"]))
+    if not cand_ids:
+        return _RANK_SCHEMA.empty_table()
+    ct = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids)],
+    )
+    if len(ct) == 0:
+        return _RANK_SCHEMA.empty_table()
+    cids = ct["vec_id"].to_numpy()
+    CV = np.vstack(ct["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    pos = {int(v): i for i, v in enumerate(cids)}
+    rows = []
+    for qi, qid in enumerate(qids):
+        s = short[short["query_id"] == qid]
+        if len(s) == 0:
+            continue
+        idx = np.array([pos[int(v)] for v in s["neighbor_id"]], dtype=np.int64)
+        d = ((CV[idx] - Q[qi]) ** 2).sum(axis=1)
+        nb = s["neighbor_id"].to_numpy()
+        order = np.lexsort((nb, d))[:TOP_K]
+        rows.append((np.full(len(order), qid, dtype=np.int64), nb[order]))
+    if not rows:
+        return _RANK_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate([r[0] for r in rows])),
+            "neighbor_id": pa.array(
+                np.concatenate([r[1] for r in rows]), type=pa.int64()
+            ),
+            "rank": pa.array(
+                np.concatenate([np.arange(1, len(r[1]) + 1) for r in rows]),
+                type=pa.int64(),
+            ),
+        }
+    )
+
 
 def q_emb_pq_search(sf_dir: str):
     """(query_id, neighbor_id, rank): top-k via PQ-ADC shortlist +
@@ -824,45 +888,7 @@ def q_emb_pq_search(sf_dir: str):
         partial_topk, fn_args=(ref,), batch_format="pyarrow", batch_size=4096
     ).to_pandas()
     # per-query ADC shortlist (bounded: n_queries × PQ_SHORTLIST rows)
-    partials = partials.sort_values(
-        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
-        kind="stable",
-    )
-    short = partials.groupby("query_id", sort=True).head(PQ_SHORTLIST)
-    cand_ids = sorted(set(short["neighbor_id"]))
-    # exact rerank: row-filtered fetch of ONLY the shortlist vectors
-    ct = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "in", cand_ids)],
-    )
-    cids = ct["vec_id"].to_numpy()
-    CV = np.vstack(ct["embedding"].to_numpy(zero_copy_only=False)).astype(
-        np.float64
-    )
-    pos = {int(v): i for i, v in enumerate(cids)}
-    rows = []
-    for qi, qid in enumerate(qids):
-        s = short[short["query_id"] == qid]
-        idx = np.array([pos[int(v)] for v in s["neighbor_id"]], dtype=np.int64)
-        d = ((CV[idx] - Q[qi]) ** 2).sum(axis=1)
-        nb = s["neighbor_id"].to_numpy()
-        order = np.lexsort((nb, d))[:TOP_K]
-        rows.append((np.full(len(order), qid, dtype=np.int64), nb[order]))
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate([r[0] for r in rows])),
-            "neighbor_id": pa.array(
-                np.concatenate([r[1] for r in rows]), type=pa.int64()
-            ),
-            "rank": pa.array(
-                np.concatenate(
-                    [np.arange(1, len(r[1]) + 1) for r in rows]
-                ),
-                type=pa.int64(),
-            ),
-        }
-    )
+    return _rerank_shortlist(partials, qids, Q, sf_dir)
 
 
 SIMILARITY_QUERIES["emb_pq_search"] = q_emb_pq_search
@@ -1075,51 +1101,7 @@ def q_emb_ivfpq_search(sf_dir: str, nprobe: int | None = None):
     partials = rd.read_parquet(
         paths, columns=["vec_id", "cell_id", "codes"]
     ).map_batches(scan, batch_format="pyarrow", batch_size=4096).to_pandas()
-    if len(partials) == 0:
-        return _topk_reduce(empty.to_pandas())
-    partials = partials.sort_values(
-        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
-        kind="stable",
-    )
-    short = partials.groupby("query_id", sort=True).head(PQ_SHORTLIST)
-    cand_ids = sorted(set(short["neighbor_id"]))
-    ct = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "in", cand_ids)],
-    )
-    cids = ct["vec_id"].to_numpy()
-    CV = np.vstack(ct["embedding"].to_numpy(zero_copy_only=False)).astype(
-        np.float64
-    )
-    pos = {int(v): i for i, v in enumerate(cids)}
-    rows = []
-    for qi, qid in enumerate(qids):
-        s = short[short["query_id"] == qid]
-        if len(s) == 0:
-            continue
-        idx = np.array([pos[int(v)] for v in s["neighbor_id"]], dtype=np.int64)
-        d = ((CV[idx] - Q[qi]) ** 2).sum(axis=1)
-        nb = s["neighbor_id"].to_numpy()
-        order = np.lexsort((nb, d))[:TOP_K]
-        rows.append((np.full(len(order), qid, dtype=np.int64), nb[order]))
-    if not rows:
-        return pa.schema(
-            [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
-             ("rank", pa.int64())]
-        ).empty_table()
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate([r[0] for r in rows])),
-            "neighbor_id": pa.array(
-                np.concatenate([r[1] for r in rows]), type=pa.int64()
-            ),
-            "rank": pa.array(
-                np.concatenate([np.arange(1, len(r[1]) + 1) for r in rows]),
-                type=pa.int64(),
-            ),
-        }
-    )
+    return _rerank_shortlist(partials, qids, Q, sf_dir)
 
 
 SIMILARITY_QUERIES["emb_ivfpq_search"] = q_emb_ivfpq_search

@@ -275,25 +275,26 @@ def q_evt_funnel(sf_dir: str):
         new_user[1:] = u[1:] != u[:-1]
         seg_starts = np.flatnonzero(new_user)
         seg_len = np.diff(np.append(seg_starts, n))
-        pos = np.arange(n, dtype=np.int64)
-        # stage-by-stage: per-user position of the earliest qualifying
-        # event (strictly after the previous stage's position; (user, ts)
-        # pairs are unique so position order == strict time order)
-        prev = np.full(len(seg_starts), -1, dtype=np.int64)  # "before start"
-        stage_pos = []
+        # stage-by-stage: per-user EARLIEST timestamp of a qualifying
+        # event, strictly LATER than the previous stage's chosen
+        # timestamp — the comparison is on ts values (not sort
+        # positions), so same-(user, ts) events of different stages can
+        # never satisfy a stage transition, exactly like the oracle's
+        # `e.ts > prev.ts` predicate.
+        prev = np.full(len(seg_starts), np.iinfo(np.int64).min, dtype=np.int64)
+        stage_ts = []
         for st in stages:
             prev_row = np.repeat(prev, seg_len)
-            cand = np.where((e == st) & (pos > prev_row), pos, INF)
+            cand = np.where((e == st) & (s > prev_row), s, INF)
             first = np.minimum.reduceat(cand, seg_starts)
-            stage_pos.append(first)
-            prev = first  # users already at INF stay at INF (pos > INF never)
-        done = stage_pos[-1] < INF
+            stage_ts.append(first)
+            prev = first  # users already at INF stay at INF (s > INF never)
+        done = stage_ts[-1] < INF
         if not done.any():
             return empty
         cols = {"user_id": pa.array(u[seg_starts][done], type=pa.int64())}
-        ts_arr = g["ts"].take(pa.array(order))
-        for st, p in zip(stages, stage_pos):
-            cols[f"ts_{st}"] = ts_arr.take(pa.array(p[done]))
+        for st, p in zip(stages, stage_ts):
+            cols[f"ts_{st}"] = pa.array(p[done].astype("datetime64[us]"))
         return pa.table(cols)
 
     return (

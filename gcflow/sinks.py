@@ -147,6 +147,7 @@ def _write_tsv_union(
     contract); the distribution win is that blocks write concurrently
     and nothing event-sized ever reaches the driver."""
     import hashlib
+    import uuid
 
     def key_pos(t: pa.Table) -> pa.Table:
         pos: dict[str, int] = {}
@@ -173,6 +174,12 @@ def _write_tsv_union(
     os.makedirs(path, exist_ok=True)
 
     shard_schema = pa.schema([("shard", pa.string()), ("rows", pa.int64())])
+    # a run OWNS the directory: clear stale shards so the directory
+    # always equals exactly this run's manifest (shard names are unique
+    # per write, so a re-run would otherwise accumulate)
+    for f in os.listdir(path):
+        if f.startswith("part-") and f.endswith(".tsv"):
+            os.unlink(os.path.join(path, f))
 
     def write_shard(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -184,8 +191,14 @@ def _write_tsv_union(
                 vals[hidx[k]] = v
             lines.append(delimiter.join(vals))
         blob = "\n".join(lines) + "\n"
+        # content hash alone would collapse byte-identical blocks (a
+        # replicated log produces them) into ONE file while the manifest
+        # counts both — the uuid suffix keeps every block's shard
+        # distinct regardless of content, pid, or task scheduling.
         shard = os.path.join(
-            path, f"part-{hashlib.md5(blob.encode()).hexdigest()[:16]}.tsv"
+            path,
+            f"part-{hashlib.md5(blob.encode()).hexdigest()[:12]}"
+            f"-{uuid.uuid4().hex[:8]}.tsv",
         )
         tmp = f"{shard}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:

@@ -1685,6 +1685,27 @@ def test_ngram_overlap_matches_duckdb_planted(ray_session, tmp_path):
     assert got.n_overlap.tolist() == want.n_overlap.tolist()
 
 
+def test_ngram_overlap_empty_bench_side(ray_session, tmp_path):
+    """A corpus with NO bench docs (no doc_id % 29 == 0) must yield an
+    empty result, not crash.  Regression: the searchsorted probe once
+    indexed into the zero-length bench-hash array."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import q_doc_ngram_overlap
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma delta epsilon zeta tail"] * 3
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    assert len(q_doc_ngram_overlap(str(tmp_path)).to_pandas()) == 0
+
+
 def test_bpe_token_count_matches_serial_twin(ray_session, tmp_path):
     """Per-doc BPE token counts equal a word-by-word serial encode under
     the same merge sequence (EOW folds into its merged token)."""
@@ -2006,6 +2027,33 @@ def test_quality_classifier_matches_serial_twin(ray_session):
     assert (got.quality_score.to_numpy() == again.quality_score.to_numpy()).all()
 
 
+def test_logreg_fit_tolerates_empty_feature_block(ray_session):
+    """An empty block in the feature dataset must contribute a 0-row
+    partial, not crash the IRLS pass.  Regression: the per-batch partial
+    once did int(pc.min(empty)) → TypeError(None)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gcflow.ops.classifier import (
+        _feat_matrix,
+        _feature_table,
+        logreg_fit,
+        logreg_fit_serial,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    feats = _feature_table(t)
+    ds = rd.from_arrow([feats, feats.schema.empty_table()]).materialize()
+    w = logreg_fit(ds)
+    X, y = _feat_matrix(feats)
+    assert np.abs(w - logreg_fit_serial(X, y)).max() < 1e-10
+
+
 def test_unimax_quotas_waterfill():
     """The water-fill allocator against hand-derived expectations: with
     budget 400 over caps (64,70,73,75,218) the four small languages are
@@ -2199,6 +2247,69 @@ def test_funnel_matches_bruteforce_random(ray_session, tmp_path):
         assert tuple(np.datetime64(x) for x in got[u]) == want[u]
 
 
+def test_funnel_same_timestamp_ties(ray_session, tmp_path):
+    """Strict-time semantics on (user, ts) ties: a stage event at the
+    SAME timestamp as the previous stage's pick must not count (the
+    oracle's `e.ts > prev.ts` is strict).  Regression: the sweep once
+    compared lexsort positions, which accepted same-ts progressions."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_funnel
+
+    def ts(minute):
+        return np.datetime64("2026-01-01T00:00", "us") + np.timedelta64(
+            minute, "m"
+        )
+
+    rows = [
+        # user 1: click shares the view's ts and no later click exists
+        # → must NOT complete
+        (1, 0, "view"), (1, 0, "click"), (1, 1, "purchase"),
+        # user 2: same-ts click skipped, the later one wins; purchase at
+        # the click's ts skipped too, the later one completes
+        (2, 0, "view"), (2, 0, "click"), (2, 1, "click"),
+        (2, 1, "purchase"), (2, 2, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), type=pa.int64()),
+                "ts": pa.array([ts(m) for _, m, _ in rows],
+                               type=pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _ in rows], type=pa.int64()),
+                "event_type": pa.array([e for _, _, e in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_evt_funnel(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_funnel"])
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.user_id) == list(want.user_id) == [2]
+    for c in ("ts_view", "ts_click", "ts_purchase"):
+        assert list(got[c]) == list(want[c])
+    assert got.loc[0, "ts_click"] == ts(1)
+    assert got.loc[0, "ts_purchase"] == ts(2)
+
+
 def test_unimax_quota_invariants_random():
     """Water-fill invariants over random count tables: quotas never
     exceed caps, the float allocation exactly exhausts min(budget,
@@ -2270,6 +2381,23 @@ def test_pq_matches_serial_twin(ray_session):
         [C[mi][rs.randint(0, k, size=n)] for mi in range(m)], axis=1
     )
     assert err.mean() < 0.5 * ((Vs - rand) ** 2).sum(axis=(1, 2)).mean()
+
+
+def test_rerank_shortlist_degenerate_inputs():
+    """The shared PQ/IVF-PQ exact-rerank tail must return an empty rank
+    table (not crash on np.vstack of zero vectors) when the ADC scan
+    produced no candidates.  Regression: the PQ path once lacked the
+    guards its IVF-PQ twin had."""
+    import numpy as np
+    import pandas as pd
+
+    from gcflow.ops.similarity import _RANK_SCHEMA, _rerank_shortlist
+
+    empty = pd.DataFrame(columns=["query_id", "neighbor_id", "cos"])
+    out = _rerank_shortlist(
+        empty, np.array([7], dtype=np.int64), np.zeros((1, 4)), "/nonexistent"
+    )
+    assert out.schema.equals(_RANK_SCHEMA) and len(out) == 0
 
 
 def test_pq_search_recall_on_clustered_fixture(ray_session, tmp_path):

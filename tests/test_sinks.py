@@ -116,11 +116,40 @@ def test_tsv_union_schema_shards(ray_session, tmp_path):
             cells[cols.index(k)] = v
         want.add("\t".join(cells))
     assert set(rows) == want and len(rows) == len(want_rows)
-    # re-run overwrites (content-hash names), never duplicates
-    sinks.write_tsv(events, out, with_rates=False, schema="union")
-    assert sorted(
+    # re-run owns the directory: stale shards cleared, never accumulated
+    manifest2 = sinks.write_tsv(events, out, with_rates=False, schema="union")
+    shards2 = sorted(
         os.path.join(out, f) for f in os.listdir(out) if f.endswith(".tsv")
-    ) == shards
+    )
+    assert shards2 == sorted(manifest2["shard"])
+    assert int(manifest2["rows"].sum()) == len(want_rows)
+
+
+def test_tsv_union_identical_blocks_not_collapsed(ray_session, tmp_path):
+    """Byte-identical batches (a replicated log produces them) must each
+    land their own shard: content-hash-only names would silently drop a
+    full block while the manifest double-counts it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(tr.fixture_transcripts(names=["fragment.txt"]))
+    one = (
+        pl.parse_events(ds, mode="basic", enrich=False)
+        .limit(1)
+        .take_batch(1, batch_format="pyarrow")
+    )
+    # 8192 copies of ONE row → map_batches(batch_size=4096) yields ≥2
+    # byte-identical TSV blobs
+    events = rd.from_arrow(pa.concat_tables([one] * 8192)).repartition(2)
+    out = str(tmp_path / "tsv_dupblocks")
+    manifest = sinks.write_tsv(events, out, with_rates=False, schema="union")
+    assert len(manifest) >= 2  # really exercised the collision case
+    disk_rows = 0
+    for f in os.listdir(out):
+        if f.endswith(".tsv"):
+            disk_rows += len(open(os.path.join(out, f)).read()
+                             .rstrip("\n").split("\n")) - 1  # minus header
+    assert disk_rows == int(manifest["rows"].sum()) == 8192
 
 
 def test_graphite_tcp_transport(fragment_events):
