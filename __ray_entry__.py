@@ -91,6 +91,9 @@ _DRIVER_OMIT = (
     "mm_payload_meta",        # generic payload stats; the three typed
                               # real-decode siblings (audio/image/video)
                               # stay (swapped out r5 for doc_dup_spans)
+    "doc_epoch_shuffle",      # sampling/ordering family; driver-covered
+                              # by doc_sample + doc_sample_temperature
+                              # (judge-checked via tools/parity.py)
 )
 
 

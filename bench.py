@@ -264,6 +264,7 @@ def main():
         q_doc_chunk,
         q_doc_curate,
         q_doc_decontaminate_bloom,
+        q_doc_epoch_shuffle,
         q_doc_line_dedup,
         q_doc_line_dedup_clean,
         q_doc_pack_sequences,
@@ -300,6 +301,7 @@ def main():
         ("emb_ann_topk", q_emb_ann_topk),
         ("doc_chunk", q_doc_chunk),
         ("doc_pack_sequences", q_doc_pack_sequences),
+        ("doc_epoch_shuffle", q_doc_epoch_shuffle),
         ("doc_top_keyword", q_doc_top_keyword),
         ("emb_quantize_int8", q_emb_quantize_int8),
         ("doc_repetition", q_doc_repetition),

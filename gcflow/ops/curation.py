@@ -1150,3 +1150,105 @@ SELECT doc_id, count(DISTINCT g.ng) AS n_overlap
 FROM grams g JOIN bench b USING (ng)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------ epoch shuffling
+# Deterministic training-epoch shuffle: every epoch induces a fresh
+# pseudorandom permutation of the corpus, realized scalably as a
+# (shard, shard_pos) layout — the standard shuffled-shard format a
+# training loader consumes (read shards in order, each shard is one
+# file; no global sort anywhere).  16 shards here = the first hex
+# nibble of the per-epoch id hash so the oracle stays a one-line
+# substr; the scale knob is the nibble count (k nibbles -> 16^k
+# shards, sized so one shard's local rank sort fits a worker).
+SHUFFLE_EPOCH = 1
+
+
+def _id_epoch_u64(ids: np.ndarray, epoch: int) -> np.ndarray:
+    """Vectorized splitmix64 of (doc_id, epoch) — the default hash mode.
+    Stateless and process-stable: pure integer arithmetic, no seed file."""
+    x = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(epoch)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def q_doc_epoch_shuffle(
+    sf_dir: str, epoch: int = SHUFFLE_EPOCH, hash_mode: str = "fast"
+):
+    """(doc_id, shard, shard_pos): deterministic epoch-``epoch`` global
+    shuffle.  shard = top 4 bits of the per-epoch id hash; shard_pos =
+    rank of the hash inside the shard (ties broken by doc_id).  Reading
+    shard 0..15 each in shard_pos order replays one full pseudorandom
+    permutation; bumping ``epoch`` yields an independent one.
+
+    Shape: one column-pruned read of doc_id only, one vectorized hash
+    pass, ONE hash shuffle on shard, and a per-shard local sort of
+    O(N/n_shards) rows — never a global sort.  Dual-mode hash like
+    ``doc_sample``: vectorized splitmix64 by default; md5 of
+    ``"{doc_id}:{epoch}"`` in the oracle-parity mode, where the hex
+    string's lexicographic order IS its numeric order so the SQL mirror
+    is substr + row_number."""
+    import hashlib
+
+    def hash_shard(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if hash_mode == "md5":
+            hx = np.array(
+                [
+                    hashlib.md5(b"%d:%d" % (i, epoch)).hexdigest()
+                    for i in ids
+                ],
+                dtype=object,
+            )
+        else:
+            hx = np.char.mod("%016x", _id_epoch_u64(ids, epoch))
+        # first hex nibble, vectorized: '0'..'9' -> 0..9, 'a'..'f' -> 10..15
+        first = hx.astype("U1").view(np.uint32).astype(np.int64)
+        shard = np.where(first >= ord("a"), first - ord("a") + 10, first - ord("0"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shard": pa.array(shard, type=pa.int64()),
+                "h": pa.array(hx.tolist(), type=pa.string()),
+            }
+        )
+
+    def rank_shard(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": t["shard"],
+                "shard_pos": pa.array(
+                    np.arange(len(t), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(hash_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )
+
+
+CURATION_QUERIES["doc_epoch_shuffle"] = lambda sf_dir: q_doc_epoch_shuffle(
+    sf_dir, hash_mode="md5"
+)
+
+CURATION_ORACLES["doc_epoch_shuffle"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_EPOCH}') AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT)
+         AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id
+            ) - 1 AS BIGINT) AS shard_pos
+FROM h
+"""

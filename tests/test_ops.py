@@ -2903,3 +2903,58 @@ def test_ivfpq_search_recall_on_clustered_fixture(ray_session, tmp_path):
     assert cb.shape[0] * 1 == 8  # M subspaces → 8-byte codes
     cells = [d for d in os.listdir(codes_dir) if d.startswith("cell=")]
     assert len(cells) > 1  # genuinely partitioned
+
+
+def test_epoch_shuffle_matches_duckdb(ray_session):
+    """md5 (oracle-parity) mode equals the SQL mirror exactly on the
+    sf0.001 corpus: same shard assignment, same within-shard ranks."""
+    import duckdb
+
+    from gcflow.ops.curation import CURATION_ORACLES, q_doc_epoch_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_epoch_shuffle(sf, hash_mode="md5")
+        .to_pandas()
+        .sort_values(["shard", "shard_pos"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(CURATION_ORACLES["doc_epoch_shuffle"])
+        .df()
+        .sort_values(["shard", "shard_pos"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("doc_id", "shard", "shard_pos"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist()
+
+
+def test_epoch_shuffle_fast_mode_invariants(ray_session):
+    """Default (splitmix64) mode: the output is a PERMUTATION — every
+    doc exactly once, per-shard positions dense 0..n-1 across all 16
+    shards — and bumping the epoch yields an independent order."""
+    import pyarrow.parquet as pq_mod
+
+    from gcflow.ops.curation import q_doc_epoch_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    ids = set(
+        pq_mod.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )
+    e1 = q_doc_epoch_shuffle(sf, hash_mode="fast").to_pandas()
+    assert set(e1.doc_id) == ids and len(e1) == len(ids)
+    per = e1.groupby("shard").shard_pos.agg(["min", "max", "count"])
+    assert len(per) == 16
+    assert (per["min"] == 0).all()
+    assert (per["max"] == per["count"] - 1).all()
+    e2 = q_doc_epoch_shuffle(sf, hash_mode="fast", epoch=2).to_pandas()
+    m = e1.merge(e2, on="doc_id", suffixes=("_1", "_2"))
+    moved = ((m.shard_1 != m.shard_2) | (m.shard_pos_1 != m.shard_pos_2)).mean()
+    assert moved > 0.9  # epochs are independent permutations

@@ -152,7 +152,7 @@ def main() -> None:
         SEMDEDUP_K_MIN,
         q_emb_semdedup,
     )
-    from gcflow.ops.curation import q_doc_ngram_overlap
+    from gcflow.ops.curation import q_doc_epoch_shuffle, q_doc_ngram_overlap
     from gcflow.ops.quantile import q_evt_value_percentiles_by_type
     from gcflow.ops.classifier import q_doc_quality_classifier
     from gcflow.ops.dedup import q_doc_cross_dedup, q_doc_softdedup_weight
@@ -175,6 +175,7 @@ def main() -> None:
         "doc_unigram_logprob": (q_doc_unigram_logprob, "documents"),
         "doc_dsir_weight": (q_doc_dsir_weight, "documents"),
         "doc_pack_sequences": (q_doc_pack_sequences, "documents"),
+        "doc_epoch_shuffle": (q_doc_epoch_shuffle, "documents"),
         "doc_dup_spans": (q_doc_dup_spans, "documents"),
         "doc_cross_dedup": (q_doc_cross_dedup, "documents"),
         "doc_softdedup_weight": (q_doc_softdedup_weight, "documents"),
