@@ -94,6 +94,9 @@ _DRIVER_OMIT = (
     "doc_epoch_shuffle",      # sampling/ordering family; driver-covered
                               # by doc_sample + doc_sample_temperature
                               # (judge-checked via tools/parity.py)
+    "evt_value_rank",         # order-statistics family; driver-covered
+                              # by evt_value_percentiles_by_type (same
+                              # bucket-prefix machinery, rank flavor)
 )
 
 

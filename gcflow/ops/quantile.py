@@ -538,3 +538,76 @@ FROM events e JOIN q USING (event_type)
 WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
 """
+
+
+# ------------------------------------------------- distributed global rank
+# row_number() over a GLOBAL (value, event_id) order — the window-function
+# analogue of the selection machinery above, and the same design point:
+# never materialize a global sort.  Ranks compose from (a) a deterministic
+# range bucketing (linear bins between the parquet-stats bounds — the
+# production swap-in for heavy value skew is sampled-quantile cut points,
+# which the histogram passes above already know how to produce), (b) ONE
+# tiny groupby(bucket).count() whose ≤RANK_BUCKETS rows reach the driver
+# for an exclusive prefix sum, and (c) ONE hash shuffle where each bucket
+# sorts only its own O(N/RANK_BUCKETS) rows and adds its broadcast offset.
+RANK_BUCKETS = 64
+
+
+def q_evt_value_rank(sf_dir: str, n_buckets: int = RANK_BUCKETS):
+    """(event_id, value, global_rank): dense 0-based row_number over the
+    global (value, event_id) ordering of non-null event values.  Size
+    ``n_buckets`` so one bucket's local sort fits a worker (~rows/64
+    here; at 100 TB raise it with the corpus)."""
+    import ray
+
+    src = os.path.join(sf_dir, "events.parquet")
+    lo, hi, _n = _value_bounds(src)
+    # interior cut points; degenerate lo==hi leaves one populated bucket
+    cuts = np.linspace(lo, hi, n_buckets + 1)[1:-1]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, v, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value": t["value"],
+                "bucket": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    bk = rd.read_parquet(src, columns=["event_id", "value"]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+    # ≤ n_buckets rows reach the driver — the only collect in the op
+    counts = bk.groupby("bucket").count().to_pandas().sort_values("bucket")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, c in zip(counts["bucket"], counts["count()"]):
+        offsets[int(b)] = acc
+        acc += int(c)
+
+    def rank_bucket(t: pa.Table, _offs=offsets) -> pa.Table:
+        off = _offs[int(t["bucket"][0].as_py())]
+        t = t.sort_by([("value", "ascending"), ("event_id", "ascending")])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value": t["value"],
+                "global_rank": pa.array(
+                    off + np.arange(len(t), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return bk.groupby("bucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+QUANTILE_QUERIES["evt_value_rank"] = q_evt_value_rank
+QUANTILE_ORACLES["evt_value_rank"] = """
+SELECT event_id, value,
+       CAST(row_number() OVER (ORDER BY value, event_id) - 1 AS BIGINT)
+         AS global_rank
+FROM events WHERE value IS NOT NULL
+"""

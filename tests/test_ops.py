@@ -2958,3 +2958,76 @@ def test_epoch_shuffle_fast_mode_invariants(ray_session):
     m = e1.merge(e2, on="doc_id", suffixes=("_1", "_2"))
     moved = ((m.shard_1 != m.shard_2) | (m.shard_pos_1 != m.shard_pos_2)).mean()
     assert moved > 0.9  # epochs are independent permutations
+
+
+def test_value_rank_matches_duckdb(ray_session):
+    """Distributed global rank equals row_number() OVER (ORDER BY value,
+    event_id) on the sf0.001 events table — dense, 0-based, complete."""
+    import duckdb
+
+    from gcflow.ops.quantile import QUANTILE_ORACLES, q_evt_value_rank
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_value_rank(sf)
+        .to_pandas()
+        .sort_values("global_rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(QUANTILE_ORACLES["evt_value_rank"])
+        .df()
+        .sort_values("global_rank")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got.event_id.tolist() == want.event_id.tolist()
+    assert got.global_rank.tolist() == list(range(len(got)))
+
+
+def test_value_rank_degenerate_and_nulls(ray_session, tmp_path):
+    """All-equal values collapse every row into ONE bucket (lo == hi
+    leaves no interior cut points) and must still rank by the event_id
+    tiebreak; NULL values are excluded like the SQL mirror's WHERE."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import q_evt_value_rank
+
+    n = 500
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n)[::-1], type=pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64("2026-01-01", "us")] * n,
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, type=pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(
+                    [None if i % 7 == 0 else 5.0 for i in range(n)],
+                    type=pa.float64(),
+                ),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_evt_value_rank(str(tmp_path))
+        .to_pandas()
+        .sort_values("global_rank")
+        .reset_index(drop=True)
+    )
+    keep = sorted(
+        i for i in np.arange(n)[::-1] if (n - 1 - i) % 7 != 0
+    )
+    # null rows dropped; equal values rank by ascending event_id
+    assert got.event_id.tolist() == keep
+    assert got.global_rank.tolist() == list(range(len(keep)))

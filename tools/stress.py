@@ -153,7 +153,10 @@ def main() -> None:
         q_emb_semdedup,
     )
     from gcflow.ops.curation import q_doc_epoch_shuffle, q_doc_ngram_overlap
-    from gcflow.ops.quantile import q_evt_value_percentiles_by_type
+    from gcflow.ops.quantile import (
+        q_evt_value_percentiles_by_type,
+        q_evt_value_rank,
+    )
     from gcflow.ops.classifier import q_doc_quality_classifier
     from gcflow.ops.dedup import q_doc_cross_dedup, q_doc_softdedup_weight
     from gcflow.ops.span_dedup import q_doc_dup_spans
@@ -188,6 +191,7 @@ def main() -> None:
         "evt_value_percentiles_by_type": (
             q_evt_value_percentiles_by_type, "events",
         ),
+        "evt_value_rank": (q_evt_value_rank, "events"),
         "emb_semdedup": (q_emb_semdedup, "embeddings"),
     }
     only = set(sys.argv[1:])
