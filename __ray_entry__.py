@@ -97,6 +97,10 @@ _DRIVER_OMIT = (
     "evt_value_rank",         # order-statistics family; driver-covered
                               # by evt_value_percentiles_by_type (same
                               # bucket-prefix machinery, rank flavor)
+    "evt_user_lag",           # windows family; driver-covered by
+                              # evt_sessions (same bucket-sweep machinery)
+    "doc_mix_schedule",       # sampling/ordering family; driver-covered
+                              # by doc_sample_temperature (same weights)
 )
 
 

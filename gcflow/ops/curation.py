@@ -1252,3 +1252,143 @@ SELECT doc_id,
             ) - 1 AS BIGINT) AS shard_pos
 FROM h
 """
+
+
+# ------------------------------------------------ mixture schedule
+# Deterministic multi-source interleave (the temperature-mixing analogue
+# of a training loader's language schedule): each language's docs are
+# pseudorandomly ordered by the per-epoch id hash, then emitted along a
+# stride-scheduling virtual-time axis vt = rank / sqrt(c_lang) — a
+# language with 4× the documents appears 2× as often per unit schedule
+# (α = 0.5 temperature weights), every language's stream stays in its
+# own shuffled order, and the whole schedule is a pure function of
+# (doc_id, lang, epoch).  Composition of the two rank primitives with
+# only bounded driver traffic: per-(lang, nibble) counts (≤16·n_langs
+# rows) give within-language ranks, per-vt-bucket counts (≤MIX_BUCKETS
+# rows) give the global position — two tiny shuffles, no global sort.
+MIX_BUCKETS = 64
+
+
+def q_doc_mix_schedule(
+    sf_dir: str, epoch: int = SHUFFLE_EPOCH, hash_mode: str = "fast"
+):
+    """(doc_id, lang, sched_pos): the deterministic epoch-``epoch``
+    mixing schedule over languages.  sched_pos is the dense 0-based
+    global position = row_number over (vt, lang, doc_id) where
+    vt = within-lang shuffled rank (1-based) / sqrt(count(lang))."""
+    import hashlib
+
+    import ray
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if hash_mode == "md5":
+            hx = np.array(
+                [hashlib.md5(b"%d:%d" % (i, epoch)).hexdigest() for i in ids],
+                dtype=object,
+            )
+        else:
+            hx = np.char.mod("%016x", _id_epoch_u64(ids, epoch))
+        first = hx.astype("U1").view(np.uint32).astype(np.int64)
+        nib = np.where(first >= ord("a"), first - ord("a") + 10, first - ord("0"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "lang": t["lang"],
+                "h": pa.array(hx.tolist(), type=pa.string()),
+                "nib": pa.array(nib, type=pa.int64()),
+            }
+        )
+
+    hashed = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        hash_rows, batch_format="pyarrow"
+    ).materialize()  # consumed twice (count pass + rank pass): one hash sweep
+
+    # ≤ 16·n_langs rows reach the driver
+    cnt = hashed.groupby(["lang", "nib"]).count().to_pandas()
+    cnt = cnt.sort_values(["lang", "nib"])
+    lang_total = cnt.groupby("lang")["count()"].sum().to_dict()
+    nib_off: dict[tuple, int] = {}
+    for lang, grp in cnt.groupby("lang"):
+        acc = 0
+        for _, row in grp.iterrows():
+            nib_off[(lang, int(row["nib"]))] = acc
+            acc += int(row["count()"])
+
+    # stage 1: within-language shuffled rank -> virtual time
+    def rank_lang(t: pa.Table) -> pa.Table:
+        lang = t["lang"][0].as_py()
+        off = nib_off[(lang, int(t["nib"][0].as_py()))]
+        t = t.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        rk = off + 1 + np.arange(len(t), dtype=np.int64)  # 1-based
+        vt = rk.astype(np.float64) / np.sqrt(np.float64(lang_total[lang]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "vt": pa.array(vt, type=pa.float64()),
+            }
+        )
+
+    vts = (
+        hashed.groupby(["lang", "nib"])
+        .map_groups(rank_lang, batch_format="pyarrow")
+    )
+
+    # stage 2: global rank over (vt, lang, doc_id) — vt ∈ (0, sqrt(max c)]
+    vt_hi = max(np.sqrt(np.float64(c)) for c in lang_total.values()) if lang_total else 1.0
+    cuts = np.linspace(0.0, float(vt_hi), MIX_BUCKETS + 1)[1:-1]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = np.searchsorted(
+            cuts, t["vt"].to_numpy(zero_copy_only=False), side="right"
+        ).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    bk = vts.map_batches(bucketize, batch_format="pyarrow").materialize()
+    counts = bk.groupby("bucket").count().to_pandas().sort_values("bucket")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, c in zip(counts["bucket"], counts["count()"]):
+        offsets[int(b)] = acc
+        acc += int(c)
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        off = offsets[int(t["bucket"][0].as_py())]
+        t = t.sort_by(
+            [("vt", "ascending"), ("lang", "ascending"), ("doc_id", "ascending")]
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "sched_pos": pa.array(
+                    off + np.arange(len(t), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return bk.groupby("bucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+CURATION_QUERIES["doc_mix_schedule"] = lambda sf_dir: q_doc_mix_schedule(
+    sf_dir, hash_mode="md5"
+)
+
+CURATION_ORACLES["doc_mix_schedule"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_EPOCH}') AS hx
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS c
+  FROM d
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY rk / sqrt(c), lang, doc_id) - 1
+            AS BIGINT) AS sched_pos
+FROM r
+"""

@@ -546,3 +546,75 @@ SELECT coalesce(event_type, '*') AS event_type,
 FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, value FROM events)
 GROUP BY ROLLUP (event_type, h)
 """
+
+
+def q_evt_user_lag(sf_dir: str):
+    """(event_id, user_id, gap_us): per-user lag — microseconds since the
+    user's previous event (NULL for each user's first event), ordered by
+    (ts, event_id) within the user.  The partitioned window-function
+    twin of ``quantile.q_evt_value_rank``'s global rank: users are
+    hash-bucketed (the sessions-op pattern) and each bucket resolves ALL
+    its users' lags in one vectorized lexsort sweep — no per-user tiny
+    groups, no global sort."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        tsi = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, tsi, uid))
+        u, s = uid[order], tsi[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = s[1:] - s[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "gap_us": pa.array(
+                    np.ma.masked_array(gap, mask=new_user), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_lag"] = q_evt_user_lag
+WINDOW_ORACLES["evt_user_lag"] = """
+SELECT event_id, user_id,
+       CAST(date_diff(
+         'microsecond',
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+         ts
+       ) AS BIGINT) AS gap_us
+FROM events
+"""

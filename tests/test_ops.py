@@ -3031,3 +3031,85 @@ def test_value_rank_degenerate_and_nulls(ray_session, tmp_path):
     # null rows dropped; equal values rank by ascending event_id
     assert got.event_id.tolist() == keep
     assert got.global_rank.tolist() == list(range(len(keep)))
+
+
+def test_user_lag_matches_duckdb(ray_session):
+    """Per-user lag equals the SQL window mirror: NULL on each user's
+    first event, microsecond gaps elsewhere, (ts, event_id) order."""
+    import duckdb
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_user_lag
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_user_lag(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_user_lag"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got.event_id.tolist() == want.event_id.tolist()
+    assert got.gap_us.astype("Int64").equals(want.gap_us.astype("Int64"))
+    assert got.gap_us.isna().sum() == got.user_id.nunique()  # one NULL per user
+
+
+def test_mix_schedule_matches_duckdb(ray_session):
+    """md5 (oracle-parity) mode equals the SQL double-window mirror on
+    sf0.001 — including the float virtual-time ordering."""
+    import duckdb
+
+    from gcflow.ops.curation import CURATION_ORACLES, q_doc_mix_schedule
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_mix_schedule(sf, hash_mode="md5")
+        .to_pandas()
+        .sort_values("sched_pos")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(CURATION_ORACLES["doc_mix_schedule"])
+        .df()
+        .sort_values("sched_pos")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.sched_pos.tolist() == list(range(len(got)))
+
+
+def test_mix_schedule_interleave_properties(ray_session):
+    """Default (fast) mode invariants: the schedule is a permutation;
+    restricted to ONE language it replays that language's own shuffled
+    (hash) order; and language frequencies in the first half follow the
+    sqrt(c) temperature weights (a 4x-larger language appears ~2x as
+    often), not raw counts."""
+    import numpy as np
+
+    from gcflow.ops.curation import _id_epoch_u64, q_doc_mix_schedule
+
+    sf = "/root/testdata/sf0.01"
+    got = q_doc_mix_schedule(sf, hash_mode="fast").to_pandas()
+    assert got.sched_pos.sort_values().tolist() == list(range(len(got)))
+    # per-language subsequence == that language's hash order
+    for lang, grp in got.groupby("lang"):
+        seq = grp.sort_values("sched_pos").doc_id.to_numpy()
+        h = np.char.mod("%016x", _id_epoch_u64(seq.astype(np.int64), 1))
+        order = np.lexsort((seq, h))
+        assert (order == np.arange(len(seq))).all()
+    # temperature mixing: first-half share tracks sqrt(c)/sum(sqrt(c))
+    c = got.groupby("lang").size()
+    w = np.sqrt(c) / np.sqrt(c).sum()
+    half = got[got.sched_pos < len(got) // 2].groupby("lang").size() / (len(got) // 2)
+    for lang in c.index:
+        assert abs(half.get(lang, 0.0) - w[lang]) < 0.1

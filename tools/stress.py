@@ -152,7 +152,11 @@ def main() -> None:
         SEMDEDUP_K_MIN,
         q_emb_semdedup,
     )
-    from gcflow.ops.curation import q_doc_epoch_shuffle, q_doc_ngram_overlap
+    from gcflow.ops.curation import (
+        q_doc_epoch_shuffle,
+        q_doc_mix_schedule,
+        q_doc_ngram_overlap,
+    )
     from gcflow.ops.quantile import (
         q_evt_value_percentiles_by_type,
         q_evt_value_rank,
@@ -167,7 +171,7 @@ def main() -> None:
         q_doc_sample_unimax,
         q_doc_unigram_logprob,
     )
-    from gcflow.ops.windows import q_evt_funnel, q_evt_resample
+    from gcflow.ops.windows import q_evt_funnel, q_evt_resample, q_evt_user_lag
     from gcflow.ops.tokenizer import q_doc_bpe_train
 
     ops = {
@@ -192,6 +196,8 @@ def main() -> None:
             q_evt_value_percentiles_by_type, "events",
         ),
         "evt_value_rank": (q_evt_value_rank, "events"),
+        "evt_user_lag": (q_evt_user_lag, "events"),
+        "doc_mix_schedule": (q_doc_mix_schedule, "documents"),
         "emb_semdedup": (q_emb_semdedup, "embeddings"),
     }
     only = set(sys.argv[1:])
