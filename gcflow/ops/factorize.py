@@ -104,9 +104,10 @@ def _half_step(inter: rd.Dataset, solve_col: str, other_col: str,
             "a factor repartition join instead"
         )
     dim = other_F.shape[1]
-    pos = np.empty(int(other_ids.max()) + 1, dtype=np.int64)
-    pos[other_ids] = np.arange(len(other_ids))
-    ref = ray.put((pos, other_F))
+    # other_ids is sorted (np.sort / sort_values upstream): binary-search
+    # lookup instead of a dense max_id+1 position array, which would blow
+    # up on SPARSE id spaces long before the row ceiling triggers
+    ref = ray.put((other_ids, other_F))
     out_schema = pa.schema([("eid", pa.int64()), ("f", pa.binary())])
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -118,14 +119,14 @@ def _half_step(inter: rd.Dataset, solve_col: str, other_col: str,
     def sweep(g: pa.Table, _r=ref) -> pa.Table:
         if len(g) == 0:
             return out_schema.empty_table()
-        pos, F = ray.get(_r)
+        oids, F = ray.get(_r)
         e = g[solve_col].to_numpy(zero_copy_only=False)
         o = g[other_col].to_numpy(zero_copy_only=False)
         r = g["qty"].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.lexsort((o, e))          # bit-stable accumulation
         e, o, r = e[order], o[order], r[order]
         uniq, inv = np.unique(e, return_inverse=True)
-        V = F[pos[o]]                        # (rows, d)
+        V = F[np.searchsorted(oids, o)]      # (rows, d)
         A = np.zeros((len(uniq), dim, dim))
         np.add.at(A, inv, V[:, :, None] * V[:, None, :])
         b = np.zeros((len(uniq), dim))
