@@ -267,12 +267,16 @@ def main():
         q_doc_epoch_shuffle,
         q_doc_line_dedup,
         q_doc_line_dedup_clean,
+        q_doc_mix_schedule,
         q_doc_pack_sequences,
     )
     from gcflow.ops.corpus_stats import q_doc_bigrams
     from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
     from gcflow.ops.linalg import q_emb_pca
-    from gcflow.ops.quantile import q_evt_value_percentiles_by_type
+    from gcflow.ops.quantile import (
+        q_evt_value_percentiles_by_type,
+        q_evt_value_rank,
+    )
     from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1
     from gcflow.ops.similarity import (
@@ -302,6 +306,8 @@ def main():
         ("doc_chunk", q_doc_chunk),
         ("doc_pack_sequences", q_doc_pack_sequences),
         ("doc_epoch_shuffle", q_doc_epoch_shuffle),
+        ("doc_mix_schedule", q_doc_mix_schedule),
+        ("evt_value_rank", q_evt_value_rank),
         ("doc_top_keyword", q_doc_top_keyword),
         ("emb_quantize_int8", q_emb_quantize_int8),
         ("doc_repetition", q_doc_repetition),
