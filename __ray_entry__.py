@@ -77,6 +77,10 @@ _DRIVER_OMIT = (
                               # doc_minhash_lsh + doc_near_dedup
     "doc_softdedup_weight",   # reweighting composition over the same
                               # cluster machinery; same family rationale
+    "doc_split_leakage_safe", # split composition over the same cluster
+                              # machinery (driver keeps doc_dup_clusters
+                              # + doc_near_dedup; judge-checked via
+                              # tools/parity.py)
     "rel_q3",                 # relational join family driver-covered by
                               # rel_q1 + rel_nation_revenue
     "evt_anomaly",            # quantile family driver-covered by

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from functools import partial
 
 import numpy as np
 import pyarrow as pa
@@ -1694,7 +1695,106 @@ def q_doc_softdedup_weight(sf_dir: str):
     )
 
 
+def q_doc_split_leakage_safe(sf_dir: str, hash_mode: str = "fast"):
+    """Leakage-safe train/valid/test split: every corpus document gets a
+    split label, and every jaccard ≥ 0.7 near-duplicate CLUSTER lands in
+    ONE split atomically — the split key is the cluster REPRESENTATIVE
+    (component min doc_id), not the document itself, so eval
+    contamination through near-dups straddling the boundary is
+    impossible by construction (the train/test leakage mode measured by
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better").  ~90/5/5 by representative content hash: first md5 byte
+    < 0xe6 → train (230/256), < 0xf3 → valid (13/256), else test.
+
+    Composition (no join, no broadcast — the near_dedup/softdedup union
+    shape): corpus rows default rep=doc_id, cluster members add
+    rep=component, ONE doc-id-keyed bucket sweep takes the per-doc min
+    (component ≤ doc_id always: labels only ever decrease toward the
+    component minimum).  The split hash is dual-mode like the sampling
+    family: vectorized seeded hash of the decimal rep by default, md5 in
+    the oracle-parity mode the registry selects."""
+    clusters = q_doc_dup_clusters(sf_dir)
+    rep_schema = pa.schema([("doc_id", pa.int64()), ("rep", pa.int64())])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("split", pa.string())])
+
+    corpus_rows = corpus_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "rep": pc.cast(t["doc_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        rep = t["rep"].to_numpy(zero_copy_only=False)
+        dec = np.char.mod("%d", rep)  # decimal strings ≙ CAST(rep AS VARCHAR)
+        if hash_mode == "md5":
+            byte = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:2], 16) for s in dec),
+                dtype=np.int64,
+                count=len(dec),
+            )
+        else:
+            from .hashing import word_hashes
+
+            byte = (word_hashes(pa.array(dec)) >> np.uint64(56)).astype(np.int64)
+        split = np.where(byte < 0xE6, "train", np.where(byte < 0xF3, "valid", "test"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(split, type=pa.string())}
+        )
+
+    if isinstance(clusters, pa.Table):  # dup-free corpus → rep = own id
+        return corpus_rows.map_batches(assign_split, batch_format="pyarrow")
+
+    member_rep = clusters.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "rep": pc.cast(t["component"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_ibucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("ibucket", pa.array(d % 256, type=pa.int64()))
+
+    def rep_min(g: pa.Table) -> pa.Table:
+        # per doc run: min(own id, component) = the cluster representative
+        if len(g) == 0:
+            return rep_schema.empty_table()
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        r = g["rep"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        ds_, rs = d[order], r[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        rmin = np.minimum.reduceat(rs, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[starts], type=pa.int64()),
+                "rep": pa.array(rmin, type=pa.int64()),
+            }
+        )
+
+    return (
+        _ensure_schema(corpus_rows, rep_schema)
+        .union(_ensure_schema(member_rep, rep_schema))
+        .map_batches(add_ibucket, batch_format="pyarrow")
+        .groupby("ibucket")
+        .map_groups(rep_min, batch_format="pyarrow")
+        .map_batches(assign_split, batch_format="pyarrow")
+    )
+
+
 DEDUP_QUERIES["doc_softdedup_weight"] = q_doc_softdedup_weight
+DEDUP_QUERIES["doc_split_leakage_safe"] = partial(
+    q_doc_split_leakage_safe, hash_mode="md5"
+)
 
 DEDUP_ORACLES["doc_softdedup_weight"] = _DUP_WALK_SQL + """
 , comp AS (SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1),
@@ -1703,4 +1803,15 @@ w AS (SELECT c.doc_id, 1.0 / s.n AS weight
       FROM comp c JOIN csize s USING (component))
 SELECT corpus.doc_id, coalesce(w.weight, 1.0) AS weight
 FROM corpus LEFT JOIN w USING (doc_id)
+"""
+
+DEDUP_ORACLES["doc_split_leakage_safe"] = _DUP_WALK_SQL + """
+, comp AS (SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1),
+rep AS (SELECT corpus.doc_id, coalesce(comp.component, corpus.doc_id) AS rep
+        FROM corpus LEFT JOIN comp USING (doc_id))
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
+            ELSE 'test' END AS split
+FROM rep
 """

@@ -2555,6 +2555,58 @@ def test_softdedup_weight_matches_duckdb(ray_session):
         assert by[d] == by[d - 2_000_000]
 
 
+def test_split_leakage_safe_matches_duckdb_and_never_leaks(ray_session):
+    """Leakage-safe split at sf0.001: md5 mode matches the recursive-CTE
+    oracle exactly; BOTH hash modes place every verified near-dup pair's
+    endpoints in the same split (the invariant the op exists for); the
+    split fractions sit near the 90/5/5 design point."""
+    import duckdb
+
+    from gcflow.ops.dedup import (
+        DEDUP_ORACLES,
+        q_doc_minhash_lsh,
+        q_doc_split_leakage_safe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_split_leakage_safe(sf, hash_mode="md5")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(DEDUP_ORACLES["doc_split_leakage_safe"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert got.split.tolist() == want.split.tolist()
+    assert got.doc_id.is_unique
+
+    fast = (
+        q_doc_split_leakage_safe(sf, hash_mode="fast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(fast.doc_id) == list(got.doc_id)
+
+    pairs = q_doc_minhash_lsh(sf).to_pandas()
+    assert len(pairs) > 0
+    for df in (got, fast):
+        by = df.set_index("doc_id").split
+        assert all(by[a] == by[b] for a, b in zip(pairs.doc_a, pairs.doc_b))
+        frac = df.split.value_counts(normalize=True)
+        assert 0.82 <= frac.get("train", 0.0) <= 0.95
+        assert frac.get("valid", 0.0) > 0 and frac.get("test", 0.0) > 0
+
+
 def test_resample_matches_pandas_twin_random(ray_session, tmp_path):
     """Randomized resample twin: the vectorized bucket sweep vs pandas
     resample('h').last().ffill() per user over a seeded events table."""
