@@ -81,6 +81,9 @@ _DRIVER_OMIT = (
                               # machinery (driver keeps doc_dup_clusters
                               # + doc_near_dedup; judge-checked via
                               # tools/parity.py)
+    "doc_bigram_logprob",     # LM-quality family; driver keeps
+                              # doc_unigram_logprob + doc_dsir_weight
+                              # (same term-sweep + join machinery)
     "rel_q3",                 # relational join family driver-covered by
                               # rel_q1 + rel_nation_revenue
     "evt_anomaly",            # quantile family driver-covered by

@@ -798,6 +798,213 @@ def rep_counts(text_col) -> tuple:
     return n, n_distinct, top
 
 
+def q_doc_bigram_logprob(sf_dir: str):
+    """Conditional-LM perplexity filter — the bigram upgrade of
+    q_doc_unigram_logprob (one step closer to CCNet's KenLM 5-gram
+    perplexity, Wenzek et al. 2020): per-doc mean negative log
+    CONDITIONAL probability under the corpus's own Laplace-smoothed
+    bigram LM, P(b|a) = (c(ab) + 1) / (c(a·) + V) with c(a·) the
+    prefix continuation total and V the distinct unigram vocabulary.
+    Low values = phrase-level fluent under corpus statistics; the
+    unigram score can't see word ORDER, this can.
+
+    Distributed shape: (1) per-batch bigram tf partials built by a
+    vectorized window join over the flat token buffer (no per-row
+    Python); (2) ONE prefix-hash-bucketed sweep — routing by the
+    bigram's FIRST word co-locates every bigram sharing a prefix, so
+    each bigram's corpus count nb AND its prefix's continuation total
+    np come out of the same lexicographic pass (no second sweep, no
+    separate prefix join); (3) one bigram-keyed repartition join of tf
+    to (nb, np) — never a vocabulary broadcast; (4) per-doc partial
+    (Σ tf·ln((nb+1)/(np+V)), Σ tf) combiners reduced by a doc-bucket
+    sweep.  V is one bucketed distinct-count pass.  Docs with < 2
+    tokens have no bigrams and are absent in both engines; the SQL
+    oracle mirrors the identical expression tree."""
+    from .dedup import (
+        _ensure_schema,
+        _join_partitions,
+        _sanitize_shuffle_output,
+    )
+    from .hashing import word_hashes
+
+    btf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("bigram", pa.string()), ("tf", pa.int64())]
+    )
+
+    def btf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return btf_schema.empty_table()
+        doc = np.repeat(
+            pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False), lens
+        )
+        # windows (i, i+1) are bigrams iff i is not a doc's last token
+        mask = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens)
+        last = ends[ends < n] - 1
+        mask[last[last >= 0]] = False
+        sel = pa.array(mask)
+        bigram = pc.binary_join_element_wise(
+            flat.slice(0, n - 1).filter(sel), flat.slice(1, n - 1).filter(sel), " "
+        )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(doc[: n - 1][mask], type=pa.int64()),
+                "bigram": bigram,
+            }
+        )
+        g = tbl.group_by(["doc_id", "bigram"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "bigram", "tf"])
+
+    # materialized once: both the count sweep and the join consume it, and
+    # Ray would otherwise re-execute the tokenize+groupby lineage per
+    # consumer (the DSIR lesson — see ADVICE r4)
+    btf = _ensure_schema(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            btf_partial, batch_format="pyarrow"
+        ),
+        btf_schema,
+    ).materialize()
+
+    def prefix_of(bg: pa.Array) -> pa.Array:
+        return pc.list_element(pc.split_pattern(bg, " "), 0)
+
+    def bigram_bucket(t: pa.Table) -> pa.Table:
+        bg = t["bigram"]
+        bg = bg.combine_chunks() if isinstance(bg, pa.ChunkedArray) else bg
+        b = (word_hashes(prefix_of(bg)) % np.uint64(64)).astype(np.int64)
+        return pa.table(
+            {"bigram": bg, "tf": t["tf"], "bucket": pa.array(b, type=pa.int64())}
+        )
+
+    counts_schema = pa.schema(
+        [("bigram", pa.string()), ("nb", pa.int64()), ("np", pa.int64())]
+    )
+
+    def bigram_sum(g: pa.Table) -> pa.Table:
+        # every bigram sharing a prefix is in this bucket (routing key ==
+        # prefix hash), so nb per bigram and np per prefix both resolve
+        # locally from two dictionary-encode bincounts
+        if len(g) == 0:
+            return counts_schema.empty_table()
+        bg = g["bigram"]
+        bg = bg.combine_chunks() if isinstance(bg, pa.ChunkedArray) else bg
+        enc = bg.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.bincount(
+            codes,
+            weights=g["tf"].to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        ).astype(np.int64)
+        penc = prefix_of(enc.dictionary).dictionary_encode()
+        pcodes = penc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        np_per_prefix = np.bincount(
+            pcodes, weights=nb, minlength=len(penc.dictionary)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bigram": enc.dictionary,
+                "nb": pa.array(nb, type=pa.int64()),
+                "np": pa.array(np_per_prefix[pcodes], type=pa.int64()),
+            }
+        )
+
+    counts = _sanitize_shuffle_output(
+        _ensure_schema(
+            btf.map_batches(bigram_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bigram_sum, batch_format="pyarrow"),
+            counts_schema,
+        )
+    )
+
+    # V: distinct unigram vocabulary via one bucketed distinct-count pass
+    def term_rows(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " ")).combine_chunks()
+        b = (word_hashes(flat) % np.uint64(64)).astype(np.int64)
+        return pa.table({"term": flat, "bucket": pa.array(b, type=pa.int64())})
+
+    def distinct_count(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema([("v", pa.int64())]).empty_table()
+        terms = g["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        return pa.table(
+            {"v": pa.array([len(terms.dictionary_encode().dictionary)], pa.int64())}
+        )
+
+    vocab = float(
+        _docs(sf_dir, ["text"]).map_batches(term_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_count, batch_format="pyarrow")
+        .sum("v")
+    )
+
+    n_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    joined = btf.join(
+        counts, "inner",
+        num_partitions=_join_partitions(n_docs * 64, n_docs * 64),
+        on=("bigram",),
+    )
+
+    partial_schema = pa.schema(
+        [("doc_id", pa.int64()), ("w", pa.int64()), ("s", pa.float64()),
+         ("bucket", pa.int64())]
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return partial_schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        np_ = t["np"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(inv, weights=tf * np.log((nb + 1.0) / (np_ + vocab)))
+        w = np.bincount(inv, weights=tf).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "w": pa.array(w, type=pa.int64()),
+                "s": pa.array(s, type=pa.float64()),
+                "bucket": pa.array(uniq % 64, type=pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("avg_neg_logprob", pa.float64())]
+    )
+
+    def doc_reduce(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(inv, weights=g["s"].to_numpy(zero_copy_only=False))
+        w = np.bincount(
+            inv, weights=g["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_bigrams": pa.array(w.astype(np.int64), type=pa.int64()),
+                "avg_neg_logprob": pa.array(-s / w, type=pa.float64()),
+            }
+        )
+
+    return (
+        joined.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_reduce, batch_format="pyarrow")
+    )
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality metrics (the Rae et al. 2021 §A1.1
     repetition-filter family, adapted to token granularity): per-doc
@@ -948,6 +1155,7 @@ TEXT_QUERIES = {
     "doc_top_keyword": q_doc_top_keyword,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_redact": q_doc_redact,
     "doc_dsir_weight": q_doc_dsir_weight,
     "doc_sample_temperature": partial(q_doc_sample_temperature, hash_mode="md5"),
@@ -1058,6 +1266,36 @@ SELECT tf.doc_id,
          - sum(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE)))
              / CAST(sum(tf.tf) AS DOUBLE) AS avg_neg_logprob
 FROM tf JOIN n USING (term)
+GROUP BY 1
+""",
+    "doc_bigram_logprob": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM w
+), btf AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2
+), bc AS (
+  SELECT bigram, CAST(sum(tf) AS BIGINT) AS nb FROM btf GROUP BY 1
+), pcnt AS (
+  SELECT split_part(bigram, ' ', 1) AS prefix, CAST(sum(nb) AS BIGINT) AS np
+  FROM bc GROUP BY 1
+), voc AS (
+  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+  FROM (SELECT unnest(ws) AS term FROM w)
+)
+SELECT btf.doc_id,
+       CAST(sum(btf.tf) AS BIGINT) AS n_bigrams,
+       - sum(CAST(btf.tf AS DOUBLE)
+             * ln((CAST(bc.nb AS DOUBLE) + 1.0)
+                  / (CAST(p.np AS DOUBLE) + (SELECT v FROM voc))))
+         / CAST(sum(btf.tf) AS DOUBLE) AS avg_neg_logprob
+FROM btf
+JOIN bc USING (bigram)
+JOIN pcnt p ON p.prefix = split_part(btf.bigram, ' ', 1)
 GROUP BY 1
 """,
     "doc_repetition": f"""

@@ -1455,6 +1455,7 @@ def test_term_join_survives_tiny_vocab_many_partitions(
 
     from gcflow.ops import dedup
     from gcflow.ops.text import (
+        q_doc_bigram_logprob,
         q_doc_dsir_weight,
         q_doc_top_keyword,
         q_doc_unigram_logprob,
@@ -1476,6 +1477,60 @@ def test_term_join_survives_tiny_vocab_many_partitions(
     assert len(dsir) == len(texts)
     kw = q_doc_top_keyword(str(tmp_path)).to_pandas()
     assert len(kw) == len(texts)
+    bi = q_doc_bigram_logprob(str(tmp_path)).to_pandas()
+    assert len(bi) == len(texts)  # every doc here has >= 2 tokens
+
+
+def test_bigram_logprob_matches_duckdb_and_orders_fluency(ray_session, tmp_path):
+    """Bigram-LM perplexity: (a) matches the DuckDB oracle exactly at
+    sf0.001; (b) on a planted corpus, a document made of corpus-frequent
+    bigrams scores LOWER (more fluent) than the same words in an unseen
+    order — the word-order signal the unigram score cannot see; (c) a
+    single-token document has no bigrams and is absent."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import TEXT_ORACLES, q_doc_bigram_logprob
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_bigram_logprob(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(TEXT_ORACLES["doc_bigram_logprob"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert got.n_bigrams.tolist() == want.n_bigrams.tolist()
+    import numpy as np
+
+    assert np.allclose(got.avg_neg_logprob, want.avg_neg_logprob, rtol=1e-12)
+
+    # planted word-order corpus
+    fluent = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over lazy jumps fox the brown quick"
+    texts = [fluent] * 30 + [shuffled, "solo"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_doc_bigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert len(texts) - 1 not in out.index  # "solo" has no bigrams
+    assert out.loc[0, "avg_neg_logprob"] < out.loc[30, "avg_neg_logprob"]
+    assert (out.avg_neg_logprob > 0).all()
 
 
 def test_sampling_hash_modes_agree_on_rates(ray_session):
