@@ -287,6 +287,7 @@ def main():
     )
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.text import (
+        q_doc_bigram_logprob,
         q_doc_dsir_weight,
         q_doc_repetition,
         q_doc_top_keyword,
@@ -314,6 +315,7 @@ def main():
         ("doc_decontaminate_bloom", q_doc_decontaminate_bloom),
         ("doc_curate", q_doc_curate),
         ("doc_unigram_logprob", q_doc_unigram_logprob),
+        ("doc_bigram_logprob", q_doc_bigram_logprob),
         ("doc_bm25_topk", q_doc_bm25_topk),
         ("doc_bigrams", q_doc_bigrams),
         ("emb_pca", q_emb_pca),

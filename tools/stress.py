@@ -162,11 +162,16 @@ def main() -> None:
         q_evt_value_rank,
     )
     from gcflow.ops.classifier import q_doc_quality_classifier
-    from gcflow.ops.dedup import q_doc_cross_dedup, q_doc_softdedup_weight
+    from gcflow.ops.dedup import (
+        q_doc_cross_dedup,
+        q_doc_softdedup_weight,
+        q_doc_split_leakage_safe,
+    )
     from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.quantize import q_emb_pq
     from gcflow.ops.similarity import q_emb_ivfpq_search
     from gcflow.ops.text import (
+        q_doc_bigram_logprob,
         q_doc_dsir_weight,
         q_doc_sample_unimax,
         q_doc_unigram_logprob,
@@ -186,6 +191,8 @@ def main() -> None:
         "doc_dup_spans": (q_doc_dup_spans, "documents"),
         "doc_cross_dedup": (q_doc_cross_dedup, "documents"),
         "doc_softdedup_weight": (q_doc_softdedup_weight, "documents"),
+        "doc_split_leakage_safe": (q_doc_split_leakage_safe, "documents"),
+        "doc_bigram_logprob": (q_doc_bigram_logprob, "documents"),
         "doc_quality_classifier": (q_doc_quality_classifier, "documents"),
         "doc_sample_unimax": (q_doc_sample_unimax, "documents"),
         "evt_funnel": (q_evt_funnel, "events"),
