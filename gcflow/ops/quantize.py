@@ -177,6 +177,38 @@ def pq_fit(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
     return pq_fit_from(ds, _init_centroids(src, k), dim, m=m, k=k, iters=iters)
 
 
+def pq_fit_cached(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+                  iters: int = PQ_ITERS,
+                  cache_root: str = "/tmp/gcflow_pqfit") -> np.ndarray:
+    """``pq_fit`` behind a disk cache keyed by (corpus identity, params),
+    for callers where the codebook is INDEX BUILD, not the measured op —
+    the PQ search amortizes its build across query batches exactly like
+    the IVF/LSH/IVF-PQ sidecars (similarity.py ``build_*`` protocol).
+    ``q_emb_pq`` deliberately does NOT use this: live Lloyd training is
+    what that op measures.  Publish is race-safe: train to a pid-unique
+    .npy then ``os.replace`` (atomic on one fs); losers overwrite with
+    an identical array (deterministic init → deterministic codebook)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|pq{m}x{k}|it{iters}"
+    )
+    import hashlib as _hl
+
+    path = os.path.join(
+        cache_root, _hl.md5(key.encode()).hexdigest()[:16] + ".npy"
+    )
+    if os.path.exists(path):
+        return np.load(path)
+    C = pq_fit(sf_dir, m=m, k=k, iters=iters)
+    os.makedirs(cache_root, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp.npy"  # .npy suffix: np.save appends otherwise
+    np.save(tmp, C)
+    os.replace(tmp, path)
+    return C
+
+
 def pq_fit_from(ds: rd.Dataset, init_vecs: np.ndarray, dim: int,
                 m: int = PQ_M, k: int = PQ_K,
                 iters: int = PQ_ITERS) -> np.ndarray:

@@ -836,9 +836,11 @@ def _rerank_shortlist(
 def q_emb_pq_search(sf_dir: str):
     """(query_id, neighbor_id, rank): top-k via PQ-ADC shortlist +
     exact rerank, self excluded, ties by neighbor_id ascending."""
-    from .quantize import pq_encode, pq_fit
+    from .quantize import pq_encode, pq_fit_cached
 
-    C = pq_fit(sf_dir)                   # (m, k_codes, d_sub)
+    # index-build step — disk-cached per (corpus, params) so repeated
+    # query batches amortize it, like the IVF/LSH/IVF-PQ sidecars
+    C = pq_fit_cached(sf_dir)            # (m, k_codes, d_sub)
     m, kc, d_sub = C.shape
     qids, Q = _read_queries(sf_dir)
     # per-query LUT: ‖q_sub − c‖² for every (subspace, codeword)

@@ -2438,6 +2438,34 @@ def test_pq_matches_serial_twin(ray_session):
     assert err.mean() < 0.5 * ((Vs - rand) ** 2).sum(axis=(1, 2)).mean()
 
 
+def test_pq_fit_cached_equals_live_fit(ray_session, tmp_path):
+    """``pq_fit_cached`` must return the exact live-trained codebook
+    (deterministic init makes Lloyd reproducible), publish its .npy
+    atomically (no tmp leftovers), and serve the second call from disk
+    without retraining — the PQ search's index-build step amortizes
+    across query batches like the IVF/LSH/IVF-PQ sidecars."""
+    import os
+
+    from gcflow.ops import quantize as qz
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "pqfit")
+    live = qz.pq_fit(sf)
+    c1 = qz.pq_fit_cached(sf, cache_root=root)
+    assert np.array_equal(live, c1)
+    files = os.listdir(root)
+    assert len(files) == 1 and files[0].endswith(".npy")
+    orig = qz.pq_fit  # poison the trainer: a second call must cache-hit
+    qz.pq_fit = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("pq_fit_cached retrained on a warm cache")
+    )
+    try:
+        c2 = qz.pq_fit_cached(sf, cache_root=root)
+    finally:
+        qz.pq_fit = orig
+    assert np.array_equal(c1, c2)
+
+
 def test_rerank_shortlist_degenerate_inputs():
     """The shared PQ/IVF-PQ exact-rerank tail must return an empty rank
     table (not crash on np.vstack of zero vectors) when the ADC scan
