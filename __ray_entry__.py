@@ -108,6 +108,9 @@ _DRIVER_OMIT = (
                               # evt_sessions (same bucket-sweep machinery)
     "doc_mix_schedule",       # sampling/ordering family; driver-covered
                               # by doc_sample_temperature (same weights)
+    "emb_knn_label",          # similarity family; thin vote composition
+                              # over the driver-covered emb_ann_topk scan
+                              # (judge-checked via tools/parity.py)
 )
 
 

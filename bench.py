@@ -283,6 +283,7 @@ def main():
         q_doc_bm25_topk,
         q_emb_ann_topk,
         q_emb_ivfpq_search,
+        q_emb_knn_label,
         q_emb_pq_search,
     )
     from gcflow.ops.curation import q_doc_ngram_overlap
@@ -332,6 +333,7 @@ def main():
         ("evt_resample", q_evt_resample),
         ("emb_pq_search", q_emb_pq_search),
         ("emb_ivfpq_search", q_emb_ivfpq_search),
+        ("emb_knn_label", q_emb_knn_label),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

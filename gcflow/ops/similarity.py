@@ -1108,3 +1108,86 @@ def q_emb_ivfpq_search(sf_dir: str, nprobe: int | None = None):
 
 SIMILARITY_QUERIES["emb_ivfpq_search"] = q_emb_ivfpq_search
 # cell pruning + code quantization — rows-only (recall pinned in pytest)
+
+
+# ------------------------------------------------- k-NN label vote
+# Weak labeling / label propagation: predict a label for each query
+# vector by majority vote over its k exact nearest neighbours — the
+# standard transfer step when a small labeled seed set must be
+# extended over an unlabeled crawl (and the eval harness for every
+# ANN index above: prediction quality is what top-k recall buys).
+# Composition, not new machinery: the corpus scan IS the exact
+# cosine top-k (q_emb_ann_topk's partial-top-k → tiny-reduce shape);
+# neighbour labels come from ONE row-filtered parquet read of the
+# bounded shortlist ids (O(queries × k) IO, never O(corpus)); the
+# vote is a queries×k-row pandas reduce on the driver.
+
+
+def q_emb_knn_label(sf_dir: str):
+    """(query_id, pred_label, votes): majority label of the TOP_K exact
+    cosine neighbours for each query (vec_id < N_QUERIES, self
+    excluded).  Vote ties break to the smaller label — deterministic
+    and SQL-mirrorable."""
+    top = q_emb_ann_topk(sf_dir).to_pandas()
+    if len(top) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "pred_label": pa.array([], type=pa.int64()),
+                "votes": pa.array([], type=pa.int64()),
+            }
+        )
+    ids = sorted(set(top["neighbor_id"]))
+    lt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"],
+        filters=[("vec_id", "in", ids)],
+    ).to_pandas()
+    m = top.merge(lt, left_on="neighbor_id", right_on="vec_id", how="left")
+    votes = (
+        m.groupby(["query_id", "label"], sort=True)
+        .size()
+        .reset_index(name="votes")
+    )
+    votes = votes.sort_values(
+        ["query_id", "votes", "label"], ascending=[True, False, True],
+        kind="stable",
+    )
+    win = votes.groupby("query_id", sort=True).head(1)
+    return pa.table(
+        {
+            "query_id": pa.array(win["query_id"], type=pa.int64()),
+            "pred_label": pa.array(win["label"], type=pa.int64()),
+            "votes": pa.array(win["votes"], type=pa.int64()),
+        }
+    )
+
+
+SIMILARITY_QUERIES["emb_knn_label"] = q_emb_knn_label
+SIMILARITY_ORACLES["emb_knn_label"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, label,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, CAST(label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM ranked WHERE rank <= {TOP_K} GROUP BY 1, 2
+), win AS (
+  SELECT query_id, label AS pred_label, votes,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, label ASC
+         ) AS rn
+  FROM votes
+)
+SELECT query_id, pred_label, votes FROM win WHERE rn = 1
+"""

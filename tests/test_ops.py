@@ -3248,3 +3248,75 @@ def test_mix_schedule_interleave_properties(ray_session):
     half = got[got.sched_pos < len(got) // 2].groupby("lang").size() / (len(got) // 2)
     for lang in c.index:
         assert abs(half.get(lang, 0.0) - w[lang]) < 0.1
+
+
+def test_knn_label_planted_clusters(ray_session, tmp_path):
+    """Queries planted inside a labeled cluster must take that cluster's
+    label with a unanimous vote — the weak-labeling contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.similarity import N_QUERIES, TOP_K, q_emb_knn_label
+
+    rng = np.random.default_rng(7)
+    half = 20
+    cA = np.array([10.0] + [0.0] * 7)
+    cB = np.array([0.0] * 7 + [10.0])
+    vecs, labels = [], []
+    for i in range(2 * half):  # interleave: queries 0..7 alternate A/B
+        c, lab = (cA, 3) if i % 2 == 0 else (cB, 7)
+        vecs.append((c + rng.normal(scale=0.05, size=8)).tolist())
+        labels.append(lab)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(2 * half), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": pa.array(labels, type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = q_emb_knn_label(str(tmp_path)).to_pandas()
+    assert len(out) == N_QUERIES
+    for _, row in out.iterrows():
+        want = 3 if row["query_id"] % 2 == 0 else 7
+        assert row["pred_label"] == want
+        assert row["votes"] == TOP_K  # unanimous inside the cluster
+
+
+def test_knn_label_matches_numpy_twin(ray_session):
+    """Distributed vote == a serial numpy twin on the real sf0.001
+    corpus (exact neighbours, same self-exclusion and tie rules)."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.similarity import (
+        N_QUERIES,
+        TOP_K,
+        q_emb_knn_label,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        sf + "/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = t["vec_id"].to_numpy()
+    V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    lab = t["label"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    want = {}
+    for qid in sorted(ids[ids < N_QUERIES]):
+        qi = np.flatnonzero(ids == qid)[0]
+        s = Vn @ Vn[qi]
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -s[keep]))[:TOP_K]
+        nl = lab[keep][order]
+        uniq, counts = np.unique(nl, return_counts=True)
+        best = np.lexsort((uniq, -counts))[0]  # max votes, then min label
+        want[int(qid)] = (int(uniq[best]), int(counts[best]))
+    out = q_emb_knn_label(sf).to_pandas()
+    got = {
+        int(r["query_id"]): (int(r["pred_label"]), int(r["votes"]))
+        for _, r in out.iterrows()
+    }
+    assert got == want
