@@ -106,6 +106,8 @@ _DRIVER_OMIT = (
                               # bucket-prefix machinery, rank flavor)
     "evt_user_lag",           # windows family; driver-covered by
                               # evt_sessions (same bucket-sweep machinery)
+    "evt_user_cumsum",        # windows family (running total); same
+                              # bucket-sweep machinery and rationale
     "doc_mix_schedule",       # sampling/ordering family; driver-covered
                               # by doc_sample_temperature (same weights)
     "emb_knn_label",          # similarity family; thin vote composition

@@ -618,3 +618,93 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS gap_us
 FROM events
 """
+
+
+def q_evt_user_cumsum(sf_dir: str):
+    """(event_id, user_id, cum_cents): per-user RUNNING TOTAL — the
+    partitioned cumulative-aggregate window function (``sum(...) OVER
+    (PARTITION BY user ORDER BY ts, event_id)``), the feature-engineering
+    staple (lifetime spend so far, tokens consumed so far, ...).
+
+    Same distributed shape as ``q_evt_user_lag``: users hash-bucketed,
+    ONE vectorized lexsort sweep per bucket resolves every user's prefix
+    sums (segment-offset cumsum — no per-user tiny groups, no global
+    sort).  Money math is integer-exact across engines: cents =
+    floor(value·100) on the identical float64 in both, summed as int64,
+    so the oracle hash is bitwise regardless of window-sum association
+    order.  NULL values contribute nothing and rows before a user's
+    first non-NULL value yield NULL, matching SQL window-sum semantics.
+    Scale: the bucket count is the parallelism knob; each bucket's
+    state is its own rows only — nothing corpus-sized on the driver."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        tsi = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "cum_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        nonnull = ~np.isnan(val)
+        cents = np.zeros(n, dtype=np.int64)
+        cents[nonnull] = np.floor(val[nonnull] * 100.0).astype(np.int64)
+        order = np.lexsort((eid, tsi, uid))
+        u, c, nn = uid[order], cents[order], nonnull[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        # segment-offset cumsum: one global prefix sum, then subtract each
+        # user's start offset (broadcast by run length)
+        cs = np.cumsum(c)
+        starts = np.flatnonzero(new_user)
+        seg_len = np.diff(np.append(starts, n))
+        base = np.repeat(np.where(starts > 0, cs[starts - 1], 0), seg_len)
+        cum = cs - base
+        # SQL window sum is NULL until the user's first non-NULL value
+        csn = np.cumsum(nn.astype(np.int64))
+        base_n = np.repeat(np.where(starts > 0, csn[starts - 1], 0), seg_len)
+        all_null_so_far = (csn - base_n) == 0
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "cum_cents": pa.array(
+                    np.ma.masked_array(cum, mask=all_null_so_far), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_cumsum"] = q_evt_user_cumsum
+WINDOW_ORACLES["evt_user_cumsum"] = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS cum_cents
+FROM events
+"""

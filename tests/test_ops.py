@@ -3195,6 +3195,84 @@ def test_user_lag_matches_duckdb(ray_session):
     assert got.gap_us.isna().sum() == got.user_id.nunique()  # one NULL per user
 
 
+def test_user_cumsum_matches_duckdb(ray_session):
+    """Per-user running total equals the SQL cumulative-window mirror
+    (integer cents, so the hash is bitwise regardless of the engines'
+    window-sum association order)."""
+    import duckdb
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_user_cumsum
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_user_cumsum(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_user_cumsum"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got.event_id.tolist() == want.event_id.tolist()
+    assert got.cum_cents.astype("Int64").equals(want.cum_cents.astype("Int64"))
+
+
+def test_user_cumsum_null_values(ray_session, tmp_path):
+    """SQL window-sum NULL semantics: rows before a user's first
+    non-NULL value are NULL; NULL values contribute nothing after it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_user_cumsum
+
+    ts0 = np.datetime64("2026-01-01T00:00:00", "us")
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+                "ts": pa.array([ts0 + np.timedelta64(i, "s") for i in range(6)]),
+                "user_id": pa.array([7, 7, 7, 9, 9, 9], type=pa.int64()),
+                "event_type": pa.array(["t"] * 6),
+                "value": pa.array(
+                    [None, 1.25, None, 0.5, None, 2.0], type=pa.float64()
+                ),
+                "props": pa.array(["{}"] * 6),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_evt_user_cumsum(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_user_cumsum"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.cum_cents.astype("Int64").equals(want.cum_cents.astype("Int64"))
+    head = got.cum_cents.astype("Int64")[:3]  # user 7
+    assert head.isna().tolist() == [True, False, False]
+    assert head.tolist()[1:] == [125, 125]
+
+
 def test_mix_schedule_matches_duckdb(ray_session):
     """md5 (oracle-parity) mode equals the SQL double-window mirror on
     sf0.001 — including the float virtual-time ordering."""

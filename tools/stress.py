@@ -176,7 +176,12 @@ def main() -> None:
         q_doc_sample_unimax,
         q_doc_unigram_logprob,
     )
-    from gcflow.ops.windows import q_evt_funnel, q_evt_resample, q_evt_user_lag
+    from gcflow.ops.windows import (
+        q_evt_funnel,
+        q_evt_resample,
+        q_evt_user_cumsum,
+        q_evt_user_lag,
+    )
     from gcflow.ops.tokenizer import q_doc_bpe_train
 
     ops = {
@@ -204,6 +209,7 @@ def main() -> None:
         ),
         "evt_value_rank": (q_evt_value_rank, "events"),
         "evt_user_lag": (q_evt_user_lag, "events"),
+        "evt_user_cumsum": (q_evt_user_cumsum, "events"),
         "doc_mix_schedule": (q_doc_mix_schedule, "documents"),
         "emb_semdedup": (q_emb_semdedup, "embeddings"),
     }
