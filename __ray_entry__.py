@@ -113,6 +113,10 @@ _DRIVER_OMIT = (
     "emb_knn_label",          # similarity family; thin vote composition
                               # over the driver-covered emb_ann_topk scan
                               # (judge-checked via tools/parity.py)
+    "doc_normalize",          # per-doc transform family added after the
+    "doc_truncate",           # 50-slot driver set was pinned; all three
+    "doc_fim",                # are pure streaming map_batches passes,
+                              # oracle-checked via tools/parity.py+pytest
 )
 
 

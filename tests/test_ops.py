@@ -3398,3 +3398,31 @@ def test_knn_label_matches_numpy_twin(ray_session):
         for _, r in out.iterrows()
     }
     assert got == want
+
+
+def test_fim_reassembles_to_original(ray_session):
+    """prefix+middle+suffix must equal the source text for every doc —
+    the FIM rearrangement is a permutation, not a lossy transform."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.transform import q_doc_fim
+
+    t = q_doc_fim(SF).to_pandas().set_index("doc_id")
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas().set_index("doc_id")
+    joined = t.join(src)
+    assert (joined.prefix + joined.middle + joined.suffix == joined.text).all()
+    assert joined.fim_text.str.startswith("<|fim_prefix|>").all()
+
+
+def test_truncate_budget_and_idempotent_normalize(ray_session):
+    import pyarrow as pa
+
+    from gcflow.ops.transform import TRUNCATE_BUDGET, normalize_text, q_doc_truncate
+
+    t = q_doc_truncate(SF).to_pandas()
+    assert (t.trunc_text.str.split(" ").str.len() <= TRUNCATE_BUDGET).all()
+    assert ((t.n_tokens > TRUNCATE_BUDGET) == (t.truncated == 1)).all()
+    # normalize is idempotent: a second pass changes nothing
+    messy = pa.array(["  A\t\tB  c ", "x", ""])
+    once = normalize_text(messy)
+    assert normalize_text(once).to_pylist() == once.to_pylist() == ["a b c", "x", ""]
