@@ -117,6 +117,10 @@ _DRIVER_OMIT = (
     "doc_truncate",           # 50-slot driver set was pinned; all three
     "doc_fim",                # are pure streaming map_batches passes,
                               # oracle-checked via tools/parity.py+pytest
+    "doc_char_entropy",       # quality-signal family (doc_quality stays);
+                              # post-pin addition, same rationale
+    "emb_label_centroids",    # mergeable-moments family (PCA machinery);
+                              # post-pin addition, same rationale
 )
 
 

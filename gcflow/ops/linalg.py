@@ -142,3 +142,73 @@ LINALG_QUERIES = {
 # eigendecomposition is not SQL-expressible — rows-only (pytest twin
 # asserts numeric agreement with an in-memory numpy PCA)
 LINALG_ORACLES: dict[str, str] = {}
+
+
+# ----------------------------------------------------- label centroids
+# Per-class mean embedding — the prototype/centroid extraction stage of
+# an embedding-curation pipeline (class prototypes for nearest-centroid
+# labeling, drift monitoring, SemDeDup-style seeding).  Same mergeable-
+# moments shape as the PCA fit: each batch emits ONE tiny partial row
+# per label present (label, n, Σvec packed as float64 bytes), partials
+# merge associatively under a label-keyed groupby, and only k·d floats
+# ever move through the shuffle — the corpus itself never reaches the
+# driver and is read exactly once.  Output is long-format
+# (label, dim, centroid, n) so the DuckDB unnest/avg oracle hashes it.
+
+
+def q_emb_label_centroids(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        V = _embedding_matrix(t)
+        labels = t["label"].to_numpy().astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        sl, Vs = labels[order], V[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sl)) + 1))
+        sums = np.add.reduceat(Vs, starts, axis=0)
+        ns = np.diff(np.append(starts, len(sl)))
+        return pa.table(
+            {
+                "label": pa.array(sl[starts], type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+                "vsum": pa.array([r.tobytes() for r in sums], type=pa.binary()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        s = None
+        for b in g["vsum"].to_pylist():
+            v = np.frombuffer(b, dtype=np.float64)
+            s = v.copy() if s is None else s + v
+        d = len(s)
+        label = g["label"][0].as_py()
+        return pa.table(
+            {
+                "label": pa.array([label] * d, type=pa.int64()),
+                "dim": pa.array(np.arange(1, d + 1), type=pa.int64()),
+                "centroid": pa.array(s / n, type=pa.float64()),
+                "n": pa.array([n] * d, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+LINALG_QUERIES["emb_label_centroids"] = q_emb_label_centroids
+
+LINALG_ORACLES["emb_label_centroids"] = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, unnest(embedding) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings
+)
+SELECT label, dim, avg(CAST(v AS DOUBLE)) AS centroid,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+"""

@@ -1505,3 +1505,71 @@ r2 AS (
 )
 SELECT doc_id, lang FROM r2 JOIN quota USING (lang) WHERE rn <= q
 """
+
+
+# ----------------------------------------------------- character entropy
+# Per-document Shannon entropy (log2) of the character distribution —
+# the gibberish/boilerplate filter signal (low entropy = repeated
+# characters / padding; high entropy = encoded blobs).  One streaming
+# pass; the per-batch kernel never touches Python rows: it reads the
+# Arrow flat byte buffer, builds (doc, char) keys, and gets per-doc
+# counts from ONE np.unique + two reduceat sweeps.  Non-ASCII batches
+# fall back to a utf-32 decode of the same flat buffer (codepoint
+# semantics, matching DuckDB's string_split(text, '')); empty documents
+# would be dropped by the oracle's unnest and are absent from the
+# synthetic corpus either way.
+
+
+def q_doc_char_entropy(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        arr = text.cast(pa.large_utf8())
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        byte_lens = np.diff(offs)
+        if len(data) and data.max() >= 128:  # non-ASCII: go per-codepoint
+            joined = "".join(text.to_pylist())
+            data = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            cp_lens = pc.utf8_length(text).to_numpy().astype(np.int64)
+        else:
+            cp_lens = byte_lens
+        seg = np.repeat(np.arange(n, dtype=np.int64), cp_lens)
+        key = (seg << np.int64(21)) | data.astype(np.int64)
+        uk, cnts = np.unique(key, return_counts=True)
+        segk = uk >> 21
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(segk)) + 1))
+        sizes = np.diff(np.append(starts, len(cnts)))
+        tot = np.add.reduceat(cnts, starts) if len(cnts) else np.empty(0, np.int64)
+        p = cnts / np.repeat(tot, sizes)
+        ent_seg = (
+            np.add.reduceat(-p * np.log2(p), starts) if len(cnts) else np.empty(0)
+        )
+        ent = np.zeros(n)
+        if len(starts):
+            ent[segk[starts]] = ent_seg
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(cp_lens, type=pa.int64()),
+                "char_entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+TEXT_QUERIES["doc_char_entropy"] = q_doc_char_entropy
+
+TEXT_ORACLES["doc_char_entropy"] = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), e AS (
+  SELECT doc_id, entropy(c) AS char_entropy FROM ch GROUP BY 1
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, e.char_entropy
+FROM documents d JOIN e USING (doc_id)
+"""
