@@ -121,6 +121,11 @@ _DRIVER_OMIT = (
                               # post-pin addition, same rationale
     "emb_label_centroids",    # mergeable-moments family (PCA machinery);
                               # post-pin addition, same rationale
+    "emb_nearest_centroid",   # broadcast-argmin composition over the
+                              # centroid fit; post-pin, same rationale
+    "emb_knn_shapley",        # data-valuation op (bucket-suffix global
+                              # scan, the rank-op machinery); post-pin,
+                              # oracle + serial-twin pytest
 )
 
 

@@ -212,3 +212,62 @@ SELECT label, dim, avg(CAST(v AS DOUBLE)) AS centroid,
        CAST(count(*) AS BIGINT) AS n
 FROM e GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------- nearest-centroid label
+# Composes the centroid stage with a broadcast argmin pass: fit per-label
+# prototypes (mergeable moments, k·d floats on the driver), ``ray.put``
+# them ONCE, then one streaming pass assigns every vector the label of
+# its nearest centroid.  No shuffle of the corpus — the only exchange is
+# the k·d-float partials.  The per-batch kernel keeps the naive
+# (v−c)² sum (batch×k×d temporaries) because it rounds identically to
+# the oracle's per-dim sum; for k·d large enough to matter, switch to
+# the |v|²−2vC+|c|² matmul expansion (documented fp drift ~1e-15).
+
+
+def q_emb_nearest_centroid(sf_dir: str):
+    cen = q_emb_label_centroids(sf_dir).to_pandas()
+    piv = cen.pivot(index="label", columns="dim", values="centroid").sort_index()
+    labels = piv.index.to_numpy(dtype=np.int64)  # ascending → argmin tie = min label
+    C = piv.to_numpy(dtype=np.float64)
+    ref = ray.put((labels, C))
+
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        lb, M = ray.get(_ref)
+        V = _embedding_matrix(t)
+        D2 = ((V[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
+        j = D2.argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "pred_label": pa.array(lb[j], type=pa.int64()),
+                "dist2": pa.array(D2[np.arange(len(j)), j], type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+LINALG_QUERIES["emb_nearest_centroid"] = q_emb_nearest_centroid
+
+LINALG_ORACLES["emb_nearest_centroid"] = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, unnest(embedding) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, vec_id
+  FROM embeddings
+), c AS (
+  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS c FROM e GROUP BY 1, 2
+), d AS (
+  SELECT e.vec_id, c.label,
+         sum((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)) AS d2
+  FROM e JOIN c USING (dim) GROUP BY 1, 2
+), r AS (
+  SELECT vec_id, label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+  FROM d
+)
+SELECT vec_id, label AS pred_label, d2 AS dist2 FROM r WHERE rn = 1
+"""

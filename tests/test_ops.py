@@ -3426,3 +3426,39 @@ def test_truncate_budget_and_idempotent_normalize(ray_session):
     messy = pa.array(["  A\t\tB  c ", "x", ""])
     once = normalize_text(messy)
     assert normalize_text(once).to_pylist() == once.to_pylist() == ["a b c", "x", ""]
+
+
+def test_knn_shapley_matches_serial_twin(ray_session):
+    """Distributed bucket-suffix kNN-Shapley must match the textbook
+    serial recurrence (Jia et al. 2019) run in numpy, and satisfy the
+    efficiency axiom: per val point, sum_i s_i == mean(u of K nearest)."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.valuation import K_NN, VAL_MOD, q_emb_knn_shapley
+
+    got = q_emb_knn_shapley(SF).to_pandas().set_index("vec_id").sort_index()
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.vstack(t.embedding.to_numpy()).astype(np.float64)
+    ids = t.vec_id.to_numpy()
+    labs = t.label.to_numpy().astype(np.int64)
+    is_val = ids % VAL_MOD == 0
+    tr, va = ~is_val, is_val
+    n = tr.sum()
+    acc = {i: [] for i in ids[tr]}
+    for w, yl in zip(V[va], labs[va]):
+        d = ((V[tr] - w) ** 2).sum(axis=1)
+        order = np.lexsort((ids[tr], d))
+        u = (labs[tr][order] == yl).astype(float)
+        s = np.zeros(n)
+        s[-1] = u[-1] / n
+        for i in range(n - 2, -1, -1):  # textbook recurrence, 1-based i+1
+            s[i] = s[i + 1] + (u[i] - u[i + 1]) * min(K_NN, i + 1) / (K_NN * (i + 1))
+        for vid, sv in zip(ids[tr][order], s):
+            acc[vid].append(sv)
+        # efficiency axiom
+        assert abs(s.sum() - u[:K_NN].mean()) < 1e-9
+    twin = {k: float(np.mean(v)) for k, v in acc.items()}
+    assert len(got) == len(twin)
+    for vid, sv in twin.items():
+        assert abs(got.shapley[vid] - sv) < 1e-9, vid
