@@ -126,6 +126,8 @@ _DRIVER_OMIT = (
     "emb_knn_shapley",        # data-valuation op (bucket-suffix global
                               # scan, the rank-op machinery); post-pin,
                               # oracle + serial-twin pytest
+    "emb_standardize",        # moments-machinery sibling; post-pin
+    "evt_trimmed_mean",       # grouped-percentile composition; post-pin
 )
 
 

@@ -298,6 +298,9 @@ def main():
     from gcflow.ops.dedup import q_doc_cross_dedup
     from gcflow.ops.span_dedup import q_doc_dup_spans
     from gcflow.ops.tokenizer import q_doc_bpe_train
+    from gcflow.ops.transform import q_doc_fim, q_doc_normalize
+    from gcflow.ops.text import q_doc_char_entropy
+    from gcflow.ops.valuation import q_emb_knn_shapley
     from gcflow.ops.windows import q_evt_funnel, q_evt_resample
 
     for name, fn in [
@@ -334,6 +337,10 @@ def main():
         ("emb_pq_search", q_emb_pq_search),
         ("emb_ivfpq_search", q_emb_ivfpq_search),
         ("emb_knn_label", q_emb_knn_label),
+        ("doc_normalize", q_doc_normalize),
+        ("doc_fim", q_doc_fim),
+        ("doc_char_entropy", q_doc_char_entropy),
+        ("emb_knn_shapley", q_emb_knn_shapley),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -271,3 +271,78 @@ WITH e AS (
 )
 SELECT vec_id, label AS pred_label, d2 AS dist2 FROM r WHERE rn = 1
 """
+
+
+# ------------------------------------------------- per-dim standardization
+# Feature z-scoring of the embedding corpus — two streaming passes: one
+# mergeable raw-moments pass (d floats of state: n, Σx, Σx² per dim),
+# driver-side mean/σ (population, raw-moments formula — the oracle spells
+# out sqrt(avg(v²)−avg(v)²) so both engines round the same way), then a
+# broadcast (μ, σ) streaming transform.  Long-format output so the
+# unnest oracle hashes it.
+
+
+def q_emb_standardize(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        V = _embedding_matrix(t)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n": pa.array([len(V)], type=pa.int64()),
+                "s1": pa.array([V.sum(axis=0).tobytes()], type=pa.binary()),
+                "s2": pa.array([(V * V).sum(axis=0).tobytes()], type=pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    parts = (
+        ds.map_batches(
+            lambda t: partial(t.select(["embedding"]).combine_chunks()),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s1 = np.sum([np.frombuffer(b, dtype=np.float64) for b in parts["s1"]], axis=0)
+    s2 = np.sum([np.frombuffer(b, dtype=np.float64) for b in parts["s2"]], axis=0)
+    mu = s1 / n
+    sd = np.sqrt(s2 / n - mu * mu)  # population σ via raw moments (≡ oracle)
+    ref = ray.put((mu, sd))
+
+    def zscore(t: pa.Table, _ref=ref) -> pa.Table:
+        m, s = ray.get(_ref)
+        V = _embedding_matrix(t)
+        Z = (V - m) / s
+        d = Z.shape[1]
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), type=pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), len(ids)),
+                    type=pa.int64(),
+                ),
+                "z": pa.array(Z.ravel(), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(zscore, batch_format="pyarrow")
+
+
+LINALG_QUERIES["emb_standardize"] = q_emb_standardize
+
+LINALG_ORACLES["emb_standardize"] = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings
+), m AS (
+  SELECT dim, sum(v) / count(*) AS mu,
+         sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) * (sum(v) / count(*))) AS sd
+  FROM e GROUP BY 1
+)
+SELECT e.vec_id, e.dim, (e.v - m.mu) / m.sd AS z
+FROM e JOIN m USING (dim)
+"""

@@ -611,3 +611,78 @@ SELECT event_id, value,
          AS global_rank
 FROM events WHERE value IS NOT NULL
 """
+
+
+# --------------------------------------------------------- trimmed mean
+# Robust per-group location estimate: mean of the values inside the
+# exact [p25, p75] IQR box — composes the grouped distributed selection
+# above (scans shared across groups, no global sort) with ONE streaming
+# filter + partial-sum pass against the broadcast per-group box.  The
+# quartiles are quantile_disc-exact, so both engines trim the identical
+# row set and the only fp surface is the final mean.
+
+
+def q_evt_trimmed_mean(sf_dir: str):
+    box = q_evt_value_percentiles_by_type(sf_dir, qs=(0.25, 0.75)).to_pandas()
+    lo = {r.event_type: r.value for r in box[box.q == 0.25].itertuples()}
+    hi = {r.event_type: r.value for r in box[box.q == 0.75].itertuples()}
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("s", pa.float64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        if len(t) == 0:
+            return part_schema.empty_table()
+        et = t["event_type"].to_pylist()
+        v = np.asarray(t["value"])
+        l = np.fromiter((_lo[e] for e in et), dtype=np.float64, count=len(et))
+        h = np.fromiter((_hi[e] for e in et), dtype=np.float64, count=len(et))
+        keep = (v >= l) & (v <= h)
+        g = (
+            t.filter(pa.array(keep))
+            .group_by(["event_type"])
+            .aggregate([("value", "sum"), ("value", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "s": g["value_sum"],
+                "n": pc.cast(g["value_count"], pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        s = float(pc.sum(g["s"]).as_py())
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()]),
+                "trimmed_mean": pa.array([s / n], type=pa.float64()),
+                "n_kept": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    return (
+        rd.read_parquet(src, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+QUANTILE_QUERIES["evt_trimmed_mean"] = q_evt_trimmed_mean
+QUANTILE_ORACLES["evt_trimmed_mean"] = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS lo, quantile_disc(value, 0.75) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type, sum(e.value) / count(*) AS trimmed_mean,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL AND e.value BETWEEN q.lo AND q.hi
+GROUP BY 1
+"""

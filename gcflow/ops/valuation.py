@@ -63,9 +63,15 @@ def _matrix(t: pa.Table) -> np.ndarray:
     return np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
 
 
-def q_emb_knn_shapley(sf_dir: str, k: int = K_NN):
+def q_emb_knn_shapley(sf_dir: str, k: int = K_NN, val_mod: int = VAL_MOD):
+    """``val_mod`` picks the validation set (vec_id % val_mod == 0).  The
+    default is sized for the sf tables; a production call points this at
+    a FIXED benchmark set — scale val_mod with the corpus so V stays
+    constant (the stress harness does exactly that), because valuation
+    cost is O(N*V) by construction."""
+
     def val_only(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(np.asarray(t["vec_id"]) % VAL_MOD == 0))
+        return t.filter(pa.array(np.asarray(t["vec_id"]) % val_mod == 0))
 
     val = (
         _emb(sf_dir)
@@ -83,9 +89,9 @@ def q_emb_knn_shapley(sf_dir: str, k: int = K_NN):
     vids = val["vec_id"].to_numpy().astype(np.int64)
     ref = ray.put((vids, vlab, W))
 
-    def make_pairs(t: pa.Table, _ref=ref) -> pa.Table:
+    def make_pairs(t: pa.Table, _ref=ref, _vm=val_mod) -> pa.Table:
         ids_v, labs_v, M = ray.get(_ref)
-        mask = np.asarray(t["vec_id"]) % VAL_MOD != 0
+        mask = np.asarray(t["vec_id"]) % _vm != 0
         t = t.filter(pa.array(mask))
         if len(t) == 0:
             return pa.table(

@@ -183,6 +183,9 @@ def main() -> None:
         q_evt_user_lag,
     )
     from gcflow.ops.tokenizer import q_doc_bpe_train
+    from gcflow.ops.text import q_doc_char_entropy
+    from gcflow.ops.transform import q_doc_fim, q_doc_normalize
+    from gcflow.ops.valuation import q_emb_knn_shapley
 
     ops = {
         "doc_ngram_overlap": (q_doc_ngram_overlap, "documents"),
@@ -212,6 +215,15 @@ def main() -> None:
         "evt_user_cumsum": (q_evt_user_cumsum, "events"),
         "doc_mix_schedule": (q_doc_mix_schedule, "documents"),
         "emb_semdedup": (q_emb_semdedup, "embeddings"),
+        "doc_normalize": (q_doc_normalize, "documents"),
+        "doc_fim": (q_doc_fim, "documents"),
+        "doc_char_entropy": (q_doc_char_entropy, "documents"),
+        # keep V (the benchmark set) CONSTANT across scales — valuation
+        # is O(N*V) by design, so the per-row scaling story is N at fixed V
+        "emb_knn_shapley": (
+            lambda d: q_emb_knn_shapley(d, val_mod=61 if d == BASE else 6100),
+            "embeddings",
+        ),
     }
     only = set(sys.argv[1:])
 
