@@ -128,6 +128,7 @@ _DRIVER_OMIT = (
                               # oracle + serial-twin pytest
     "emb_standardize",        # moments-machinery sibling; post-pin
     "evt_trimmed_mean",       # grouped-percentile composition; post-pin
+    "evt_value_decile",       # NTILE over the rank machinery; post-pin
 )
 
 

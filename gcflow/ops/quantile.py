@@ -686,3 +686,51 @@ FROM events e JOIN q USING (event_type)
 WHERE e.value IS NOT NULL AND e.value BETWEEN q.lo AND q.hi
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------------ decile tag
+# Exact NTILE(10) bucketing of every event by value — the
+# percentile-bucketing feature stage (e.g. quality-score deciles for
+# curriculum mixing).  Composes the global-rank op: ranks come from the
+# bucket-prefix machinery (no global sort), the NTILE arithmetic is one
+# vectorized expression per batch, and the only driver state is the
+# total row count already collected for the rank offsets.
+
+NTILE_K = 10
+
+
+def q_evt_value_decile(sf_dir: str, k: int = NTILE_K):
+    ranked = q_evt_value_rank(sf_dir)
+    n = int(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+        .map_batches(
+            lambda t: pa.table(
+                {"c": pa.array([len(t.filter(pc.is_valid(t["value"])))], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("c")
+    )
+    q, r = divmod(n, k)
+
+    def tag(t: pa.Table) -> pa.Table:
+        rank = np.asarray(t["global_rank"])
+        big = r * (q + 1)  # first r buckets hold q+1 rows (NTILE semantics)
+        tile = np.where(rank < big, rank // max(q + 1, 1), r + (rank - big) // max(q, 1))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value": t["value"],
+                "decile": pa.array(tile + 1, type=pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(tag, batch_format="pyarrow")
+
+
+QUANTILE_QUERIES["evt_value_decile"] = q_evt_value_decile
+QUANTILE_ORACLES["evt_value_decile"] = f"""
+SELECT event_id, value,
+       CAST(ntile({NTILE_K}) OVER (ORDER BY value, event_id) AS BIGINT) AS decile
+FROM events WHERE value IS NOT NULL
+"""
