@@ -129,6 +129,7 @@ _DRIVER_OMIT = (
     "emb_standardize",        # moments-machinery sibling; post-pin
     "evt_trimmed_mean",       # grouped-percentile composition; post-pin
     "evt_value_decile",       # NTILE over the rank machinery; post-pin
+    "doc_top_quality_per_lang",  # per-group top-N combiner; post-pin
 )
 
 

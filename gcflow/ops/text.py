@@ -1573,3 +1573,73 @@ WITH ch AS (
 SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, e.char_entropy
 FROM documents d JOIN e USING (doc_id)
 """
+
+
+# ------------------------------------------------- per-group top-N keep
+# Curation staple: keep the N highest-quality documents per language
+# (quality = the alpha-ratio signal above).  Classic combiner shape —
+# each batch pre-selects its own per-lang top N, so only langs*N rows
+# per batch enter the shuffle, and the final per-lang selection runs on
+# candidate sets of size <= batches*N.  Ordering is (alpha_ratio DESC,
+# doc_id ASC); the ratio is the identical single float64 division in
+# both engines, so the cut is bitwise.
+
+TOPQ_PER_LANG = 25
+
+
+def q_doc_top_quality_per_lang(sf_dir: str, n: int = TOPQ_PER_LANG):
+    def score(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.float64())
+        s = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "alpha_ratio": pc.divide(n_alpha, n_chars),
+            }
+        )
+        return _head_per_lang(s, n)
+
+    def _head_per_lang(t: pa.Table, n_: int) -> pa.Table:
+        t = t.sort_by(
+            [("lang", "ascending"), ("alpha_ratio", "descending"), ("doc_id", "ascending")]
+        )
+        m = len(t)
+        if m == 0:
+            return t
+        col = t["lang"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = np.asarray(pc.not_equal(col.slice(1), col.slice(0, m - 1)))
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        pos = np.arange(m) - np.repeat(starts, np.diff(np.append(starts, m)))
+        return t.filter(pa.array(pos < n_))
+
+    def final(g: pa.Table, _n=n) -> pa.Table:
+        return _head_per_lang(g, _n)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+TEXT_QUERIES["doc_top_quality_per_lang"] = q_doc_top_quality_per_lang
+
+TEXT_ORACLES["doc_top_quality_per_lang"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, alpha_ratio,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY alpha_ratio DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, lang, alpha_ratio FROM r WHERE rn <= {TOPQ_PER_LANG}
+"""
