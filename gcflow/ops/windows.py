@@ -708,3 +708,97 @@ SELECT event_id, user_id,
             AS BIGINT) AS cum_cents
 FROM events
 """
+
+
+# ----------------------------------------------- time-range rolling mean
+# Per-user trailing one-hour mean of ``value`` — the RANGE-frame window
+# function (feature engineering for burst/velocity signals).  Same
+# bucket sweep as the lag/cumsum ops, with the window bounds resolved by
+# TWO global searchsorted calls per bucket via the segment-offset trick:
+# each user's timestamps are lifted by seg_id*OFFSET with OFFSET larger
+# than any user's time span plus the window, so the lifted key array is
+# globally sorted and a lookback can never cross into the previous
+# user's segment.  Window sums come from prefix-sum differences (NULL
+# values excluded, matching avg()/count() OVER semantics; RANGE peers —
+# equal timestamps — are included on both engines).
+
+ROLLING_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_evt_user_rolling_mean(sf_dir: str, window_us: int = ROLLING_WINDOW_US):
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    empty = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("rolling_mean", pa.float64()),
+            ("n_window", pa.int64()),
+        ]
+    )
+
+    def sweep(g: pa.Table, _w=window_us) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return empty.empty_table()
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        tsi = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, tsi, uid))
+        u, s, v = uid[order], tsi[order], val[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new_user) - 1
+        span = int(s.max() - s.min()) if n else 0
+        offset = span + _w + 1
+        assert (seg[-1] + 1) * offset < 2**62, "segment-offset overflow"
+        key = seg * offset + (s - s.min())
+        lo = np.searchsorted(key, key - _w, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        ok = np.isfinite(v)
+        pv = np.concatenate(([0.0], np.cumsum(np.where(ok, v, 0.0))))
+        pn = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+        cnt = pn[hi] - pn[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = (pv[hi] - pv[lo]) / cnt
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "rolling_mean": pa.array(
+                    np.ma.masked_array(mean, mask=cnt == 0), type=pa.float64()
+                ),
+                "n_window": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_rolling_mean"] = q_evt_user_rolling_mean
+WINDOW_ORACLES["evt_user_rolling_mean"] = """
+SELECT event_id, user_id,
+       avg(value) OVER w AS rolling_mean,
+       CAST(count(value) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
