@@ -130,6 +130,7 @@ _DRIVER_OMIT = (
     "evt_trimmed_mean",       # grouped-percentile composition; post-pin
     "evt_value_decile",       # NTILE over the rank machinery; post-pin
     "doc_top_quality_per_lang",  # per-group top-N combiner; post-pin
+    "evt_user_rolling_mean",  # RANGE-window family (lag/cumsum machinery)
 )
 
 
