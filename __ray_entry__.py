@@ -131,6 +131,11 @@ _DRIVER_OMIT = (
     "evt_value_decile",       # NTILE over the rank machinery; post-pin
     "doc_top_quality_per_lang",  # per-group top-N combiner; post-pin
     "evt_user_rolling_mean",  # RANGE-window family (lag/cumsum machinery)
+    "evt_value_percentile_cont",  # interpolated flavor of the selection
+                              # machinery (grouped disc variant stays)
+    "evt_cube",               # grouping-sets family; rollup rationale
+    "evt_value_hist",         # distribution profile over the same
+                              # bin-partial machinery; post-pin
 )
 
 

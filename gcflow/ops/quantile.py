@@ -138,6 +138,65 @@ def _collect_interval(ds: rd.Dataset, lo: float, hi: float, closed: bool) -> np.
     return np.sort(vals)
 
 
+def _select_ranks(
+    ds: rd.Dataset,
+    lo: float,
+    hi: float,
+    targets_fn,
+    bins: int = QTL_BINS,
+    budget: int = QTL_COLLECT_BUDGET,
+) -> tuple[dict, int]:
+    """Exact order statistics without a global sort (the refinement loop
+    shared by the disc and cont quantile flavors).
+
+    ``targets_fn(n_nonnull) -> {key: rank}`` maps the non-NULL count to
+    0-indexed ranks into the sorted non-null values — the first pass
+    doubles as the counter (its root interval [lo, hi] closed covers
+    every value the later passes/collects can see, so its histogram sum
+    IS the denominator; no extra scan).  Returns ``({key: value}, n)``;
+    ``({}, 0)`` when the column is entirely NULL/NaN."""
+    resolved: dict = {}
+    state: dict | None = None  # key -> (lo, hi, closed, k); set after pass 1
+    n = 0
+    for _ in range(QTL_MAX_PASSES):
+        if state is not None:
+            # degenerate intervals are single-valued — resolve without a scan
+            for key in [key for key, s in state.items() if s[1] <= s[0]]:
+                resolved[key] = state.pop(key)[0]
+            if not state:
+                break
+            intervals = sorted({(s[0], s[1], s[2]) for s in state.values()})
+        else:
+            intervals = [(lo, hi, True)]
+        hist = _hist_pass(ds, intervals, bins)
+        if state is None:
+            n = int(hist[0].sum())
+            if n == 0:  # column is entirely NULL/NaN
+                return {}, 0
+            state = {
+                key: (lo, hi, True, k) for key, k in targets_fn(n).items()
+            }
+        iv_index = {iv: j for j, iv in enumerate(intervals)}
+        nxt = {}
+        for key, (qlo, qhi, closed, k) in state.items():
+            counts = hist[iv_index[(qlo, qhi, closed)]]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, k + 1))
+            in_bin_rank = k - (int(cum[b - 1]) if b else 0)
+            blo, bhi, bclosed = _bin_interval(qlo, qhi, closed, b, bins)
+            if counts[b] <= budget:
+                vals = _collect_interval(ds, blo, bhi, bclosed)
+                resolved[key] = float(vals[in_bin_rank])
+            else:
+                nxt[key] = (blo, bhi, bclosed, in_bin_rank)
+        state = nxt
+    for key, (qlo, qhi, qcl, k) in (state or {}).items():
+        # pass cap hit: collect anyway
+        vals = _collect_interval(ds, qlo, qhi, qcl)
+        resolved[key] = float(vals[min(k, len(vals) - 1)])
+    return resolved, n
+
+
 def q_evt_value_percentiles(
     sf_dir: str, bins: int = QTL_BINS, budget: int = QTL_COLLECT_BUDGET
 ):
@@ -161,49 +220,18 @@ def q_evt_value_percentiles(
              "value": pa.array([lo] * len(QTL_QS), type=pa.float64())}
         )
 
-    # Rank targets need n = the NON-NULL count (quantile_disc ignores
-    # NULLs; parquet row counts include them), so the first pass doubles
-    # as the counter: its root interval [lo, hi] closed covers every
-    # value the later passes/collects can see, and its histogram sum IS
-    # the denominator — no extra scan.
-    resolved: dict = {}
-    state: dict | None = None  # q -> (lo, hi, closed, k); set after pass 1
-    for _ in range(QTL_MAX_PASSES):
-        if state is not None:
-            # degenerate intervals are single-valued — resolve without a scan
-            for q in [q for q, s in state.items() if s[1] <= s[0]]:
-                resolved[q] = state.pop(q)[0]
-            if not state:
-                break
-            intervals = sorted({(s[0], s[1], s[2]) for s in state.values()})
-        else:
-            intervals = [(lo, hi, True)]
-        hist = _hist_pass(ds, intervals, bins)
-        if state is None:
-            n = int(hist[0].sum())
-            if n == 0:  # column is entirely NULL/NaN
-                return empty
-            state = {
-                q: (lo, hi, True, max(int(math.ceil(q * n)) - 1, 0))
-                for q in QTL_QS
-            }
-        iv_index = {iv: j for j, iv in enumerate(intervals)}
-        nxt = {}
-        for q, (qlo, qhi, closed, k) in state.items():
-            counts = hist[iv_index[(qlo, qhi, closed)]]
-            cum = np.cumsum(counts)
-            b = int(np.searchsorted(cum, k + 1))
-            in_bin_rank = k - (int(cum[b - 1]) if b else 0)
-            blo, bhi, bclosed = _bin_interval(qlo, qhi, closed, b, bins)
-            if counts[b] <= budget:
-                vals = _collect_interval(ds, blo, bhi, bclosed)
-                resolved[q] = float(vals[in_bin_rank])
-            else:
-                nxt[q] = (blo, bhi, bclosed, in_bin_rank)
-        state = nxt
-    for q, (qlo, qhi, qcl, k) in state.items():  # pass cap hit: collect anyway
-        vals = _collect_interval(ds, qlo, qhi, qcl)
-        resolved[q] = float(vals[min(k, len(vals) - 1)])
+    # Rank convention matches DuckDB quantile_disc: the element at sorted
+    # index max(ceil(q*n) - 1, 0), n = the NON-NULL count.
+    resolved, _ = _select_ranks(
+        ds,
+        lo,
+        hi,
+        lambda n: {q: max(int(math.ceil(q * n)) - 1, 0) for q in QTL_QS},
+        bins,
+        budget,
+    )
+    if not resolved:
+        return empty
 
     qs = sorted(resolved)
     return pa.table(
@@ -214,8 +242,136 @@ def q_evt_value_percentiles(
     )
 
 
+# ------------------------------------------------- interpolated percentiles
+# quantile_cont flavor: the PERCENTILE_CONT(q) WITHIN GROUP order
+# statistic — linear interpolation between the two neighboring exact
+# order statistics at fractional rank RN = (n-1)·q.  Both neighbors come
+# out of the SAME shared refinement loop (two rank targets per q resolve
+# in the same scans), and the interpolation reproduces DuckDB's exact
+# float expression lo·(CRN−RN) + hi·(RN−FRN) (verified bitwise over
+# n∈{4,5,10,101,1000} × q∈{0,.5,.9,.99,1}), so the driver check is a
+# full value-hash oracle despite the fractional arithmetic.
+QTL_CONT_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_evt_value_percentile_cont(
+    sf_dir: str, bins: int = QTL_BINS, budget: int = QTL_COLLECT_BUDGET
+):
+    """Exact interpolated p25/p50/p90/p99 of ``events.value`` (DuckDB
+    ``quantile_cont`` semantics) — distributed selection for the two
+    neighboring order statistics per quantile, driver-side interpolation."""
+    src = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(src, columns=["value"])
+    lo, hi, n_rows = _value_bounds(src)
+
+    empty = pa.table(
+        {"q": pa.array([], type=pa.float64()),
+         "value": pa.array([], type=pa.float64())}
+    )
+    if n_rows == 0 or not math.isfinite(lo):
+        return empty
+    if hi <= lo:  # all non-null values equal — interpolation is the value
+        return pa.table(
+            {"q": pa.array(sorted(QTL_CONT_QS), type=pa.float64()),
+             "value": pa.array([lo] * len(QTL_CONT_QS), type=pa.float64())}
+        )
+
+    def targets(n: int) -> dict:
+        t = {}
+        for q in QTL_CONT_QS:
+            rn = float(n - 1) * q
+            t[("f", q)] = int(math.floor(rn))
+            t[("c", q)] = int(math.ceil(rn))
+        return t
+
+    resolved, n = _select_ranks(ds, lo, hi, targets, bins, budget)
+    if not resolved:
+        return empty
+
+    qs = sorted(QTL_CONT_QS)
+    out = []
+    for q in qs:
+        rn = float(n - 1) * q
+        frn, crn = math.floor(rn), math.ceil(rn)
+        v_lo, v_hi = resolved[("f", q)], resolved[("c", q)]
+        if crn == frn:
+            out.append(v_lo)
+        else:  # DuckDB Interpolator: lo·(CRN−RN) + hi·(RN−FRN)
+            out.append(v_lo * (crn - rn) + v_hi * (rn - frn))
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "value": pa.array(out, type=pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------------------ equi-width histogram
+# The one-pass distribution profile (dashboards, drift monitors, bin
+# pruning): HIST_BINS equal-width bins between the parquet-stats bounds,
+# per-batch bincount partials, ONE tiny groupby(bin) merge — the shuffle
+# is O(bins × batches) rows, never O(rows).  Bin assignment and the bin's
+# left edge are each ONE IEEE expression — floor((v−lo)·B/(hi−lo)) and
+# lo + bin·(hi−lo)/B — spelled identically in the SQL oracle, so the
+# float arithmetic is bitwise on both engines.
+HIST_BINS = 64
+
+
+def q_evt_value_hist(sf_dir: str, bins: int = HIST_BINS):
+    """(bin, lo_edge, n) equi-width histogram of ``events.value``."""
+    src = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(src, columns=["value"])
+    lo, hi, n_rows = _value_bounds(src)
+    if n_rows == 0 or not math.isfinite(lo):
+        return pa.table(
+            {"bin": pa.array([], type=pa.int64()),
+             "lo_edge": pa.array([], type=pa.float64()),
+             "n": pa.array([], type=pa.int64())}
+        )
+    fbins = float(bins)
+    width = hi - lo  # computed once; 0 ⇒ all values equal ⇒ single bin 0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if width > 0:
+            b = np.minimum(
+                np.floor((v - lo) * fbins / width), fbins - 1.0
+            ).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        bc = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(bc)
+        return pa.table(
+            {"bin": pa.array(nz, type=pa.int64()),
+             "n": pa.array(bc[nz], type=pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ bins rows
+        .sort_values("bin")
+    )
+    b = merged["bin"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(b, type=pa.int64()),
+            "lo_edge": pa.array(
+                lo + b.astype(np.float64) * width / fbins, type=pa.float64()
+            ),
+            "n": pa.array(merged["n"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
 QUANTILE_QUERIES = {
     "evt_value_percentiles": q_evt_value_percentiles,
+    "evt_value_percentile_cont": q_evt_value_percentile_cont,
+    "evt_value_hist": q_evt_value_hist,
 }
 
 QUANTILE_ORACLES = {
@@ -225,6 +381,23 @@ UNION ALL
 SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
 UNION ALL
 SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
+""",
+    "evt_value_percentile_cont": """
+SELECT CAST(0.25 AS DOUBLE) AS q, quantile_cont(value, 0.25) AS value FROM events
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) FROM events
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), quantile_cont(value, 0.9) FROM events
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99) FROM events
+""",
+    "evt_value_hist": """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CAST(least(floor((value - lo) * 64.0 / (hi - lo)), 63.0) AS BIGINT) AS bin,
+       lo + CAST(CAST(least(floor((value - lo) * 64.0 / (hi - lo)), 63.0) AS BIGINT) AS DOUBLE) * (hi - lo) / 64.0 AS lo_edge,
+       count(*) AS n
+FROM events, b WHERE value IS NOT NULL
+GROUP BY 1, 2
 """,
 }
 

@@ -476,10 +476,12 @@ FROM joined
 # value-hash is stable.
 
 
-def q_evt_rollup(sf_dir: str):
-    """(event_type, hour, n, value_cents) at rollup levels: finest =
-    (type, hour-of-day), then per-type totals (hour='*'), then the
-    grand total (type='*', hour='*')."""
+def _type_hour_fine(sf_dir: str):
+    """ONE streaming pass → the finest (event_type, hour-of-day) level as
+    a tiny pandas frame (≤ types × 24 rows): in-batch groupby combiner,
+    integer-cents sums, one small-key shuffle.  Every coarser ROLLUP /
+    CUBE level derives from this frontier driver-side — no second corpus
+    pass."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -502,13 +504,20 @@ def q_evt_rollup(sf_dir: str):
         )
         return g.rename_columns(["event_type", "hour", "sp", "np"])
 
-    fine = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
         .aggregate(Sum("sp", alias_name="value_cents"),
                    Sum("np", alias_name="n"))
-        .to_pandas()  # ≤ types × 24 rows — the rollup frontier, tiny
+        .to_pandas()  # ≤ types × 24 rows — the aggregation frontier, tiny
     )
+
+
+def q_evt_rollup(sf_dir: str):
+    """(event_type, hour, n, value_cents) at rollup levels: finest =
+    (type, hour-of-day), then per-type totals (hour='*'), then the
+    grand total (type='*', hour='*')."""
+    fine = _type_hour_fine(sf_dir)
     per_type = (
         fine.groupby("event_type", as_index=False)[["value_cents", "n"]]
         .sum()
@@ -536,7 +545,58 @@ def q_evt_rollup(sf_dir: str):
     )
 
 
+def q_evt_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, hour-of-day): the rollup's three levels
+    PLUS the per-hour marginals (event_type='*') — the full 2²-grouping
+    lattice an OLAP dashboard reads in one query.  Same design as the
+    rollup: the corpus is scanned ONCE for the finest level; all three
+    coarser levels are driver-side sums over that ≤ types × 24-row
+    frontier (integer cents, so association order can never matter)."""
+    fine = _type_hour_fine(sf_dir)
+    per_type = (
+        fine.groupby("event_type", as_index=False)[["value_cents", "n"]]
+        .sum()
+        .assign(hour="*")
+    )
+    per_hour = (
+        fine.groupby("hour", as_index=False)[["value_cents", "n"]]
+        .sum()
+        .assign(event_type="*")
+    )
+    total = {
+        "event_type": "*",
+        "hour": "*",
+        "value_cents": int(fine["value_cents"].sum()),
+        "n": int(fine["n"].sum()),
+    }
+    import pandas as pd
+
+    fine = fine.assign(hour=fine["hour"].astype(str))
+    per_hour = per_hour.assign(hour=per_hour["hour"].astype(str))
+    out = pd.concat(
+        [fine, per_type, per_hour, pd.DataFrame([total])], ignore_index=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "hour": pa.array(out["hour"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "value_cents": pa.array(out["value_cents"], type=pa.int64()),
+        }
+    )
+
+
 WINDOW_QUERIES["evt_rollup"] = q_evt_rollup
+WINDOW_QUERIES["evt_cube"] = q_evt_cube
+
+WINDOW_ORACLES["evt_cube"] = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '*' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(h) = 1 THEN '*' ELSE CAST(h AS VARCHAR) END AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, value FROM events)
+GROUP BY CUBE (event_type, h)
+"""
 
 WINDOW_ORACLES["evt_rollup"] = """
 SELECT coalesce(event_type, '*') AS event_type,

@@ -3462,3 +3462,102 @@ def test_knn_shapley_matches_serial_twin(ray_session):
     assert len(got) == len(twin)
     for vid, sv in twin.items():
         assert abs(got.shapley[vid] - sv) < 1e-9, vid
+
+
+def test_percentile_cont_matches_duckdb(ray_session):
+    """Interpolated quantiles (quantile_cont) are bit-exact vs DuckDB on
+    the default path AND on the forced multi-pass refinement path."""
+    import duckdb
+    import struct
+
+    from gcflow.ops.quantile import QTL_CONT_QS, q_evt_value_percentile_cont
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    for kwargs in ({}, {"bins": 16, "budget": 50}):
+        got = q_evt_value_percentile_cont(SF, **kwargs).to_pandas()
+        for q in QTL_CONT_QS:
+            want = con.execute(
+                f"SELECT quantile_cont(value, {q}) FROM events"
+            ).fetchone()[0]
+            mine = float(got[got.q == q].value.iloc[0])
+            assert struct.pack("d", mine) == struct.pack("d", want), (q, kwargs)
+
+
+def test_percentile_cont_interpolates_between_neighbors(ray_session):
+    """The cont value sits between the two neighboring order statistics
+    (strictly inside when the fractional rank is fractional)."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import QTL_CONT_QS, q_evt_value_percentile_cont
+
+    got = q_evt_value_percentile_cont(SF).to_pandas()
+    vals = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    n = len(vals)
+    for q in QTL_CONT_QS:
+        rn = float(n - 1) * q
+        lo_v, hi_v = vals[int(np.floor(rn))], vals[int(np.ceil(rn))]
+        mine = float(got[got.q == q].value.iloc[0])
+        assert lo_v <= mine <= hi_v
+
+
+def test_cube_matches_duckdb_and_levels_consistent(ray_session):
+    """CUBE aggregation at sf0.001: all four grouping levels match
+    GROUP BY CUBE exactly, and every marginal is a consistent sum of the
+    finest level."""
+    import duckdb
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_cube
+
+    got = (
+        q_evt_cube(SF)
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_cube"])
+        .df()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    fine = got[(got.event_type != "*") & (got.hour != "*")]
+    per_hour = got[(got.event_type == "*") & (got.hour != "*")]
+    total = got[(got.event_type == "*") & (got.hour == "*")]
+    assert len(total) == 1
+    assert total.n.iloc[0] == fine.n.sum() == per_hour.n.sum()
+    assert (
+        per_hour.set_index("hour").n == fine.groupby("hour").n.sum()
+    ).all()
+
+
+def test_value_hist_matches_numpy(ray_session):
+    """Equi-width histogram: bins/counts equal a serial numpy twin using
+    the identical IEEE bin expression, and counts sum to the row count."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import HIST_BINS, q_evt_value_hist
+
+    got = q_evt_value_hist(SF).to_pandas().sort_values("bin").reset_index(drop=True)
+    v = pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    v = v[~np.isnan(v)]
+    lo, hi = v.min(), v.max()
+    b = np.minimum(
+        np.floor((v - lo) * float(HIST_BINS) / (hi - lo)), HIST_BINS - 1.0
+    ).astype(np.int64)
+    bc = np.bincount(b, minlength=HIST_BINS)
+    nz = np.flatnonzero(bc)
+    assert got.bin.tolist() == nz.tolist()
+    assert got.n.tolist() == bc[nz].tolist()
+    assert got.n.sum() == len(v)
+    edges = lo + nz.astype(np.float64) * (hi - lo) / float(HIST_BINS)
+    assert got.lo_edge.tolist() == edges.tolist()
