@@ -136,6 +136,10 @@ _DRIVER_OMIT = (
     "evt_cube",               # grouping-sets family; rollup rationale
     "evt_value_hist",         # distribution profile over the same
                               # bin-partial machinery; post-pin
+    "emb_hard_negatives",     # similarity family; masked variant of the
+                              # driver-covered emb_ann_topk scan
+    "doc_ccnet_bucket",       # LM-quality family composition over the
+                              # driver-covered doc_unigram_logprob
 )
 
 

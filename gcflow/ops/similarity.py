@@ -1163,7 +1163,100 @@ def q_emb_knn_label(sf_dir: str):
     )
 
 
+N_HARD_NEG = 5
+
+
+def q_emb_hard_negatives(sf_dir: str):
+    """(query_id, neg_id, rank): the N_HARD_NEG most-similar corpus
+    vectors with a DIFFERENT label than each query — contrastive-training
+    hard-negative mining (the batch-construction stage of a retrieval /
+    embedding trainer).  Same scale shape as ``q_emb_ann_topk``: the tiny
+    query matrix (+ its labels) is broadcast once, each corpus batch does
+    one masked matmul and emits only block-local top-N partials, and a
+    tiny driver reduce merges O(batches × queries × N) rows — the corpus
+    never leaves the distributed plane.  Rank ties break by neg_id
+    ascending, mirrored exactly in the SQL window oracle."""
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    qids = qt["vec_id"].to_numpy()
+    order = np.argsort(qids)
+    qids = qids[order]
+    qlabels = qt["label"].to_numpy()[order].astype(np.int64)
+    Q = np.vstack(qt["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)[order]
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = ray.put((qids, qlabels, Qn))
+
+    def partial(t: pa.Table, r) -> pa.Table:
+        qids, qlabels, Qn = ray.get(r) if not isinstance(r, tuple) else r
+        ids = t["vec_id"].to_numpy()
+        labels = t["label"].to_numpy().astype(np.int64)
+        V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Qn @ Vn.T
+        out_q, out_v, out_c = [], [], []
+        for qi, (qid, ql) in enumerate(zip(qids, qlabels)):
+            s = sims[qi]
+            keep = (ids != qid) & (labels != ql)
+            order = np.lexsort((ids[keep], -s[keep]))[:N_HARD_NEG]
+            sel = np.flatnonzero(keep)[order]
+            out_q.extend([int(qid)] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_c.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_v, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    partials = ds.map_batches(
+        partial, fn_args=(qref,), batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cos", "neighbor_id"],
+        ascending=[True, False, True], kind="stable",
+    )
+    top = partials.groupby("query_id", sort=True).head(N_HARD_NEG).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"], type=pa.int64()),
+            "neg_id": pa.array(top["neighbor_id"], type=pa.int64()),
+            "rank": pa.array(top["rank"], type=pa.int64()),
+        }
+    )
+
+
 SIMILARITY_QUERIES["emb_knn_label"] = q_emb_knn_label
+SIMILARITY_QUERIES["emb_hard_negatives"] = q_emb_hard_negatives
+SIMILARITY_ORACLES["emb_hard_negatives"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neg_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.query_id AND e.label <> q.qlabel
+), ranked AS (
+  SELECT query_id, neg_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY c DESC, neg_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neg_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {N_HARD_NEG}
+"""
 SIMILARITY_ORACLES["emb_knn_label"] = f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

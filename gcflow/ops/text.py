@@ -1643,3 +1643,94 @@ WITH s AS (
 )
 SELECT doc_id, lang, alpha_ratio FROM r WHERE rn <= {TOPQ_PER_LANG}
 """
+
+
+def q_doc_ccnet_bucket(sf_dir: str):
+    """(doc_id, avg_neg_logprob, bucket): CCNet's head/middle/tail corpus
+    partition (Wenzek et al. 2020 §4.3) — every document labeled by which
+    perplexity TERCILE its LM quality score falls into (head = the
+    best-scoring third, the slice CCNet trains on first).
+
+    Distributed shape: the unigram-LM scores come from the
+    ``q_doc_unigram_logprob`` plan, MATERIALIZED once so the tercile
+    search never re-executes the corpus term sweep; the two cut points
+    are exact order statistics located by the shared histogram-refinement
+    selection (``ops.quantile._select_ranks`` — no global sort, O(bins)
+    shuffle rows per pass); labeling is one streaming pass against the
+    two broadcast scalars.  Cut ranks use pure INTEGER arithmetic
+    (ceil(n/3) = (n+2)//3), spelled identically in the SQL oracle, so no
+    float-q rounding can ever disagree; the scores themselves are
+    bit-identical to the oracle's (the unigram op hash-matches), making
+    the tercile comparison bitwise on both engines."""
+    from ray.data.aggregate import Max, Min
+
+    from .quantile import _select_ranks
+
+    scored = q_doc_unigram_logprob(sf_dir).materialize()
+
+    def as_value(t: pa.Table) -> pa.Table:
+        return pa.table({"value": t["avg_neg_logprob"]})
+
+    vds = scored.map_batches(as_value, batch_format="pyarrow")
+    agg = vds.aggregate(Min("value"), Max("value"))
+    lo, hi = agg["min(value)"], agg["max(value)"]
+    if hi <= lo:  # degenerate: every doc scores the same → all head
+        t1 = t2 = lo
+    else:
+        cuts, _ = _select_ranks(
+            vds,
+            lo,
+            hi,
+            lambda n: {"t1": (n + 2) // 3 - 1, "t2": (2 * n + 2) // 3 - 1},
+        )
+        t1, t2 = cuts["t1"], cuts["t2"]
+
+    def label(t: pa.Table) -> pa.Table:
+        lp = t["avg_neg_logprob"].to_numpy(zero_copy_only=False)
+        b = np.where(lp <= t1, "head", np.where(lp <= t2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "avg_neg_logprob": t["avg_neg_logprob"],
+                "bucket": pa.array(b, type=pa.string()),
+            }
+        )
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
+TEXT_QUERIES["doc_ccnet_bucket"] = q_doc_ccnet_bucket
+
+TEXT_ORACLES["doc_ccnet_bucket"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), n AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf
+), lp AS (
+  SELECT tf.doc_id,
+         ln(CAST((SELECT total FROM tot) AS DOUBLE))
+           - sum(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE)))
+               / CAST(sum(tf.tf) AS DOUBLE) AS avg_neg_logprob
+  FROM tf JOIN n USING (term)
+  GROUP BY 1
+), ranked AS (
+  SELECT avg_neg_logprob AS v,
+         row_number() OVER (ORDER BY avg_neg_logprob) AS rn
+  FROM lp
+), ks AS (
+  SELECT (count(*) + 2) // 3 AS k1, (2 * count(*) + 2) // 3 AS k2 FROM lp
+), cuts AS (
+  SELECT max(CASE WHEN rn = k1 THEN v END) AS t1,
+         max(CASE WHEN rn = k2 THEN v END) AS t2
+  FROM ranked, ks
+)
+SELECT doc_id, avg_neg_logprob,
+       CASE WHEN avg_neg_logprob <= t1 THEN 'head'
+            WHEN avg_neg_logprob <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp, cuts
+"""

@@ -3561,3 +3561,53 @@ def test_value_hist_matches_numpy(ray_session):
     assert got.n.sum() == len(v)
     edges = lo + nz.astype(np.float64) * (hi - lo) / float(HIST_BINS)
     assert got.lo_edge.tolist() == edges.tolist()
+
+
+def test_hard_negatives_matches_numpy_twin(ray_session):
+    """Hard-negative mining equals a serial numpy twin: per query the
+    top-N most-cosine-similar DIFFERENT-label vectors, self excluded,
+    ties by id."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.similarity import N_HARD_NEG, N_QUERIES, q_emb_hard_negatives
+
+    got = q_emb_hard_negatives(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    labels = t["label"].to_numpy()
+    V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for qid in range(N_QUERIES):
+        qi = int(np.flatnonzero(ids == qid)[0])
+        s = Vn @ Vn[qi]
+        keep = (ids != qid) & (labels != labels[qi])
+        order = np.lexsort((ids[keep], -s[keep]))[:N_HARD_NEG]
+        want = ids[keep][order].tolist()
+        mine = got[got.query_id == qid].sort_values("rank").neg_id.tolist()
+        assert mine == want, qid
+    # every mined negative really has a different label than its query
+    lab = dict(zip(ids.tolist(), labels.tolist()))
+    for _, r in got.iterrows():
+        assert lab[r.neg_id] != lab[r.query_id]
+
+
+def test_ccnet_bucket_terciles(ray_session):
+    """CCNet head/middle/tail partition: bucket sizes are balanced
+    terciles (± the integer remainder), labels are monotone in the
+    score, and the scores equal the unigram-LM op's."""
+    from gcflow.ops.text import q_doc_ccnet_bucket, q_doc_unigram_logprob
+
+    got = q_doc_ccnet_bucket(SF).to_pandas()
+    lp = q_doc_unigram_logprob(SF).to_pandas()
+    assert len(got) == len(lp)
+    m = got.merge(lp[["doc_id", "avg_neg_logprob"]], on="doc_id", suffixes=("", "_lm"))
+    assert (m.avg_neg_logprob == m.avg_neg_logprob_lm).all()
+    sizes = got.bucket.value_counts()
+    n = len(got)
+    assert abs(sizes.get("head", 0) - n / 3) <= 1
+    assert abs(sizes.get("middle", 0) - n / 3) <= 1
+    # monotone: every head score <= every middle score <= every tail score
+    assert got[got.bucket == "head"].avg_neg_logprob.max() <= \
+        got[got.bucket == "middle"].avg_neg_logprob.min()
+    assert got[got.bucket == "middle"].avg_neg_logprob.max() <= \
+        got[got.bucket == "tail"].avg_neg_logprob.min()
