@@ -140,6 +140,8 @@ _DRIVER_OMIT = (
                               # driver-covered emb_ann_topk scan
     "doc_ccnet_bucket",       # LM-quality family composition over the
                               # driver-covered doc_unigram_logprob
+    "emb_outliers",           # moments-machinery sibling (standardize /
+                              # centroid family); post-pin
 )
 
 

@@ -346,3 +346,108 @@ WITH e AS (
 SELECT e.vec_id, e.dim, (e.v - m.mu) / m.sd AS z
 FROM e JOIN m USING (dim)
 """
+
+
+# --------------------------------------------------- embedding outliers
+# Embedding-space outlier gate (the curation pass that drops broken /
+# off-distribution vectors before dedup or training): a vector is an
+# outlier when its squared distance to the GLOBAL corpus centroid
+# exceeds μ + 3σ of the corpus's dist² distribution.  Three bounded
+# stages: (1) ONE mergeable (n, Σv) moments pass → d-float centroid on
+# the driver, broadcast once; (2) one streaming pass materializes dist²
+# (a single float per vector — the reuse point for both consumers);
+# (3) a tiny raw-moments aggregate over dist² (σ spelled as
+# sqrt(avg(x²)−avg(x)²) exactly like the oracle) and a broadcast-
+# threshold flag pass.  Nothing corpus-sized ever reaches the driver.
+
+
+def q_emb_outliers(sf_dir: str):
+    """(vec_id, dist2, is_outlier) — centroid-distance 3σ outlier flags."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        V = _embedding_matrix(t)
+        return pa.table(
+            {
+                "n": pa.array([len(V)], type=pa.int64()),
+                "vsum": pa.array([V.sum(axis=0).tobytes()], type=pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pa.table(
+            {"vec_id": pa.array([], type=pa.int64()),
+             "dist2": pa.array([], type=pa.float64()),
+             "is_outlier": pa.array([], type=pa.bool_())}
+        )
+    c = np.sum(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["vsum"]], axis=0
+    ) / n
+
+    import ray
+
+    cref = ray.put(c)
+
+    def dist2(t: pa.Table, r) -> pa.Table:
+        c = ray.get(r) if not isinstance(r, np.ndarray) else r
+        V = _embedding_matrix(t)
+        d2 = ((V - c) ** 2).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "dist2": pa.array(d2, type=pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(
+        dist2, fn_args=(cref,), batch_format="pyarrow"
+    ).materialize()  # one float per vector; both consumers read this
+
+    from ray.data.aggregate import Count, Sum
+
+    def d2_moments(t: pa.Table) -> pa.Table:
+        d2 = t["dist2"].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(d2)], type=pa.int64()),
+                "s1": pa.array([float(d2.sum())], type=pa.float64()),
+                "s2": pa.array([float((d2 * d2).sum())], type=pa.float64()),
+            }
+        )
+
+    mp = scored.map_batches(d2_moments, batch_format="pyarrow").to_pandas()
+    mu = float(mp["s1"].sum()) / n
+    sigma = float(np.sqrt(float(mp["s2"].sum()) / n - mu * mu))
+    thresh = mu + 3.0 * sigma
+
+    def flag(t: pa.Table) -> pa.Table:
+        d2 = t["dist2"].to_numpy()
+        return t.append_column("is_outlier", pa.array(d2 > thresh, type=pa.bool_()))
+
+    return scored.map_batches(flag, batch_format="pyarrow")
+
+
+LINALG_QUERIES["emb_outliers"] = q_emb_outliers
+
+LINALG_ORACLES["emb_outliers"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings
+), c AS (
+  SELECT dim, avg(CAST(v AS DOUBLE)) AS c FROM e GROUP BY 1
+), d AS (
+  SELECT e.vec_id,
+         sum((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)) AS dist2
+  FROM e JOIN c USING (dim) GROUP BY 1
+), m AS (
+  SELECT avg(dist2) AS mu,
+         sqrt(avg(dist2 * dist2) - avg(dist2) * avg(dist2)) AS sigma
+  FROM d
+)
+SELECT vec_id, dist2, dist2 > mu + 3 * sigma AS is_outlier FROM d, m
+"""

@@ -3611,3 +3611,30 @@ def test_ccnet_bucket_terciles(ray_session):
         got[got.bucket == "middle"].avg_neg_logprob.min()
     assert got[got.bucket == "middle"].avg_neg_logprob.max() <= \
         got[got.bucket == "tail"].avg_neg_logprob.min()
+
+
+def test_emb_outliers_matches_numpy_twin(ray_session):
+    """Centroid-distance 3σ outlier flags equal a serial numpy twin
+    (same centroid, same raw-moments σ, same threshold)."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.linalg import q_emb_outliers
+
+    got = q_emb_outliers(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    c = V.mean(axis=0)
+    d2 = ((V - c) ** 2).sum(axis=1)
+    mu, sigma = d2.mean(), np.sqrt((d2 * d2).mean() - d2.mean() ** 2)
+    assert got.vec_id.tolist() == ids.tolist()
+    assert np.allclose(got.dist2.to_numpy(), d2, rtol=1e-9)
+    assert (got.is_outlier.to_numpy() == (d2 > mu + 3 * sigma)).all()
+    # 3σ gate: never everywhere; a PLANTED far point must always fire
+    assert got.is_outlier.sum() < len(got)
+    V2 = np.vstack([V, V.mean(axis=0) + 100.0 * V.std()])
+    d2p = ((V2 - V2.mean(axis=0)) ** 2).sum(axis=1)
+    mup, sigp = d2p.mean(), np.sqrt((d2p * d2p).mean() - d2p.mean() ** 2)
+    assert d2p[-1] > mup + 3 * sigp

@@ -158,6 +158,8 @@ def main() -> None:
         q_doc_ngram_overlap,
     )
     from gcflow.ops.quantile import (
+        q_evt_value_hist,
+        q_evt_value_percentile_cont,
         q_evt_value_percentiles_by_type,
         q_evt_value_rank,
     )
@@ -176,7 +178,11 @@ def main() -> None:
         q_doc_sample_unimax,
         q_doc_unigram_logprob,
     )
+    from gcflow.ops.linalg import q_emb_outliers
+    from gcflow.ops.similarity import q_emb_hard_negatives
+    from gcflow.ops.text import q_doc_ccnet_bucket
     from gcflow.ops.windows import (
+        q_evt_cube,
         q_evt_funnel,
         q_evt_resample,
         q_evt_user_cumsum,
@@ -218,6 +224,12 @@ def main() -> None:
         "doc_normalize": (q_doc_normalize, "documents"),
         "doc_fim": (q_doc_fim, "documents"),
         "doc_char_entropy": (q_doc_char_entropy, "documents"),
+        "evt_value_percentile_cont": (q_evt_value_percentile_cont, "events"),
+        "evt_cube": (q_evt_cube, "events"),
+        "evt_value_hist": (q_evt_value_hist, "events"),
+        "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
+        "emb_outliers": (q_emb_outliers, "embeddings"),
+        "doc_ccnet_bucket": (q_doc_ccnet_bucket, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
