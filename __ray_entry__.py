@@ -142,6 +142,8 @@ _DRIVER_OMIT = (
                               # driver-covered doc_unigram_logprob
     "emb_outliers",           # moments-machinery sibling (standardize /
                               # centroid family); post-pin
+    "evt_mad",                # robust-stats composition over the grouped
+                              # selection (anomaly/trimmed-mean family)
 )
 
 

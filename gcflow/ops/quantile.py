@@ -558,16 +558,14 @@ def _collect_group_intervals(
     return out
 
 
-def q_evt_value_percentiles_by_type(
-    sf_dir: str, bins: int = QTL_GROUP_BINS, budget: int = QTL_COLLECT_BUDGET,
-    qs=QTL_QS, group_col: str = "event_type",
-):
-    """Exact per-event-type p50/p90/p99 — grouped distributed selection.
-    Matches DuckDB ``quantile_disc(...) GROUP BY event_type`` element-
-    for-element; scans are shared across groups, so the pass count does
-    not grow with group count."""
-    src = os.path.join(sf_dir, "events.parquet")
-    ds = rd.read_parquet(src, columns=[group_col, "value"])
+def _grouped_select(
+    ds: rd.Dataset, group_col: str, qs,
+    bins: int = QTL_GROUP_BINS, budget: int = QTL_COLLECT_BUDGET,
+) -> dict:
+    """Grouped quantile_disc selection over any ``(group_col, value)``
+    Dataset (a parquet read or a derived streaming transform — each scan
+    re-executes the producing lineage, so keep it cheap or materialized).
+    Returns {(group, q): value} with NaN for all-NULL groups."""
     bounds = _grouped_bounds(ds, group_col)
 
     resolved: dict = {}   # (grp, q) -> value
@@ -613,6 +611,20 @@ def q_evt_value_percentiles_by_type(
     for key, vals in _collect_group_intervals(ds, group_col, cap).items():
         k = state[key][3]
         resolved[key] = float(vals[min(k, len(vals) - 1)])
+    return resolved
+
+
+def q_evt_value_percentiles_by_type(
+    sf_dir: str, bins: int = QTL_GROUP_BINS, budget: int = QTL_COLLECT_BUDGET,
+    qs=QTL_QS, group_col: str = "event_type",
+):
+    """Exact per-event-type p50/p90/p99 — grouped distributed selection.
+    Matches DuckDB ``quantile_disc(...) GROUP BY event_type`` element-
+    for-element; scans are shared across groups, so the pass count does
+    not grow with group count."""
+    src = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(src, columns=[group_col, "value"])
+    resolved = _grouped_select(ds, group_col, qs, bins, budget)
 
     keys = sorted(resolved)
     return pa.table(
@@ -906,4 +918,72 @@ QUANTILE_ORACLES["evt_value_decile"] = f"""
 SELECT event_id, value,
        CAST(ntile({NTILE_K}) OVER (ORDER BY value, event_id) AS BIGINT) AS decile
 FROM events WHERE value IS NOT NULL
+"""
+
+
+# ----------------------------------------------------- robust scale (MAD)
+# Median absolute deviation per event type — the robust-statistics scale
+# estimate (the σ replacement monitoring pipelines use when tails are
+# heavy).  TWO rounds of the SAME shared-scan grouped selection: round A
+# finds each type's exact median; round B runs the selection over the
+# DERIVED |value − median(type)| column, computed as a streaming
+# map_batches against the broadcast median dict — recomputed per scan
+# rather than materialized (one subtraction per row beats holding a
+# corpus-sized column in the object store at 100 TB).  Both rounds are
+# quantile_disc-exact, so the oracle is a full value-hash check.
+
+
+def q_evt_mad(sf_dir: str):
+    """(event_type, median, mad): per-type median + median absolute
+    deviation, both exact order statistics."""
+    import ray
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(src, columns=["event_type", "value"])
+    med = _grouped_select(ds, "event_type", (0.5,))
+    meds = {grp: v for (grp, _q), v in med.items()}
+    mref = ray.put(meds)
+
+    def dev(t: pa.Table, r) -> pa.Table:
+        m = ray.get(r) if not isinstance(r, dict) else r
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = np.array([m.get(x, math.nan) for x in np.unique(g)])
+        uniq, inv = np.unique(g, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value": pa.array(np.abs(v - c[inv]), type=pa.float64()),
+            }
+        )
+
+    dev_ds = ds.map_batches(dev, fn_args=(mref,), batch_format="pyarrow")
+    mad = _grouped_select(dev_ds, "event_type", (0.5,))
+
+    grps = sorted(meds)
+    return pa.table(
+        {
+            "event_type": pa.array(grps),
+            "median": pa.array(
+                [None if math.isnan(meds[g]) else meds[g] for g in grps],
+                type=pa.float64(),
+            ),
+            "mad": pa.array(
+                [None if math.isnan(mad[(g, 0.5)]) else mad[(g, 0.5)] for g in grps],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+QUANTILE_QUERIES["evt_mad"] = q_evt_mad
+QUANTILE_ORACLES["evt_mad"] = """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS median
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, any_value(m.median) AS median,
+       quantile_disc(abs(e.value - m.median), 0.5) AS mad
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY 1
 """

@@ -3638,3 +3638,27 @@ def test_emb_outliers_matches_numpy_twin(ray_session):
     d2p = ((V2 - V2.mean(axis=0)) ** 2).sum(axis=1)
     mup, sigp = d2p.mean(), np.sqrt((d2p * d2p).mean() - d2p.mean() ** 2)
     assert d2p[-1] > mup + 3 * sigp
+
+
+def test_evt_mad_matches_numpy_twin(ray_session):
+    """Per-type MAD equals a serial numpy twin using the identical
+    quantile_disc element convention for both rounds."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import q_evt_mad
+
+    got = q_evt_mad(SF).to_pandas().set_index("event_type")
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    g = t["event_type"].to_numpy(zero_copy_only=False)
+    v = t["value"].to_numpy(zero_copy_only=False)
+
+    def disc_median(x):
+        x = np.sort(x[~np.isnan(x)])
+        return x[max(int(np.ceil(0.5 * len(x))) - 1, 0)]
+
+    for grp in np.unique(g):
+        vals = v[g == grp]
+        m = disc_median(vals)
+        mad = disc_median(np.abs(vals - m))
+        assert got.loc[grp, "median"] == m
+        assert got.loc[grp, "mad"] == mad

@@ -158,6 +158,7 @@ def main() -> None:
         q_doc_ngram_overlap,
     )
     from gcflow.ops.quantile import (
+        q_evt_mad,
         q_evt_value_hist,
         q_evt_value_percentile_cont,
         q_evt_value_percentiles_by_type,
@@ -225,6 +226,7 @@ def main() -> None:
         "doc_fim": (q_doc_fim, "documents"),
         "doc_char_entropy": (q_doc_char_entropy, "documents"),
         "evt_value_percentile_cont": (q_evt_value_percentile_cont, "events"),
+        "evt_mad": (q_evt_mad, "events"),
         "evt_cube": (q_evt_cube, "events"),
         "evt_value_hist": (q_evt_value_hist, "events"),
         "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
