@@ -144,6 +144,8 @@ _DRIVER_OMIT = (
                               # centroid family); post-pin
     "evt_mad",                # robust-stats composition over the grouped
                               # selection (anomaly/trimmed-mean family)
+    "doc_source_kl",          # LM/term-sweep family (DSIR machinery);
+                              # post-pin drift monitor
 )
 
 

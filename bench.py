@@ -274,18 +274,25 @@ def main():
     from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
     from gcflow.ops.linalg import q_emb_pca
     from gcflow.ops.quantile import (
+        q_evt_mad,
+        q_evt_value_hist,
+        q_evt_value_percentile_cont,
         q_evt_value_percentiles_by_type,
         q_evt_value_rank,
     )
     from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1
+    from gcflow.ops.linalg import q_emb_outliers
     from gcflow.ops.similarity import (
         q_doc_bm25_topk,
         q_emb_ann_topk,
+        q_emb_hard_negatives,
         q_emb_ivfpq_search,
         q_emb_knn_label,
         q_emb_pq_search,
     )
+    from gcflow.ops.text import q_doc_ccnet_bucket
+    from gcflow.ops.windows import q_evt_cube
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.text import (
         q_doc_bigram_logprob,
@@ -341,6 +348,13 @@ def main():
         ("doc_fim", q_doc_fim),
         ("doc_char_entropy", q_doc_char_entropy),
         ("emb_knn_shapley", q_emb_knn_shapley),
+        ("evt_value_percentile_cont", q_evt_value_percentile_cont),
+        ("evt_value_hist", q_evt_value_hist),
+        ("evt_cube", q_evt_cube),
+        ("evt_mad", q_evt_mad),
+        ("emb_hard_negatives", q_emb_hard_negatives),
+        ("emb_outliers", q_emb_outliers),
+        ("doc_ccnet_bucket", q_doc_ccnet_bucket),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

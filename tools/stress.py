@@ -181,6 +181,7 @@ def main() -> None:
     )
     from gcflow.ops.linalg import q_emb_outliers
     from gcflow.ops.similarity import q_emb_hard_negatives
+    from gcflow.ops.text import q_doc_source_kl
     from gcflow.ops.text import q_doc_ccnet_bucket
     from gcflow.ops.windows import (
         q_evt_cube,
@@ -232,6 +233,7 @@ def main() -> None:
         "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
         "emb_outliers": (q_emb_outliers, "embeddings"),
         "doc_ccnet_bucket": (q_doc_ccnet_bucket, "documents"),
+        "doc_source_kl": (q_doc_source_kl, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
