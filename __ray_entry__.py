@@ -146,6 +146,10 @@ _DRIVER_OMIT = (
                               # selection (anomaly/trimmed-mean family)
     "doc_source_kl",          # LM/term-sweep family (DSIR machinery);
                               # post-pin drift monitor
+    "evt_winsorize",          # clamp composition over the grouped
+                              # selection (anomaly/MAD family)
+    "evt_top_users_per_type", # grouped heavy hitters over the session
+                              # bucket sweep; post-pin
 )
 
 

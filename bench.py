@@ -275,6 +275,7 @@ def main():
     from gcflow.ops.linalg import q_emb_pca
     from gcflow.ops.quantile import (
         q_evt_mad,
+        q_evt_winsorize,
         q_evt_value_hist,
         q_evt_value_percentile_cont,
         q_evt_value_percentiles_by_type,
@@ -291,8 +292,8 @@ def main():
         q_emb_knn_label,
         q_emb_pq_search,
     )
-    from gcflow.ops.text import q_doc_ccnet_bucket
-    from gcflow.ops.windows import q_evt_cube
+    from gcflow.ops.text import q_doc_ccnet_bucket, q_doc_source_kl
+    from gcflow.ops.windows import q_evt_cube, q_evt_top_users_per_type
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.text import (
         q_doc_bigram_logprob,
@@ -355,6 +356,9 @@ def main():
         ("emb_hard_negatives", q_emb_hard_negatives),
         ("emb_outliers", q_emb_outliers),
         ("doc_ccnet_bucket", q_doc_ccnet_bucket),
+        ("doc_source_kl", q_doc_source_kl),
+        ("evt_winsorize", q_evt_winsorize),
+        ("evt_top_users_per_type", q_evt_top_users_per_type),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

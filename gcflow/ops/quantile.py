@@ -987,3 +987,62 @@ SELECT e.event_type, any_value(m.median) AS median,
 FROM events e JOIN m ON e.event_type = m.event_type
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------- winsorization
+# Tail clamping at the exact per-type [p01, p99] — the outlier-robust
+# feature transform (keep the row, cap the value) monitoring and feature
+# pipelines apply before aggregation.  One grouped-selection round for
+# the cut points (shared scans, see _grouped_select) + one streaming
+# clamp pass against the broadcast cut dict.  The clamp only ever COPIES
+# existing float values, so the output hashes bit-exact vs the SQL
+# least/greatest mirror.
+
+
+def q_evt_winsorize(sf_dir: str):
+    """(event_id, event_type, value_w): values clamped to the exact
+    per-type [quantile_disc(0.01), quantile_disc(0.99)] box."""
+    import ray
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(src, columns=["event_type", "value"])
+    cuts = _grouped_select(ds, "event_type", (0.01, 0.99))
+    box = {}
+    for (grp, q), v in cuts.items():
+        lo, hi = box.get(grp, (math.nan, math.nan))
+        box[grp] = (v, hi) if q == 0.01 else (lo, v)
+    bref = ray.put(box)
+
+    full = rd.read_parquet(src, columns=["event_id", "event_type", "value"])
+
+    def clamp(t: pa.Table, r) -> pa.Table:
+        b = ray.get(r) if not isinstance(r, dict) else r
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(g, return_inverse=True)
+        lo = np.array([b.get(x, (math.nan, math.nan))[0] for x in uniq])
+        hi = np.array([b.get(x, (math.nan, math.nan))[1] for x in uniq])
+        w = np.minimum(np.maximum(v, lo[inv]), hi[inv])
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "value_w": pa.array(w, type=pa.float64()),
+            }
+        )
+
+    return full.map_batches(clamp, fn_args=(bref,), batch_format="pyarrow")
+
+
+QUANTILE_QUERIES["evt_winsorize"] = q_evt_winsorize
+QUANTILE_ORACLES["evt_winsorize"] = """
+WITH c AS (
+  SELECT event_type,
+         quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       least(greatest(e.value, c.lo), c.hi) AS value_w
+FROM events e JOIN c ON e.event_type = c.event_type
+"""

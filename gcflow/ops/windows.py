@@ -862,3 +862,98 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+def q_evt_top_users_per_type(sf_dir: str, k: int = 3):
+    """(event_type, user_id, n, rank): the top-k most-active users per
+    event type — grouped heavy hitters, the per-tenant/per-channel
+    leaderboard shape.  Users are HASH-BUCKETED (the sessions-op
+    pattern) so each bucket owns its users' complete totals: per-batch
+    (type, user) count partials compress the shuffle, one bucket sweep
+    totals them and emits only the bucket's local top-k per type, and
+    the driver merges types × buckets × k tiny rows.  Ties break by
+    user_id ascending, mirrored in the SQL window oracle."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t["event_type"], "user_id": t["user_id"]})
+            .group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "user_id", "n"])
+        )
+        uid = g["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return g.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("user_id", pa.int64()), ("n", pa.int64())]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        t = (
+            pa.table(
+                {"event_type": g["event_type"], "user_id": g["user_id"], "n": g["n"]}
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["event_type", "user_id", "n"])
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        keep = []
+        for grp in np.unique(et):
+            m = np.flatnonzero(et == grp)
+            order = np.lexsort((uid[m], -n[m]))[:k]
+            keep.extend(m[order].tolist())
+        keep = np.array(sorted(keep), dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep]),
+                "user_id": pa.array(uid[keep], type=pa.int64()),
+                "n": pa.array(n[keep], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+        .to_pandas()  # types × buckets × k tiny rows
+    )
+    parts = parts.sort_values(
+        ["event_type", "n", "user_id"], ascending=[True, False, True], kind="stable"
+    )
+    top = parts.groupby("event_type", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("event_type").cumcount() + 1
+    return pa.table(
+        {
+            "event_type": pa.array(top["event_type"]),
+            "user_id": pa.array(top["user_id"], type=pa.int64()),
+            "n": pa.array(top["n"], type=pa.int64()),
+            "rank": pa.array(top["rank"], type=pa.int64()),
+        }
+    )
+
+
+WINDOW_QUERIES["evt_top_users_per_type"] = q_evt_top_users_per_type
+WINDOW_ORACLES["evt_top_users_per_type"] = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY n DESC, user_id ASC
+         ) AS rank
+  FROM c
+)
+SELECT event_type, user_id, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""

@@ -3691,3 +3691,49 @@ def test_source_kl_matches_python_twin(ray_session):
         assert abs(got.loc[s, "kl"] - kl) < 1e-9, s
         assert got.loc[s, "n_tokens"] == n_s
         assert got.loc[s, "kl"] >= -1e-12
+
+
+def test_winsorize_matches_numpy_twin(ray_session):
+    """Per-type [p01, p99] clamp equals a serial twin; untouched rows
+    pass through bit-identical and clamped rows land exactly on a cut."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.quantile import q_evt_winsorize
+
+    got = q_evt_winsorize(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"])
+    df = t.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    def disc(x, q):
+        x = np.sort(x[~np.isnan(x)])
+        return x[max(int(np.ceil(q * len(x))) - 1, 0)]
+
+    w = np.empty(len(df))
+    for grp in df.event_type.unique():
+        m = (df.event_type == grp).to_numpy()
+        vals = df.value.to_numpy()[m]
+        lo, hi = disc(vals, 0.01), disc(vals, 0.99)
+        w[m] = np.minimum(np.maximum(vals, lo), hi)
+    assert got.event_id.tolist() == df.event_id.tolist()
+    assert (got.value_w.to_numpy() == w).all()
+    assert (got.value_w != df.value).sum() > 0  # tails actually clamped
+
+
+def test_top_users_per_type_matches_pandas_twin(ray_session):
+    """Grouped heavy hitters equal the pandas groupby twin with the same
+    (n desc, user_id asc) tie-break."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_top_users_per_type
+
+    got = q_evt_top_users_per_type(SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    cnt = df.groupby(["event_type", "user_id"]).size().reset_index(name="n")
+    cnt = cnt.sort_values(
+        ["event_type", "n", "user_id"], ascending=[True, False, True], kind="stable"
+    )
+    want = cnt.groupby("event_type", sort=True).head(3).reset_index(drop=True)
+    want["rank"] = want.groupby("event_type").cumcount() + 1
+    assert got.values.tolist() == want.values.tolist()

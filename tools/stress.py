@@ -159,6 +159,7 @@ def main() -> None:
     )
     from gcflow.ops.quantile import (
         q_evt_mad,
+        q_evt_winsorize,
         q_evt_value_hist,
         q_evt_value_percentile_cont,
         q_evt_value_percentiles_by_type,
@@ -185,6 +186,7 @@ def main() -> None:
     from gcflow.ops.text import q_doc_ccnet_bucket
     from gcflow.ops.windows import (
         q_evt_cube,
+        q_evt_top_users_per_type,
         q_evt_funnel,
         q_evt_resample,
         q_evt_user_cumsum,
@@ -228,6 +230,8 @@ def main() -> None:
         "doc_char_entropy": (q_doc_char_entropy, "documents"),
         "evt_value_percentile_cont": (q_evt_value_percentile_cont, "events"),
         "evt_mad": (q_evt_mad, "events"),
+        "evt_winsorize": (q_evt_winsorize, "events"),
+        "evt_top_users_per_type": (q_evt_top_users_per_type, "events"),
         "evt_cube": (q_evt_cube, "events"),
         "evt_value_hist": (q_evt_value_hist, "events"),
         "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
