@@ -150,6 +150,9 @@ _DRIVER_OMIT = (
                               # selection (anomaly/MAD family)
     "evt_top_users_per_type", # grouped heavy hitters over the session
                               # bucket sweep; post-pin
+    "doc_dup_size_hist",      # dedup-audit composition over the
+                              # driver-covered doc_dup_clusters
+    "evt_user_first_last",    # windows family (lag/cumsum bucket sweep)
 )
 
 

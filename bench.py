@@ -293,7 +293,12 @@ def main():
         q_emb_pq_search,
     )
     from gcflow.ops.text import q_doc_ccnet_bucket, q_doc_source_kl
-    from gcflow.ops.windows import q_evt_cube, q_evt_top_users_per_type
+    from gcflow.ops.dedup import q_doc_dup_size_hist
+    from gcflow.ops.windows import (
+        q_evt_cube,
+        q_evt_top_users_per_type,
+        q_evt_user_first_last,
+    )
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.text import (
         q_doc_bigram_logprob,
@@ -359,6 +364,8 @@ def main():
         ("doc_source_kl", q_doc_source_kl),
         ("evt_winsorize", q_evt_winsorize),
         ("evt_top_users_per_type", q_evt_top_users_per_type),
+        ("evt_user_first_last", q_evt_user_first_last),
+        ("doc_dup_size_hist", q_doc_dup_size_hist),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

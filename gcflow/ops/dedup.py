@@ -1815,3 +1815,45 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM rep
 """
+
+
+def q_doc_dup_size_hist(sf_dir: str):
+    """(cluster_size, n_clusters): the duplicate-family size histogram —
+    the dedup-audit number a curation run reports (how much of the corpus
+    sits in 2-copies vs 100-copy families decides whether hard dedup or
+    SoftDeDup reweighting is the right move).  Thin distributed
+    composition over the BSP cluster labels: ONE groupby(component)
+    count (rows scale with the dup fraction, never the corpus) and ONE
+    ≤distinct-sizes groupby — the histogram itself is the only thing the
+    driver sees."""
+    clusters = q_doc_dup_clusters(sf_dir)
+    sizes = clusters.groupby("component").count()
+
+    def rename(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "count()" not in t.column_names:
+            return pa.schema([("cluster_size", pa.int64())]).empty_table()
+        return pa.table({"cluster_size": pc.cast(t["count()"], pa.int64())})
+
+    hist = (
+        sizes.map_batches(rename, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .count()
+        .to_pandas()  # ≤ distinct family sizes — tiny
+        .sort_values("cluster_size")
+    )
+    return pa.table(
+        {
+            "cluster_size": pa.array(hist["cluster_size"], type=pa.int64()),
+            "n_clusters": pa.array(hist["count()"], type=pa.int64()),
+        }
+    )
+
+
+DEDUP_QUERIES["doc_dup_size_hist"] = q_doc_dup_size_hist
+DEDUP_ORACLES["doc_dup_size_hist"] = _DUP_WALK_SQL + """
+, comp AS (SELECT src AS doc_id, min(dst) AS component FROM walk GROUP BY 1),
+ sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY 1
+"""

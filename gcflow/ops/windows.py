@@ -957,3 +957,74 @@ WITH c AS (
 SELECT event_type, user_id, n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 3
 """
+
+
+def q_evt_user_first_last(sf_dir: str):
+    """(user_id, n, first_value, last_value): each user's first and last
+    event value in (ts, event_id) order — the FIRST_VALUE/LAST_VALUE
+    window pair, the entry/exit feature of a behavioral pipeline.  Same
+    bucket sweep as the lag op: users hash-bucketed, one vectorized
+    lexsort per bucket resolves every user's boundaries; values are
+    COPIED, never combined, so floats hash bit-exact vs the window
+    mirror."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64()),
+         ("first_value", pa.float64()), ("last_value", pa.float64())]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy(zero_copy_only=False)
+        tsi = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.lexsort((eid, tsi, uid))
+        u, v = uid[order], val[order]
+        n = len(u)
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:] - 1, n - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], type=pa.int64()),
+                "n": pa.array(ends - starts + 1, type=pa.int64()),
+                "first_value": pa.array(v[starts], type=pa.float64()),
+                "last_value": pa.array(v[ends], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_first_last"] = q_evt_user_first_last
+WINDOW_ORACLES["evt_user_first_last"] = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(any_value(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = 1 THEN value END) AS first_value,
+       max(CASE WHEN rn = n THEN value END) AS last_value
+FROM r GROUP BY 1
+"""

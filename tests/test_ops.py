@@ -3737,3 +3737,40 @@ def test_top_users_per_type_matches_pandas_twin(ray_session):
     want = cnt.groupby("event_type", sort=True).head(3).reset_index(drop=True)
     want["rank"] = want.groupby("event_type").cumcount() + 1
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_dup_size_hist_consistent_with_clusters(ray_session):
+    """Cluster-size histogram sums back to the cluster-label table and
+    contains no size-1 families (labels only exist for paired docs)."""
+    from gcflow.ops.dedup import q_doc_dup_clusters, q_doc_dup_size_hist
+
+    hist = q_doc_dup_size_hist(SF).to_pandas()
+    labels = q_doc_dup_clusters(SF).to_pandas()
+    assert (hist.cluster_size * hist.n_clusters).sum() == len(labels)
+    assert hist.n_clusters.sum() == labels.component.nunique()
+    sizes = labels.groupby("component").size().value_counts().sort_index()
+    assert hist.set_index("cluster_size").n_clusters.to_dict() == sizes.to_dict()
+
+
+def test_user_first_last_matches_pandas_twin(ray_session):
+    """First/last values per user equal the pandas twin under the same
+    (ts, event_id) ordering."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_user_first_last
+
+    got = (
+        q_evt_user_first_last(SF).to_pandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    df = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    g = df.groupby("user_id", sort=True)
+    want_first = g.value.first()
+    want_last = g.value.last()
+    want_n = g.size()
+    assert got.user_id.tolist() == list(g.groups)
+    assert got.n.tolist() == want_n.tolist()
+    assert got.first_value.tolist() == want_first.tolist()
+    assert got.last_value.tolist() == want_last.tolist()

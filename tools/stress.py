@@ -187,6 +187,7 @@ def main() -> None:
     from gcflow.ops.windows import (
         q_evt_cube,
         q_evt_top_users_per_type,
+        q_evt_user_first_last,
         q_evt_funnel,
         q_evt_resample,
         q_evt_user_cumsum,
@@ -232,6 +233,7 @@ def main() -> None:
         "evt_mad": (q_evt_mad, "events"),
         "evt_winsorize": (q_evt_winsorize, "events"),
         "evt_top_users_per_type": (q_evt_top_users_per_type, "events"),
+        "evt_user_first_last": (q_evt_user_first_last, "events"),
         "evt_cube": (q_evt_cube, "events"),
         "evt_value_hist": (q_evt_value_hist, "events"),
         "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
