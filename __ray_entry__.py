@@ -153,6 +153,8 @@ _DRIVER_OMIT = (
     "doc_dup_size_hist",      # dedup-audit composition over the
                               # driver-covered doc_dup_clusters
     "evt_user_first_last",    # windows family (lag/cumsum bucket sweep)
+    "doc_ngram_novelty",      # ExactSubstr window-sweep family; the
+                              # novelty complement of doc_dup_spans
 )
 
 

@@ -309,7 +309,7 @@ def main():
     )
     from gcflow.ops.classifier import q_doc_quality_classifier
     from gcflow.ops.dedup import q_doc_cross_dedup
-    from gcflow.ops.span_dedup import q_doc_dup_spans
+    from gcflow.ops.span_dedup import q_doc_dup_spans, q_doc_ngram_novelty
     from gcflow.ops.tokenizer import q_doc_bpe_train
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
     from gcflow.ops.text import q_doc_char_entropy
@@ -366,6 +366,7 @@ def main():
         ("evt_top_users_per_type", q_evt_top_users_per_type),
         ("evt_user_first_last", q_evt_user_first_last),
         ("doc_dup_size_hist", q_doc_dup_size_hist),
+        ("doc_ngram_novelty", q_doc_ngram_novelty),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -353,3 +353,104 @@ LEFT JOIN (
 ) k USING (doc_id)
 """,
 }
+
+
+_NOV_PART_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("wins", pa.int64()), ("novel", pa.int64()),
+     ("dbucket", pa.int64())]
+)
+_NOV_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+     ("novel_frac", pa.float64())]
+)
+
+
+def q_doc_ngram_novelty(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_windows, novel_frac): per-document n-gram NOVELTY — the
+    fraction of a doc's K-word stride-1 windows whose content occurs
+    exactly ONCE in the whole corpus (the diversity signal
+    novelty-aware samplers weight by; the complement of the ExactSubstr
+    dup fraction).  Same two bounded shuffles as q_doc_dup_spans: the
+    window explode routes by content-hash bucket so each window's
+    global occurrence count is one in-bucket run-length; per-bucket
+    per-doc (wins, novel) partials — ≤ docs × HASH_BUCKETS rows — then
+    reduce inside doc-id buckets.  Docs with < K words have no windows
+    and are absent, exactly like the SQL mirror.  Window identity is
+    the 64-bit content hash (collision ⇒ novelty undercount at ~2⁻⁶⁴
+    odds — the module-level trade)."""
+    wins = _ensure_schema(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _window_rows, batch_format="pyarrow"
+        ),
+        _WIN_SCHEMA,
+    )
+
+    def novelty_sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _NOV_PART_SCHEMA.empty_table()
+        h = g["win_hash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        starts = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+        runlen = np.diff(np.append(starts, len(hs)))
+        is_novel = np.repeat(runlen == 1, runlen)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)[order]
+        uniq, inv = np.unique(d, return_inverse=True)
+        wins_per = np.bincount(inv, minlength=len(uniq))
+        novel_per = np.bincount(inv, weights=is_novel.astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "wins": pa.array(wins_per, type=pa.int64()),
+                "novel": pa.array(novel_per.astype(np.int64), type=pa.int64()),
+                "dbucket": pa.array(uniq % DOC_BUCKETS, type=pa.int64()),
+            }
+        )
+
+    parts = _ensure_schema(
+        wins.groupby("bucket").map_groups(novelty_sweep, batch_format="pyarrow"),
+        _NOV_PART_SCHEMA,
+    )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _NOV_SCHEMA.empty_table()
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        w = np.bincount(inv, weights=g["wins"].to_numpy(zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        nv = np.bincount(inv, weights=g["novel"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_windows": pa.array(w, type=pa.int64()),
+                "novel_frac": pa.array(nv / w, type=pa.float64()),
+            }
+        )
+
+    return _ensure_schema(
+        parts.groupby("dbucket").map_groups(reduce, batch_format="pyarrow"),
+        _NOV_SCHEMA,
+    )
+
+
+SPAN_DEDUP_QUERIES["doc_ngram_novelty"] = q_doc_ngram_novelty
+
+SPAN_DEDUP_ORACLES["doc_ngram_novelty"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(l[i : i + {_K} - 1], ' ') AS win
+  FROM w,
+       LATERAL (SELECT unnest(generate_series(1, len(l) - {_K} + 1)) AS i) t
+),
+f AS (
+  SELECT win, count(*) AS c FROM wins GROUP BY 1
+)
+SELECT wins.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novel_frac
+FROM wins JOIN f USING (win)
+GROUP BY 1
+"""

@@ -3774,3 +3774,29 @@ def test_user_first_last_matches_pandas_twin(ray_session):
     assert got.n.tolist() == want_n.tolist()
     assert got.first_value.tolist() == want_first.tolist()
     assert got.last_value.tolist() == want_last.tolist()
+
+
+def test_ngram_novelty_planted(ray_session, tmp_path):
+    """Novelty discriminates: a doc whose text is an exact replica of
+    another scores 0.0; a doc of globally-unique words scores 1.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.span_dedup import q_doc_ngram_novelty
+
+    uniq = " ".join(f"zq{i}" for i in range(20))
+    shared = " ".join(f"w{i}" for i in range(20))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([shared, shared, uniq]),
+        }
+    )
+    d = tmp_path / "nv"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = q_doc_ngram_novelty(str(d)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "novel_frac"] == 0.0
+    assert got.loc[2, "novel_frac"] == 0.0
+    assert got.loc[3, "novel_frac"] == 1.0
+    assert got.loc[3, "n_windows"] == 20 - 8 + 1

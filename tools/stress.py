@@ -171,7 +171,7 @@ def main() -> None:
         q_doc_softdedup_weight,
         q_doc_split_leakage_safe,
     )
-    from gcflow.ops.span_dedup import q_doc_dup_spans
+    from gcflow.ops.span_dedup import q_doc_dup_spans, q_doc_ngram_novelty
     from gcflow.ops.quantize import q_emb_pq
     from gcflow.ops.similarity import q_emb_ivfpq_search
     from gcflow.ops.text import (
@@ -208,6 +208,7 @@ def main() -> None:
         "doc_pack_sequences": (q_doc_pack_sequences, "documents"),
         "doc_epoch_shuffle": (q_doc_epoch_shuffle, "documents"),
         "doc_dup_spans": (q_doc_dup_spans, "documents"),
+        "doc_ngram_novelty": (q_doc_ngram_novelty, "documents"),
         "doc_cross_dedup": (q_doc_cross_dedup, "documents"),
         "doc_softdedup_weight": (q_doc_softdedup_weight, "documents"),
         "doc_split_leakage_safe": (q_doc_split_leakage_safe, "documents"),
