@@ -155,6 +155,10 @@ _DRIVER_OMIT = (
     "evt_user_first_last",    # windows family (lag/cumsum bucket sweep)
     "doc_ngram_novelty",      # ExactSubstr window-sweep family; the
                               # novelty complement of doc_dup_spans
+    "evt_user_pivot",         # wide-from-long feature pivot over the
+                              # session bucket sweep; post-pin
+    "doc_lp_residual",        # OLS-residual composition over the
+                              # driver-covered doc_unigram_logprob
 )
 
 

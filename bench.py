@@ -292,12 +292,17 @@ def main():
         q_emb_knn_label,
         q_emb_pq_search,
     )
-    from gcflow.ops.text import q_doc_ccnet_bucket, q_doc_source_kl
+    from gcflow.ops.text import (
+        q_doc_ccnet_bucket,
+        q_doc_lp_residual,
+        q_doc_source_kl,
+    )
     from gcflow.ops.dedup import q_doc_dup_size_hist
     from gcflow.ops.windows import (
         q_evt_cube,
         q_evt_top_users_per_type,
         q_evt_user_first_last,
+        q_evt_user_pivot,
     )
     from gcflow.ops.curation import q_doc_ngram_overlap
     from gcflow.ops.text import (
@@ -367,6 +372,8 @@ def main():
         ("evt_user_first_last", q_evt_user_first_last),
         ("doc_dup_size_hist", q_doc_dup_size_hist),
         ("doc_ngram_novelty", q_doc_ngram_novelty),
+        ("evt_user_pivot", q_evt_user_pivot),
+        ("doc_lp_residual", q_doc_lp_residual),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -1859,3 +1859,92 @@ JOIN t ON st.term = t.term
 JOIN ns ON st.source = ns.source
 GROUP BY 1
 """
+
+
+def q_doc_lp_residual(sf_dir: str):
+    """(doc_id, lp_residual): length-normalized LM quality — the
+    residual of each doc's unigram score against the corpus-wide OLS fit
+    ``avg_neg_logprob ~ ln(n_tokens)``.  Raw perplexity penalizes short
+    documents (fewer tokens → noisier estimates, systematically shifted);
+    regressing the length trend out leaves the signal quality filters
+    actually want (a positive residual = unusual vocabulary FOR ITS
+    LENGTH).
+
+    Distributed shape: the unigram scores are MATERIALIZED once (the
+    DSIR lesson); ONE streaming pass ships 5 floats per batch of
+    regression moments (n, Σx, Σy, Σxy, Σx²); the driver closes the
+    2-parameter normal equations; one broadcast-(a,b) residual pass.
+    The SQL oracle spells the identical slope/intercept/residual
+    expressions over the same moments."""
+    scored = q_doc_unigram_logprob(sf_dir).materialize()
+
+    mom_schema = pa.schema(
+        [("n", pa.int64()), ("sx", pa.float64()), ("sy", pa.float64()),
+         ("sxy", pa.float64()), ("sxx", pa.float64())]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return mom_schema.empty_table()
+        x = np.log(t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64))
+        y = t["avg_neg_logprob"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([float(x.sum())], type=pa.float64()),
+                "sy": pa.array([float(y.sum())], type=pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], type=pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], type=pa.float64()),
+            }
+        )
+
+    mp = scored.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = float(mp["n"].sum())
+    sx, sy = float(mp["sx"].sum()), float(mp["sy"].sum())
+    sxy, sxx = float(mp["sxy"].sum()), float(mp["sxx"].sum())
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+
+    def resid(t: pa.Table) -> pa.Table:
+        x = np.log(t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64))
+        y = t["avg_neg_logprob"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lp_residual": pa.array(y - (a + b * x), type=pa.float64()),
+            }
+        )
+
+    return scored.map_batches(resid, batch_format="pyarrow")
+
+
+TEXT_QUERIES["doc_lp_residual"] = q_doc_lp_residual
+
+TEXT_ORACLES["doc_lp_residual"] = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), nn AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf
+), lp AS (
+  SELECT tf.doc_id,
+         ln(CAST(sum(tf.tf) AS DOUBLE)) AS x,
+         ln(CAST((SELECT total FROM tot) AS DOUBLE))
+           - sum(CAST(tf.tf AS DOUBLE) * ln(CAST(nn.n AS DOUBLE)))
+               / CAST(sum(tf.tf) AS DOUBLE) AS y
+  FROM tf JOIN nn USING (term)
+  GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM lp
+), f AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b, n, sx, sy FROM m
+), ab AS (
+  SELECT b, (sy - b * sx) / n AS a FROM f
+)
+SELECT doc_id, y - (a + b * x) AS lp_residual FROM lp, ab
+"""

@@ -1028,3 +1028,103 @@ SELECT user_id, CAST(any_value(n) AS BIGINT) AS n,
        max(CASE WHEN rn = n THEN value END) AS last_value
 FROM r GROUP BY 1
 """
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_evt_user_pivot(sf_dir: str):
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    sum_value_cents): the per-user activity FEATURE VECTOR — the pivot /
+    one-hot-count matrix a downstream model trains on.  Wide-from-long
+    with no per-type passes: ONE streaming pass builds in-batch
+    (user, type) count partials + value-cents sums, users hash-bucketed
+    (each bucket owns its users' complete totals), one vectorized
+    bincount pivot per bucket.  Integer cents keep the sum column
+    bitwise regardless of association order.  The type set is the
+    pipeline's fixed routing taxonomy (R1's dispatch analogue), so the
+    wide schema is static — the condition for pivot to stream."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+    type_idx = {t: i for i, t in enumerate(PIVOT_TYPES)}
+    k = len(PIVOT_TYPES)
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("ti", pa.int64()), ("n", pa.int64()),
+         ("cents", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ti = np.array([type_idx[x] for x in np.unique(et)])
+        uniq_t, inv_t = np.unique(et, return_inverse=True)
+        uniq_u, inv_u = np.unique(uid, return_inverse=True)
+        key = inv_u * len(uniq_t) + inv_t
+        n = np.bincount(key, minlength=len(uniq_u) * len(uniq_t))
+        c = np.bincount(key, weights=cents.astype(np.float64),
+                        minlength=len(uniq_u) * len(uniq_t)).astype(np.int64)
+        nz = np.flatnonzero(n)
+        users = uniq_u[nz // len(uniq_t)]
+        b = ((users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(40)) % N_SESSION_BUCKETS
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "ti": pa.array(ti[nz % len(uniq_t)], type=pa.int64()),
+                "n": pa.array(n[nz], type=pa.int64()),
+                "cents": pa.array(c[nz], type=pa.int64()),
+                "bucket": pa.array(b.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [(f"n_{t}", pa.int64()) for t in PIVOT_TYPES]
+        + [("sum_value_cents", pa.int64())]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ti = g["ti"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(uniq), k), dtype=np.int64)
+        np.add.at(mat, (inv, ti), n)
+        cents = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        cols = {"user_id": pa.array(uniq, type=pa.int64())}
+        for i, t in enumerate(PIVOT_TYPES):
+            cols[f"n_{t}"] = pa.array(mat[:, i], type=pa.int64())
+        cols["sum_value_cents"] = pa.array(cents, type=pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_pivot"] = q_evt_user_pivot
+WINDOW_ORACLES["evt_user_pivot"] = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""

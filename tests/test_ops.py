@@ -3800,3 +3800,47 @@ def test_ngram_novelty_planted(ray_session, tmp_path):
     assert got.loc[2, "novel_frac"] == 0.0
     assert got.loc[3, "novel_frac"] == 1.0
     assert got.loc[3, "n_windows"] == 20 - 8 + 1
+
+
+def test_user_pivot_matches_pandas_twin(ray_session):
+    """User-activity pivot equals the pandas crosstab twin; count columns
+    sum to the event count and cents match the rounded value sums."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import PIVOT_TYPES, q_evt_user_pivot
+
+    got = q_evt_user_pivot(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+    df = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).to_pandas()
+    piv = (
+        df.pivot_table(index="user_id", columns="event_type",
+                       values="value", aggfunc="size", fill_value=0)
+        .reindex(columns=list(PIVOT_TYPES), fill_value=0)
+        .sort_index()
+    )
+    assert got.user_id.tolist() == piv.index.tolist()
+    for t in PIVOT_TYPES:
+        assert got[f"n_{t}"].tolist() == piv[t].tolist(), t
+    cents = (
+        df.assign(c=np.round(df.value * 100).astype(np.int64))
+        .groupby("user_id").c.sum().sort_index()
+    )
+    assert got.sum_value_cents.tolist() == cents.tolist()
+    assert got[[f"n_{t}" for t in PIVOT_TYPES]].to_numpy().sum() == len(df)
+
+
+def test_lp_residual_matches_ols_twin(ray_session):
+    """Length-normalized LM residuals equal a serial OLS twin and are
+    centered (Σ resid ≈ 0 — the normal-equation identity)."""
+    from gcflow.ops.text import q_doc_lp_residual, q_doc_unigram_logprob
+
+    got = q_doc_lp_residual(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    lp = q_doc_unigram_logprob(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    x = np.log(lp.n_tokens.to_numpy(dtype=np.float64))
+    y = lp.avg_neg_logprob.to_numpy()
+    b, a = np.polyfit(x, y, 1)
+    want = y - (a + b * x)
+    assert got.doc_id.tolist() == lp.doc_id.tolist()
+    assert np.allclose(got.lp_residual.to_numpy(), want, atol=1e-9)
+    assert abs(got.lp_residual.sum()) < 1e-6

@@ -182,12 +182,13 @@ def main() -> None:
     )
     from gcflow.ops.linalg import q_emb_outliers
     from gcflow.ops.similarity import q_emb_hard_negatives
-    from gcflow.ops.text import q_doc_source_kl
+    from gcflow.ops.text import q_doc_lp_residual, q_doc_source_kl
     from gcflow.ops.text import q_doc_ccnet_bucket
     from gcflow.ops.windows import (
         q_evt_cube,
         q_evt_top_users_per_type,
         q_evt_user_first_last,
+        q_evt_user_pivot,
         q_evt_funnel,
         q_evt_resample,
         q_evt_user_cumsum,
@@ -235,12 +236,14 @@ def main() -> None:
         "evt_winsorize": (q_evt_winsorize, "events"),
         "evt_top_users_per_type": (q_evt_top_users_per_type, "events"),
         "evt_user_first_last": (q_evt_user_first_last, "events"),
+        "evt_user_pivot": (q_evt_user_pivot, "events"),
         "evt_cube": (q_evt_cube, "events"),
         "evt_value_hist": (q_evt_value_hist, "events"),
         "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
         "emb_outliers": (q_emb_outliers, "embeddings"),
         "doc_ccnet_bucket": (q_doc_ccnet_bucket, "documents"),
         "doc_source_kl": (q_doc_source_kl, "documents"),
+        "doc_lp_residual": (q_doc_lp_residual, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
