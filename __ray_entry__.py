@@ -159,6 +159,8 @@ _DRIVER_OMIT = (
                               # session bucket sweep; post-pin
     "doc_lp_residual",        # OLS-residual composition over the
                               # driver-covered doc_unigram_logprob
+    "rel_q5",                 # relational join family driver-covered by
+                              # rel_q1 + rel_nation_revenue (q3 rationale)
 )
 
 

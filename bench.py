@@ -282,7 +282,7 @@ def main():
         q_evt_value_rank,
     )
     from gcflow.ops.quantize import q_emb_quantize_int8
-    from gcflow.ops.relational import q_rel_q1
+    from gcflow.ops.relational import q_rel_q1, q_rel_q5
     from gcflow.ops.linalg import q_emb_outliers
     from gcflow.ops.similarity import (
         q_doc_bm25_topk,
@@ -374,6 +374,7 @@ def main():
         ("doc_ngram_novelty", q_doc_ngram_novelty),
         ("evt_user_pivot", q_evt_user_pivot),
         ("doc_lp_residual", q_doc_lp_residual),
+        ("rel_q5", q_rel_q5),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

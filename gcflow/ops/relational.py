@@ -584,3 +584,205 @@ SELECT 'customer', 'c_nationkey',
        count(DISTINCT c_nationkey) FILTER (n_nationkey IS NULL)
 FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 """
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+# broadcast ceiling for the supplier→nation map (TPC-H supplier is
+# 10k rows/SF — a dict of ints; the enforced ceiling keeps the pattern
+# honest if the table ever stops being broadcast-sized)
+Q5_SUPP_BROADCAST_MAX = 5_000_000
+
+
+def q_rel_q5(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): revenue per nation of one
+    region and order-date year where the CUSTOMER and the SUPPLIER sit
+    in the same nation — the canonical 6-table join-ordering showcase.
+    (n_name, revenue_e4), revenue descending.
+
+    Join plan (smallest sides collapse first, ONE repartition join per
+    big⋈big edge): region⋈nation fold to a 5-entry nationkey→name dict
+    on the driver; supplier folds to a suppkey→nationkey dict broadcast
+    once via ray.put (ceiling-enforced); customers of the region's
+    nations and date-filtered orders meet in repartition join #1;
+    lineitem rows attach their supplier nation from the broadcast dict
+    and pre-aggregate per (l_orderkey, s_nation) IN BATCH before
+    repartition join #2 — the same-nation filter and the final
+    nation-keyed sum stay streaming.  Revenue in integer e4 units so
+    float association order can never diverge from the oracle."""
+    import numpy as np
+
+    import ray
+
+    from .dedup import _ensure_schema, _join_partitions
+
+    # tiny dimension folds (region: 5 rows, nation: 25) — driver-side
+    reg = _read(sf_dir, "region").take_all()
+    rkey = next(r["r_regionkey"] for r in reg if r["r_name"] == Q5_REGION)
+    nat = _read(sf_dir, "nation").take_all()
+    nation_name = {
+        r["n_nationkey"]: r["n_name"] for r in nat if r["n_regionkey"] == rkey
+    }
+    nkeys = set(nation_name)
+
+    n_supp = _read(sf_dir, "supplier").count()
+    if n_supp > Q5_SUPP_BROADCAST_MAX:
+        raise NotImplementedError(
+            "supplier exceeds the broadcast ceiling — route through a "
+            "suppkey-keyed repartition join instead"
+        )
+    st = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nation = dict(
+        zip(st["s_suppkey"].astype("int64"), st["s_nationkey"].astype("int64"))
+    )
+    sref = ray.put(supp_nation)
+    nref = ray.put(nkeys)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(t: pa.Table, r) -> pa.Table:
+        nk = ray.get(r) if not isinstance(r, set) else r
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(cn, list(nk))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.filter(pa.array(keep))["c_custkey"], pa.int64()),
+                "c_nationkey": pa.array(cn[keep], type=pa.int64()),
+            }
+        )
+
+    cust_f = _ensure_schema(
+        cust.map_batches(cust_rows, fn_args=(nref,), batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    )
+
+    lo = np.datetime64(Q5_FROM, "us")
+    hi = np.datetime64(Q5_TO, "us")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"]
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(lo).cast(od.type)),
+            pc.less(od, pa.scalar(hi).cast(od.type)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        )
+
+    orders_f = _ensure_schema(
+        orders.map_batches(order_rows, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(t: pa.Table, r) -> pa.Table:
+        sn = ray.get(r) if not isinstance(r, dict) else r
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = np.array([sn.get(int(k), -1) for k in np.unique(sk)])
+        uniq, inv = np.unique(sk, return_inverse=True)
+        nat_row = s_nat[inv]
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    10000.0,
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "s_nationkey": pa.array(nat_row, type=pa.int64()),
+                    "rev": rev,
+                }
+            )
+            .group_by(["l_orderkey", "s_nationkey"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "s_nationkey", "rev"])
+
+    li_p = _ensure_schema(
+        li.map_batches(li_partial, fn_args=(sref,), batch_format="pyarrow"),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("s_nationkey", pa.int64()),
+             ("rev", pa.int64())]
+        ),
+    )
+
+    nparts = _join_partitions(orders.count(), li.count())
+    o_cust = orders_f.join(
+        cust_f, "inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    joined = li_p.join(
+        o_cust, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "s_nationkey" not in t.column_names:
+            return pa.schema(
+                [("nationkey", pa.int64()), ("rev", pa.int64())]
+            ).empty_table()
+        keep = pc.equal(t["s_nationkey"], t["c_nationkey"])
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                "rev": t["rev"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev", alias_name="revenue_e4"))
+        .to_pandas()  # ≤ 5 rows
+    )
+    agg["n_name"] = agg["nationkey"].map(nation_name)
+    agg = agg.sort_values(
+        ["revenue_e4", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "n_name": pa.array(agg["n_name"], type=pa.string()),
+            "revenue_e4": pa.array(agg["revenue_e4"], type=pa.int64()),
+        }
+    )
+
+
+RELATIONAL_QUERIES["rel_q5"] = q_rel_q5
+
+RELATIONAL_ORACLES["rel_q5"] = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q5_TO}'
+GROUP BY n_name
+"""

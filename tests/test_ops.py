@@ -3844,3 +3844,26 @@ def test_lp_residual_matches_ols_twin(ray_session):
     assert got.doc_id.tolist() == lp.doc_id.tolist()
     assert np.allclose(got.lp_residual.to_numpy(), want, atol=1e-9)
     assert abs(got.lp_residual.sum()) < 1e-6
+
+
+def test_rel_q5_matches_duckdb(ray_session):
+    """TPC-H Q5 at sf0.001: per-nation revenue equals the 6-table SQL
+    join bit-for-bit (integer e4 revenue), descending order."""
+    import duckdb
+
+    from gcflow.ops.relational import RELATIONAL_ORACLES, q_rel_q5
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rel_q5(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders", "lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = (
+        con.execute(RELATIONAL_ORACLES["rel_q5"]).df()
+        .sort_values(["revenue_e4", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    assert (got.revenue_e4.to_numpy()[:-1] >= got.revenue_e4.to_numpy()[1:]).all()
