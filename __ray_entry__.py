@@ -161,6 +161,8 @@ _DRIVER_OMIT = (
                               # driver-covered doc_unigram_logprob
     "rel_q5",                 # relational join family driver-covered by
                               # rel_q1 + rel_nation_revenue (q3 rationale)
+    "evt_cohort_retention",   # windows/distinct family over the session
+                              # bucket sweep; post-pin
 )
 
 

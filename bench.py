@@ -302,6 +302,7 @@ def main():
         q_evt_cube,
         q_evt_top_users_per_type,
         q_evt_user_first_last,
+        q_evt_cohort_retention,
         q_evt_user_pivot,
     )
     from gcflow.ops.curation import q_doc_ngram_overlap
@@ -375,6 +376,7 @@ def main():
         ("evt_user_pivot", q_evt_user_pivot),
         ("doc_lp_residual", q_doc_lp_residual),
         ("rel_q5", q_rel_q5),
+        ("evt_cohort_retention", q_evt_cohort_retention),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -1128,3 +1128,112 @@ SELECT user_id,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1
 """
+
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+def _week_start_day(us: np.ndarray) -> np.ndarray:
+    """Monday-aligned week start (days since epoch) — day 0 (1970-01-01)
+    is a Thursday, so weekday(Monday=0) = (day + 3) % 7; matches DuckDB
+    date_trunc('week', ts) exactly (verified on both epoch edges)."""
+    day = us // _US_PER_DAY
+    return day - ((day + 3) % 7)
+
+
+def q_evt_cohort_retention(sf_dir: str):
+    """(cohort_week, week_offset, n_users): the cohort RETENTION matrix —
+    users grouped by the week of their FIRST event, counted in every
+    later week they were active (the growth-analytics staple, and the
+    data-freshness view of a training-event stream).
+
+    One user-bucket sweep does everything user-local: each bucket
+    lexsorts its users' rows once, takes the per-user first timestamp
+    as the cohort, dedups (user, active-week) pairs in-bucket and emits
+    per-(cohort, offset) PARTIAL counts — users are hash-bucketed, so a
+    user's pairs never straddle buckets and the partials are exact.
+    The final groupby merges ≤ buckets × weeks² tiny rows."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    part_schema = pa.schema(
+        [("cohort_day", pa.int64()), ("week_offset", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return part_schema.empty_table()
+        uid = g["user_id"].to_numpy()
+        us = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.lexsort((us, uid))
+        u, s = uid[order], us[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        wk = _week_start_day(s)
+        cohort = np.repeat(wk[first], np.diff(np.append(np.flatnonzero(first), len(u))))
+        off = (wk - cohort) // 7
+        # dedup (user, offset) — a user counts once per active week
+        key = np.stack([u, off], axis=1)
+        uniq_rows = np.unique(
+            np.concatenate([key, cohort[:, None]], axis=1), axis=0
+        )
+        co, of = uniq_rows[:, 2], uniq_rows[:, 1]
+        pair = np.unique(np.stack([co, of], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(pair[0][:, 0], type=pa.int64()),
+                "week_offset": pa.array(pair[0][:, 1], type=pa.int64()),
+                "n": pa.array(pair[1], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+        .groupby(["cohort_day", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()  # ≤ weeks² rows
+        .sort_values(["cohort_day", "week_offset"])
+    )
+    return pa.table(
+        {
+            "cohort_week": pa.array(
+                (out["cohort_day"].to_numpy() * _US_PER_DAY).astype(
+                    "datetime64[us]"
+                ),
+                type=pa.timestamp("us"),
+            ),
+            "week_offset": pa.array(out["week_offset"], type=pa.int64()),
+            "n_users": pa.array(out["n_users"], type=pa.int64()),
+        }
+    )
+
+
+WINDOW_QUERIES["evt_cohort_retention"] = q_evt_cohort_retention
+WINDOW_ORACLES["evt_cohort_retention"] = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST((epoch(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+               - epoch(f.cohort)) // (7 * 86400) AS BIGINT) AS week_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cohort AS cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+"""

@@ -3867,3 +3867,41 @@ def test_rel_q5_matches_duckdb(ray_session):
     )
     assert got.values.tolist() == want.values.tolist()
     assert (got.revenue_e4.to_numpy()[:-1] >= got.revenue_e4.to_numpy()[1:]).all()
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    """Planted cohorts: user A starts week 0 and returns weeks 1 and 3;
+    user B starts week 1 only; user C shares A's cohort, week 0 only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_cohort_retention
+
+    # Mondays: 2026-08-17 (wk0), 2026-08-24 (wk1), 2026-09-07 (wk3)
+    rows = [
+        (1, "2026-08-18T10:00:00"), (1, "2026-08-25T10:00:00"),
+        (1, "2026-09-08T10:00:00"), (1, "2026-08-19T12:00:00"),
+        (2, "2026-08-26T10:00:00"),
+        (3, "2026-08-20T10:00:00"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]"),
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    d = tmp_path / "coh"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = q_evt_cohort_retention(str(d)).to_pandas()
+    got["cw"] = got.cohort_week.dt.strftime("%Y-%m-%d")
+    m = {(r.cw, r.week_offset): r.n_users for r in got.itertuples()}
+    assert m == {
+        ("2026-08-17", 0): 2,  # users 1 and 3 in the wk0 cohort
+        ("2026-08-17", 1): 1,  # user 1 returns wk1
+        ("2026-08-17", 3): 1,  # user 1 returns wk3
+        ("2026-08-24", 0): 1,  # user 2's own cohort
+    }

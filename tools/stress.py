@@ -188,6 +188,7 @@ def main() -> None:
         q_evt_cube,
         q_evt_top_users_per_type,
         q_evt_user_first_last,
+        q_evt_cohort_retention,
         q_evt_user_pivot,
         q_evt_funnel,
         q_evt_resample,
@@ -237,6 +238,7 @@ def main() -> None:
         "evt_top_users_per_type": (q_evt_top_users_per_type, "events"),
         "evt_user_first_last": (q_evt_user_first_last, "events"),
         "evt_user_pivot": (q_evt_user_pivot, "events"),
+        "evt_cohort_retention": (q_evt_cohort_retention, "events"),
         "evt_cube": (q_evt_cube, "events"),
         "evt_value_hist": (q_evt_value_hist, "events"),
         "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
