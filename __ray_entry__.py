@@ -163,6 +163,8 @@ _DRIVER_OMIT = (
                               # rel_q1 + rel_nation_revenue (q3 rationale)
     "evt_cohort_retention",   # windows/distinct family over the session
                               # bucket sweep; post-pin
+    "evt_transitions",        # Markov bigram over the same bucket sweep
+    "emb_diversity",          # closed-form moments scalar (PCA family)
 )
 
 

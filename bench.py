@@ -283,7 +283,7 @@ def main():
     )
     from gcflow.ops.quantize import q_emb_quantize_int8
     from gcflow.ops.relational import q_rel_q1, q_rel_q5
-    from gcflow.ops.linalg import q_emb_outliers
+    from gcflow.ops.linalg import q_emb_diversity, q_emb_outliers
     from gcflow.ops.similarity import (
         q_doc_bm25_topk,
         q_emb_ann_topk,
@@ -303,6 +303,7 @@ def main():
         q_evt_top_users_per_type,
         q_evt_user_first_last,
         q_evt_cohort_retention,
+        q_evt_transitions,
         q_evt_user_pivot,
     )
     from gcflow.ops.curation import q_doc_ngram_overlap
@@ -377,6 +378,8 @@ def main():
         ("doc_lp_residual", q_doc_lp_residual),
         ("rel_q5", q_rel_q5),
         ("evt_cohort_retention", q_evt_cohort_retention),
+        ("evt_transitions", q_evt_transitions),
+        ("emb_diversity", q_emb_diversity),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -451,3 +451,73 @@ WITH e AS (
 )
 SELECT vec_id, dist2, dist2 > mu + 3 * sigma AS is_outlier FROM d, m
 """
+
+
+# ------------------------------------------------- corpus diversity scalar
+# Mean pairwise squared L2 distance over all distinct vector pairs — the
+# corpus-diversity number data-selection work tracks (collapsing
+# diversity under aggressive dedup/filtering is the failure it guards
+# against).  O(N²) pairs collapse to a CLOSED FORM of one-pass moments:
+#   E‖x−y‖² over distinct pairs = 2·n/(n−1) · (E‖x‖² − ‖E x‖²)
+# so the whole statistic ships d+1 floats per batch and never compares a
+# pair.  The oracle spells the identical moment expression.
+
+
+def q_emb_diversity(sf_dir: str):
+    """(n, mean_pair_dist2): corpus size + mean pairwise squared distance."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        V = _embedding_matrix(t)
+        return pa.table(
+            {
+                "n": pa.array([len(V)], type=pa.int64()),
+                "vsum": pa.array([V.sum(axis=0).tobytes()], type=pa.binary()),
+                "s2": pa.array([float((V * V).sum())], type=pa.float64()),
+            }
+        )
+
+    mp = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(mp["n"].sum())
+    if n < 2:
+        return pa.table(
+            {"n": pa.array([n], type=pa.int64()),
+             "mean_pair_dist2": pa.array([None], type=pa.float64())}
+        )
+    s1 = np.sum([np.frombuffer(b, dtype=np.float64) for b in mp["vsum"]], axis=0)
+    s2 = float(mp["s2"].sum())
+    nf = float(n)
+    # 2·n/(n−1)·(E‖x‖² − ‖Ex‖²), with the moment algebra spelled exactly
+    # as the oracle: (s2/n − Σ(mean²)) scaled
+    mean = s1 / nf
+    val = 2.0 * nf / (nf - 1.0) * (s2 / nf - float((mean * mean).sum()))
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "mean_pair_dist2": pa.array([val], type=pa.float64()),
+        }
+    )
+
+
+LINALG_QUERIES["emb_diversity"] = q_emb_diversity
+
+LINALG_ORACLES["emb_diversity"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings
+), m AS (
+  SELECT dim, avg(CAST(v AS DOUBLE)) AS mu,
+         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS s2d
+  FROM e GROUP BY 1
+), agg AS (
+  SELECT sum(s2d) AS s2, sum(mu * mu) AS mm FROM m
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+)
+SELECT CAST(n AS BIGINT) AS n,
+       2.0 * n / (n - 1.0) * (s2 / n - mm) AS mean_pair_dist2
+FROM agg, nn
+"""

@@ -1237,3 +1237,89 @@ SELECT cohort AS cohort_week, week_offset,
        CAST(count(*) AS BIGINT) AS n_users
 FROM a GROUP BY 1, 2
 """
+
+
+def q_evt_transitions(sf_dir: str):
+    """(from_type, to_type, n): the per-user event-type TRANSITION
+    matrix — consecutive-event bigrams in (ts, event_id) order within
+    each user (the Markov-chain view of behavior streams; the funnel
+    op's unordered complement).  Same user-bucket sweep: one lexsort
+    per bucket, consecutive pairs masked at user boundaries, in-bucket
+    (from, to) counts — ≤ types² rows per bucket reach the final tiny
+    groupby."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    part_schema = pa.schema(
+        [("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return part_schema.empty_table()
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        tsi = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.lexsort((eid, tsi, uid))
+        u, e = uid[order], et[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return part_schema.empty_table()
+        pairs = (
+            pa.table(
+                {
+                    "from_type": pa.array(e[:-1][same]),
+                    "to_type": pa.array(e[1:][same]),
+                }
+            )
+            .group_by(["from_type", "to_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pairs.rename_columns(["from_type", "to_type", "n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ types² rows
+        .sort_values(["from_type", "to_type"])
+    )
+    return pa.table(
+        {
+            "from_type": pa.array(out["from_type"], type=pa.string()),
+            "to_type": pa.array(out["to_type"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+WINDOW_QUERIES["evt_transitions"] = q_evt_transitions
+WINDOW_ORACLES["evt_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -3905,3 +3905,49 @@ def test_cohort_retention_planted(ray_session, tmp_path):
         ("2026-08-17", 3): 1,  # user 1 returns wk3
         ("2026-08-24", 0): 1,  # user 2's own cohort
     }
+
+
+def test_transitions_matches_pandas_twin(ray_session):
+    """Transition counts equal the pandas shift twin; totals equal
+    rows − users (each user contributes len−1 transitions)."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_transitions
+
+    got = q_evt_transitions(SF).to_pandas()
+    df = (
+        pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    df["prev"] = df.groupby("user_id").event_type.shift(1)
+    want = (
+        df.dropna(subset=["prev"])
+        .groupby(["prev", "event_type"]).size().reset_index(name="n")
+        .sort_values(["prev", "event_type"]).reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    assert got.n.sum() == len(df) - df.user_id.nunique()
+
+
+def test_emb_diversity_matches_bruteforce(ray_session):
+    """The closed-form mean pairwise distance equals the O(N²) brute
+    force at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.linalg import q_emb_diversity
+
+    got = q_emb_diversity(SF).to_pandas()
+    V = np.vstack(
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ].to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    n = len(V)
+    d2 = ((V[:, None, :] - V[None, :, :]) ** 2).sum(axis=2)
+    want = d2[np.triu_indices(n, 1)].mean()
+    assert int(got.n.iloc[0]) == n
+    assert abs(got.mean_pair_dist2.iloc[0] - want) < 1e-9 * max(1.0, want)

@@ -180,7 +180,7 @@ def main() -> None:
         q_doc_sample_unimax,
         q_doc_unigram_logprob,
     )
-    from gcflow.ops.linalg import q_emb_outliers
+    from gcflow.ops.linalg import q_emb_diversity, q_emb_outliers
     from gcflow.ops.similarity import q_emb_hard_negatives
     from gcflow.ops.text import q_doc_lp_residual, q_doc_source_kl
     from gcflow.ops.text import q_doc_ccnet_bucket
@@ -189,6 +189,7 @@ def main() -> None:
         q_evt_top_users_per_type,
         q_evt_user_first_last,
         q_evt_cohort_retention,
+        q_evt_transitions,
         q_evt_user_pivot,
         q_evt_funnel,
         q_evt_resample,
@@ -239,10 +240,12 @@ def main() -> None:
         "evt_user_first_last": (q_evt_user_first_last, "events"),
         "evt_user_pivot": (q_evt_user_pivot, "events"),
         "evt_cohort_retention": (q_evt_cohort_retention, "events"),
+        "evt_transitions": (q_evt_transitions, "events"),
         "evt_cube": (q_evt_cube, "events"),
         "evt_value_hist": (q_evt_value_hist, "events"),
         "emb_hard_negatives": (q_emb_hard_negatives, "embeddings"),
         "emb_outliers": (q_emb_outliers, "embeddings"),
+        "emb_diversity": (q_emb_diversity, "embeddings"),
         "doc_ccnet_bucket": (q_doc_ccnet_bucket, "documents"),
         "doc_source_kl": (q_doc_source_kl, "documents"),
         "doc_lp_residual": (q_doc_lp_residual, "documents"),
