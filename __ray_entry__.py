@@ -165,6 +165,10 @@ _DRIVER_OMIT = (
                               # bucket sweep; post-pin
     "evt_transitions",        # Markov bigram over the same bucket sweep
     "emb_diversity",          # closed-form moments scalar (PCA family)
+    "doc_curation_funnel",    # observability composition over the
+                              # driver-covered doc_curate
+    "doc_data_card",          # one-pass profiler sibling (evt_profile
+                              # family); post-pin
 )
 
 

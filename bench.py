@@ -262,6 +262,7 @@ def main():
     # representative operator benchmarks (each timed separately)
     from gcflow.ops.curation import (
         q_doc_chunk,
+        q_doc_curation_funnel,
         q_doc_curate,
         q_doc_decontaminate_bloom,
         q_doc_epoch_shuffle,
@@ -270,7 +271,7 @@ def main():
         q_doc_mix_schedule,
         q_doc_pack_sequences,
     )
-    from gcflow.ops.corpus_stats import q_doc_bigrams
+    from gcflow.ops.corpus_stats import q_doc_bigrams, q_doc_data_card
     from gcflow.ops.dedup import q_doc_exact_dedup, q_doc_minhash_lsh
     from gcflow.ops.linalg import q_emb_pca
     from gcflow.ops.quantile import (
@@ -380,6 +381,8 @@ def main():
         ("evt_cohort_retention", q_evt_cohort_retention),
         ("evt_transitions", q_evt_transitions),
         ("emb_diversity", q_emb_diversity),
+        ("doc_curation_funnel", q_doc_curation_funnel),
+        ("doc_data_card", q_doc_data_card),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

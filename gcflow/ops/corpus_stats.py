@@ -232,3 +232,88 @@ GROUP BY 1
 
 CORPUS_STATS_QUERIES["evt_props_extract"] = q_evt_props_extract
 CORPUS_STATS_ORACLES["evt_props_extract"] = _ORACLE_PROPS
+
+
+def q_doc_data_card(sf_dir: str):
+    """(metric_idx, metric, value): the dataset CARD — the one-glance
+    summary a corpus release ships (docs, token volume, length range,
+    language/source coverage).  ONE streaming pass emits a few scalars
+    per batch (counts, token sum/min/max, in-batch distinct lang/source
+    lists); the driver folds partials and unions the tiny label sets —
+    nothing corpus-sized moves."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("toks", pa.int64()), ("tmin", pa.int64()),
+         ("tmax", pa.int64()), ("langs", pa.list_(pa.string())),
+         ("sources", pa.list_(pa.string()))]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        ntok = pc.cast(
+            pc.add(pc.count_substring(t["text"], " "), 1), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(t)], type=pa.int64()),
+                "toks": pa.array([int(ntok.sum())], type=pa.int64()),
+                "tmin": pa.array([int(ntok.min())], type=pa.int64()),
+                "tmax": pa.array([int(ntok.max())], type=pa.int64()),
+                "langs": pa.array(
+                    [pc.unique(t["lang"]).to_pylist()], type=pa.list_(pa.string())
+                ),
+                "sources": pa.array(
+                    [pc.unique(t["source"]).to_pylist()],
+                    type=pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    toks = int(p["toks"].sum())
+    langs = set().union(*p["langs"]) if len(p) else set()
+    sources = set().union(*p["sources"]) if len(p) else set()
+    metrics = [
+        ("n_docs", float(n)),
+        ("total_tokens", float(toks)),
+        ("mean_tokens", float(toks) / float(n) if n else float("nan")),
+        ("min_tokens", float(p["tmin"].min()) if n else float("nan")),
+        ("max_tokens", float(p["tmax"].max()) if n else float("nan")),
+        ("n_langs", float(len(langs))),
+        ("n_sources", float(len(sources))),
+    ]
+    return pa.table(
+        {
+            "metric_idx": pa.array(range(len(metrics)), type=pa.int64()),
+            "metric": pa.array([m for m, _ in metrics], type=pa.string()),
+            "value": pa.array([v for _, v in metrics], type=pa.float64()),
+        }
+    )
+
+
+CORPUS_STATS_QUERIES["doc_data_card"] = q_doc_data_card
+
+CORPUS_STATS_ORACLES["doc_data_card"] = """
+WITH s AS (
+  SELECT lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+)
+SELECT CAST(0 AS BIGINT) AS metric_idx, 'n_docs' AS metric,
+       CAST(count(*) AS DOUBLE) AS value FROM s
+UNION ALL SELECT 1, 'total_tokens', CAST(sum(ntok) AS DOUBLE) FROM s
+UNION ALL SELECT 2, 'mean_tokens',
+       CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM s
+UNION ALL SELECT 3, 'min_tokens', CAST(min(ntok) AS DOUBLE) FROM s
+UNION ALL SELECT 4, 'max_tokens', CAST(max(ntok) AS DOUBLE) FROM s
+UNION ALL SELECT 5, 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM s
+UNION ALL SELECT 6, 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM s
+"""

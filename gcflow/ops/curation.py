@@ -1392,3 +1392,110 @@ SELECT doc_id, lang,
             AS BIGINT) AS sched_pos
 FROM r
 """
+
+
+def q_doc_curation_funnel(sf_dir: str):
+    """(stage_idx, stage, n_docs): the curation FUNNEL report — how many
+    documents survive each filter of the q_doc_curate pipeline,
+    cumulatively (input → length → +alpha → +repetition → exact-distinct).
+    The observability number a 100 TB curation run publishes: which gate
+    removes how much.
+
+    One streaming pass computes all four cumulative masks per batch with
+    the SAME expressions as q_doc_curate's fused stage (shared
+    tokenization, 4 ints per batch shipped); the final distinct stage is
+    the curate keep-list count itself, so the funnel can never disagree
+    with the op it audits."""
+    from .dedup import corpus_ds
+    from .text import REP_DISTINCT_RATIO, REP_TOP_FRAC, rep_counts
+
+    part_schema = pa.schema(
+        [("n_input", pa.int64()), ("n_len", pa.int64()),
+         ("n_alpha", pa.int64()), ("n_rep", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        n, n_distinct, top = rep_counts(t["text"])
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = pc.cast(
+            pc.count_substring_regex(t["text"], "[A-Za-z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        alpha_ratio = n_alpha.astype(np.float64) / n_chars
+        top_frac = top.astype(np.float64) / n
+        distinct_ratio = n_distinct.astype(np.float64) / n
+        m_len = (n >= CURATE_MIN_TOKENS) & (n <= CURATE_MAX_TOKENS)
+        m_alpha = m_len & (alpha_ratio >= CURATE_MIN_ALPHA)
+        m_rep = m_alpha & ~(
+            (top_frac > REP_TOP_FRAC) | (distinct_ratio < REP_DISTINCT_RATIO)
+        )
+        return pa.table(
+            {
+                "n_input": pa.array([len(t)], type=pa.int64()),
+                "n_len": pa.array([int(m_len.sum())], type=pa.int64()),
+                "n_alpha": pa.array([int(m_alpha.sum())], type=pa.int64()),
+                "n_rep": pa.array([int(m_rep.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = corpus_ds(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_distinct_kept = q_doc_curate(sf_dir).count()
+    stages = [
+        ("input", int(parts["n_input"].sum())),
+        ("length", int(parts["n_len"].sum())),
+        ("alpha", int(parts["n_alpha"].sum())),
+        ("repetition", int(parts["n_rep"].sum())),
+        ("distinct", int(n_distinct_kept)),
+    ]
+    return pa.table(
+        {
+            "stage_idx": pa.array(range(len(stages)), type=pa.int64()),
+            "stage": pa.array([s for s, _ in stages], type=pa.string()),
+            "n_docs": pa.array([n for _, n in stages], type=pa.int64()),
+        }
+    )
+
+
+CURATION_QUERIES["doc_curation_funnel"] = q_doc_curation_funnel
+
+CURATION_ORACLES["doc_curation_funnel"] = f"""
+WITH {_CORPUS_SQL.split('WITH')[-1] if 'WITH' in _CORPUS_SQL else _CORPUS_SQL.strip()}
+, c AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+  GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac,
+         CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dr
+  FROM c GROUP BY doc_id
+), j AS (
+  SELECT d.doc_id, d.text, r.n_tokens, r.top_frac, r.dr,
+         CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(d.text) AS ar
+  FROM corpus d JOIN rep r USING (doc_id)
+), f AS (
+  SELECT *,
+    n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS} AS p_len,
+    (n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS})
+      AND ar >= {CURATE_MIN_ALPHA} AS p_alpha,
+    (n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS})
+      AND ar >= {CURATE_MIN_ALPHA}
+      AND NOT (top_frac > {_RTF} OR dr < {_RDR}) AS p_rep
+  FROM j
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs FROM f
+UNION ALL
+SELECT 1, 'length', CAST(count(*) AS BIGINT) FROM f WHERE p_len
+UNION ALL
+SELECT 2, 'alpha', CAST(count(*) AS BIGINT) FROM f WHERE p_alpha
+UNION ALL
+SELECT 3, 'repetition', CAST(count(*) AS BIGINT) FROM f WHERE p_rep
+UNION ALL
+SELECT 4, 'distinct', CAST(count(DISTINCT md5(text)) AS BIGINT)
+FROM f WHERE p_rep
+"""

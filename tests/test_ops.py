@@ -3951,3 +3951,35 @@ def test_emb_diversity_matches_bruteforce(ray_session):
     want = d2[np.triu_indices(n, 1)].mean()
     assert int(got.n.iloc[0]) == n
     assert abs(got.mean_pair_dist2.iloc[0] - want) < 1e-9 * max(1.0, want)
+
+
+def test_curation_funnel_monotone_and_consistent(ray_session):
+    """Funnel counts are monotone non-increasing, start at the planted
+    corpus size, and end at exactly the curate keep-list count."""
+    from gcflow.ops.curation import q_doc_curate, q_doc_curation_funnel
+    from gcflow.ops.dedup import corpus_ds
+
+    got = q_doc_curation_funnel(SF).to_pandas().sort_values("stage_idx")
+    n = got.n_docs.to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+    assert n[0] == corpus_ds(SF).count()
+    assert n[-1] == q_doc_curate(SF).count()
+    assert got.stage.tolist() == ["input", "length", "alpha", "repetition", "distinct"]
+
+
+def test_data_card_matches_pandas_twin(ray_session):
+    """Data-card metrics equal the pandas twin."""
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.corpus_stats import q_doc_data_card
+
+    got = q_doc_data_card(SF).to_pandas().set_index("metric").value
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    ntok = df.text.str.split(" ").str.len()
+    assert got["n_docs"] == len(df)
+    assert got["total_tokens"] == ntok.sum()
+    assert got["mean_tokens"] == ntok.sum() / len(df)
+    assert got["min_tokens"] == ntok.min()
+    assert got["max_tokens"] == ntok.max()
+    assert got["n_langs"] == df.lang.nunique()
+    assert got["n_sources"] == df.source.nunique()

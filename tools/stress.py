@@ -152,7 +152,9 @@ def main() -> None:
         SEMDEDUP_K_MIN,
         q_emb_semdedup,
     )
+    from gcflow.ops.corpus_stats import q_doc_data_card
     from gcflow.ops.curation import (
+        q_doc_curation_funnel,
         q_doc_epoch_shuffle,
         q_doc_mix_schedule,
         q_doc_ngram_overlap,
@@ -249,6 +251,8 @@ def main() -> None:
         "doc_ccnet_bucket": (q_doc_ccnet_bucket, "documents"),
         "doc_source_kl": (q_doc_source_kl, "documents"),
         "doc_lp_residual": (q_doc_lp_residual, "documents"),
+        "doc_curation_funnel": (q_doc_curation_funnel, "documents"),
+        "doc_data_card": (q_doc_data_card, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
