@@ -1659,9 +1659,15 @@ def q_doc_ccnet_bucket(sf_dir: str):
     shuffle rows per pass); labeling is one streaming pass against the
     two broadcast scalars.  Cut ranks use pure INTEGER arithmetic
     (ceil(n/3) = (n+2)//3), spelled identically in the SQL oracle, so no
-    float-q rounding can ever disagree; the scores themselves are
-    bit-identical to the oracle's (the unigram op hash-matches), making
-    the tercile comparison bitwise on both engines."""
+    float-q rounding can ever disagree.  The cut search and the label
+    comparison run over scores ROUNDED to 9 decimals (both engines; the
+    oracle rounds identically): parallel float summation is
+    nondeterministic at the last ulp in BOTH engines (DuckDB's own
+    aggregate was observed flipping a boundary doc's 16th digit run to
+    run), so a doc whose score sits exactly at a tercile cut would
+    otherwise flip buckets on ~1e-15 noise; 9 decimals absorbs that
+    noise while no two distinct corpus scores sit within 1e-9 of a cut.
+    The emitted avg_neg_logprob column stays unrounded."""
     from ray.data.aggregate import Max, Min
 
     from .quantile import _select_ranks
@@ -1669,7 +1675,8 @@ def q_doc_ccnet_bucket(sf_dir: str):
     scored = q_doc_unigram_logprob(sf_dir).materialize()
 
     def as_value(t: pa.Table) -> pa.Table:
-        return pa.table({"value": t["avg_neg_logprob"]})
+        v = t["avg_neg_logprob"].to_numpy(zero_copy_only=False)
+        return pa.table({"value": pa.array(np.round(v, 9), type=pa.float64())})
 
     vds = scored.map_batches(as_value, batch_format="pyarrow")
     agg = vds.aggregate(Min("value"), Max("value"))
@@ -1686,7 +1693,7 @@ def q_doc_ccnet_bucket(sf_dir: str):
         t1, t2 = cuts["t1"], cuts["t2"]
 
     def label(t: pa.Table) -> pa.Table:
-        lp = t["avg_neg_logprob"].to_numpy(zero_copy_only=False)
+        lp = np.round(t["avg_neg_logprob"].to_numpy(zero_copy_only=False), 9)
         b = np.where(lp <= t1, "head", np.where(lp <= t2, "middle", "tail"))
         return pa.table(
             {
@@ -1718,8 +1725,11 @@ WITH w AS (
   FROM tf JOIN n USING (term)
   GROUP BY 1
 ), ranked AS (
-  SELECT avg_neg_logprob AS v,
-         row_number() OVER (ORDER BY avg_neg_logprob) AS rn
+  -- round to 9 decimals before cut-finding and labeling: parallel float
+  -- sums are ulp-nondeterministic in both engines (the Ray side rounds
+  -- identically), and a doc AT the cut must not flip buckets on noise
+  SELECT round(avg_neg_logprob, 9) AS v,
+         row_number() OVER (ORDER BY round(avg_neg_logprob, 9)) AS rn
   FROM lp
 ), ks AS (
   SELECT (count(*) + 2) // 3 AS k1, (2 * count(*) + 2) // 3 AS k2 FROM lp
@@ -1729,8 +1739,8 @@ WITH w AS (
   FROM ranked, ks
 )
 SELECT doc_id, avg_neg_logprob,
-       CASE WHEN avg_neg_logprob <= t1 THEN 'head'
-            WHEN avg_neg_logprob <= t2 THEN 'middle'
+       CASE WHEN round(avg_neg_logprob, 9) <= t1 THEN 'head'
+            WHEN round(avg_neg_logprob, 9) <= t2 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM lp, cuts
 """
