@@ -169,6 +169,9 @@ _DRIVER_OMIT = (
                               # driver-covered doc_curate
     "doc_data_card",          # one-pass profiler sibling (evt_profile
                               # family); post-pin
+    "mm_png_meta",            # typed real-decode family driver-covered by
+                              # mm_audio_meta/mm_image_meta/mm_video_frames;
+                              # post-pin, oracle + pytest roundtrip
 )
 
 

@@ -321,6 +321,7 @@ def main():
     from gcflow.ops.tokenizer import q_doc_bpe_train
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
     from gcflow.ops.text import q_doc_char_entropy
+    from gcflow.ops.multimodal import q_mm_png_meta
     from gcflow.ops.valuation import q_emb_knn_shapley
     from gcflow.ops.windows import q_evt_funnel, q_evt_resample
 
@@ -383,6 +384,7 @@ def main():
         ("emb_diversity", q_emb_diversity),
         ("doc_curation_funnel", q_doc_curation_funnel),
         ("doc_data_card", q_doc_data_card),
+        ("mm_png_meta", q_mm_png_meta),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

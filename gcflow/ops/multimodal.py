@@ -594,11 +594,243 @@ def q_mm_video_frames(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------------- png
+# Deterministic PNG synthesis: a REAL compressed image format (zlib
+# DEFLATE + per-scanline prediction filters), decodable with stdlib zlib
+# + numpy alone — no imaging library needed.  Header params and the
+# checkerboard pixel sum are CLOSED FORMS of doc_id; the encoder cycles
+# through ALL FIVE filter types (None/Sub/Up/Average/Paeth, one per
+# scanline) and splits the DEFLATE stream across two IDAT chunks, so the
+# decode kernel must do real work: chunk walking + CRC verification,
+# inflate, multi-IDAT reassembly, and per-filter reconstruction.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_params(doc_id: int) -> dict:
+    w = 10 + 2 * (doc_id % 6)            # even → exact half-and-half checker
+    h = 6 + doc_id % 5                   # ≥ 6 rows → all five filters used
+    ct = 0 if doc_id % 3 == 0 else 2     # PNG color type: 0 gray, 2 RGB
+    ch = 1 if ct == 0 else 3
+    a = (3 * doc_id + 7) % 256
+    b = (11 * doc_id + 29) % 256
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": 8,
+        "color_type": ct,
+        "n_channels": ch,
+        "a": a,
+        "b": b,
+        "pixel_sum": (a + b) * (w * h // 2) * ch,
+    }
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(left, up, upleft):
+    """Vectorized Paeth predictor (PNG spec §9.4) over uint8 arrays."""
+    import numpy as np
+
+    l16 = left.astype(np.int16)
+    u16 = up.astype(np.int16)
+    ul16 = upleft.astype(np.int16)
+    p = l16 + u16 - ul16
+    pa_, pb_, pc_ = np.abs(p - l16), np.abs(p - u16), np.abs(p - ul16)
+    return np.where(
+        (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, upleft)
+    ).astype("uint8")
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Real PNG (8-bit gray or RGB checkerboard) with doc_id-derived
+    params; scanline y uses filter type y % 5 and the DEFLATE stream is
+    split across two IDAT chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    p = _png_params(doc_id)
+    w, h, ch = p["width"], p["height"], p["n_channels"]
+    y, x = np.mgrid[0:h, 0:w]
+    plane = np.where((x + y) % 2 == 0, p["a"], p["b"]).astype(np.uint8)
+    raster = np.repeat(plane[:, :, None], ch, axis=2).reshape(h, w * ch)
+
+    bpp = ch  # bytes per pixel at bit depth 8
+    filtered = []
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    for yy in range(h):
+        raw = raster[yy]
+        left = np.concatenate([np.zeros(bpp, np.uint8), raw[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+        f = yy % 5
+        if f == 0:
+            out = raw
+        elif f == 1:
+            out = raw - left                     # uint8 wrap == mod 256
+        elif f == 2:
+            out = raw - prior
+        elif f == 3:
+            out = raw - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
+        else:
+            out = raw - _paeth(left, prior, upleft)
+        filtered.append(bytes([f]) + out.tobytes())
+        prior = raw
+    z = zlib.compress(b"".join(filtered), 6)
+    mid = max(1, len(z) // 2)                    # two IDAT chunks, always
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, p["color_type"], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:mid])
+        + _png_chunk(b"IDAT", z[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(b: bytes):
+    """Real PNG decode (stdlib zlib + numpy): chunk walk with CRC
+    verification, multi-IDAT reassembly, inflate, and per-scanline
+    filter reconstruction (all five types; Sub via per-lane cumsum,
+    Average/Paeth via the spec's left-to-right recurrence).
+    Returns (width, height, bit_depth, color_type, pixels[h, w, ch]).
+    Supports the non-interlaced 8-bit gray/RGB subset this repo emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    i, ihdr, idat = 8, None, []
+    while i < len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", b[i + 8 + length : i + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+        raise ValueError("unsupported PNG variant (8-bit gray/RGB only)")
+    ch = 1 if color_type == 0 else 3
+    bpp, stride = ch, w * ch
+    rows = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(rows) != h * (1 + stride):
+        raise ValueError("truncated raster")
+    rows = rows.reshape(h, 1 + stride)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for yy in range(h):
+        f, row = rows[yy, 0], rows[yy, 1:]
+        if f == 0:
+            r = row.copy()
+        elif f == 1:  # Sub: per-channel-lane prefix sum mod 256
+            lanes = row.reshape(w, bpp).astype(np.uint64)
+            r = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            r = row + prior
+        elif f in (3, 4):  # Average / Paeth: left-dependent recurrence
+            r = np.zeros(stride, dtype=np.uint8)
+            for xx in range(stride):
+                left = int(r[xx - bpp]) if xx >= bpp else 0
+                up = int(prior[xx])
+                upleft = int(prior[xx - bpp]) if xx >= bpp else 0
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = (
+                        left
+                        if pa_ <= pb_ and pa_ <= pc_
+                        else (up if pb_ <= pc_ else upleft)
+                    )
+                r[xx] = (int(row[xx]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        recon[yy] = r
+        prior = r
+    return w, h, bit_depth, color_type, recon.reshape(h, w, ch)
+
+
+class PngDecodeStage:
+    """REAL compressed-image decode kernel (PNG via stdlib zlib + numpy):
+    payload bytes → header params + exact pixel sum.  The same actor-pool
+    shape as the other typed kernels; this one closes the 'compressed
+    media' gap for the one compressed image codec decodable without an
+    imaging library (JPEG/MP4-class codecs stay behind the documented
+    DecodeStage gates)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = {k: [] for k in ("width", "height", "bit_depth", "color_type",
+                                "n_channels", "pixel_sum")}
+        for b in batch["payload"].to_pylist():
+            w, h, bd, ct, px = parse_png(b)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["bit_depth"].append(bd)
+            rows["color_type"].append(ct)
+            rows["n_channels"].append(px.shape[2])
+            rows["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+        out = batch.drop_columns(["payload"])
+        for k, v in rows.items():
+            out = out.append_column(k, pa.array(v, type=pa.int64()))
+        return out
+
+
+def q_mm_png_meta(sf_dir: str):
+    """Synthesized PNG payloads → REAL zlib+numpy decode in an actor pool
+    (chunk CRC checks, two-IDAT inflate, all-five-filter reconstruction).
+    Oracled: every output column is a closed form of doc_id the kernel
+    must recover from the compressed bytes."""
+
+    def to_png(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array([synth_png(i) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(to_png, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        PngDecodeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 MULTIMODAL_QUERIES = {
     "mm_payload_meta": q_mm_payload_meta,
     "mm_audio_meta": q_mm_audio_meta,
     "mm_image_meta": q_mm_image_meta,
     "mm_video_frames": q_mm_video_frames,
+    "mm_png_meta": q_mm_png_meta,
 }
 
 MULTIMODAL_ORACLES = {
@@ -651,5 +883,19 @@ SELECT doc_id,
        CAST(ns AS BIGINT) AS n_sampled,
        CAST(w * h * (ns * k + ns * (ns - 1)) AS BIGINT) AS luma_sum
 FROM p
+""",
+    # closed-form twin of _png_params — the kernel must recover these
+    # from the DEFLATE-compressed bytes (CRC walk + inflate + unfilter)
+    "mm_png_meta": """
+SELECT doc_id,
+       CAST(10 + 2 * (doc_id % 6) AS BIGINT) AS width,
+       CAST(6 + doc_id % 5 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 2 END AS BIGINT) AS color_type,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_channels,
+       CAST((((3 * doc_id + 7) % 256) + ((11 * doc_id + 29) % 256))
+            * ((10 + 2 * (doc_id % 6)) * (6 + doc_id % 5) // 2)
+            * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END) AS BIGINT) AS pixel_sum
+FROM documents
 """,
 }

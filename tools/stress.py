@@ -199,6 +199,7 @@ def main() -> None:
         q_evt_user_lag,
     )
     from gcflow.ops.tokenizer import q_doc_bpe_train
+    from gcflow.ops.multimodal import q_mm_png_meta
     from gcflow.ops.text import q_doc_char_entropy
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
     from gcflow.ops.valuation import q_emb_knn_shapley
@@ -253,6 +254,7 @@ def main() -> None:
         "doc_lp_residual": (q_doc_lp_residual, "documents"),
         "doc_curation_funnel": (q_doc_curation_funnel, "documents"),
         "doc_data_card": (q_doc_data_card, "documents"),
+        "mm_png_meta": (q_mm_png_meta, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
