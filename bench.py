@@ -296,6 +296,7 @@ def main():
     from gcflow.ops.text import (
         q_doc_ccnet_bucket,
         q_doc_lp_residual,
+        q_doc_sample_weighted,
         q_doc_source_kl,
     )
     from gcflow.ops.dedup import q_doc_dup_size_hist
@@ -385,6 +386,7 @@ def main():
         ("doc_curation_funnel", q_doc_curation_funnel),
         ("doc_data_card", q_doc_data_card),
         ("mm_png_meta", q_mm_png_meta),
+        ("doc_sample_weighted", q_doc_sample_weighted),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -1139,6 +1139,58 @@ def q_doc_sample_temperature(sf_dir: str, hash_mode: str = "fast"):
     )
 
 
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_doc_sample_weighted(sf_dir: str, k: int = WEIGHTED_SAMPLE_K,
+                          hash_mode: str = "fast"):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006
+    A-ES): each doc draws a deterministic uniform u from its content
+    hash and competes with key u^(1/w) — equivalently ln(u)/w — where
+    the weight w is the doc's length; the global top-k by key is an
+    exact weight-proportional without-replacement sample.  This is the
+    standard way to subsample a corpus ∝ quality/length score without
+    ever materializing or globally shuffling it.
+
+    Distributed shape: one streaming pass computes ln-keys vectorized
+    and keeps only a PER-BATCH top-k (the partial-top-N combiner
+    pattern), so the final exact sort+limit runs over ≤ batches·k rows
+    — never the corpus.  Determinism is dual-mode like the sampling
+    family: u is the top 32 bits of the content hash (md5 oracle mode ≡
+    the first 8 hex chars of md5(text), integer-exact across engines);
+    ln and division are IEEE correctly-rounded so the ln-keys agree
+    bitwise, and doc_id breaks exact ties (duplicate texts share u AND
+    w)."""
+
+    def lnkeys(t: pa.Table) -> pa.Table:
+        u32 = (_content_u64(t["text"], hash_mode) >> np.uint64(32)).astype(
+            np.float64
+        )
+        u = (u32 + 0.5) / 4294967296.0            # (0,1), never exactly 0
+        w = np.maximum(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        part = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "weight": pc.cast(t["n_chars"], pa.int64()),
+                "lnkey": pa.array(np.log(u) / w, type=pa.float64()),
+            }
+        )
+        # per-batch partial top-k: only candidates that could make the
+        # global top-k leave the batch
+        return part.sort_by(
+            [("lnkey", "descending"), ("doc_id", "ascending")]
+        ).slice(0, k)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(lnkeys, batch_format="pyarrow")
+        .sort(key=["lnkey", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 # the sampling/fingerprint registry entries pin hash_mode="md5": the SQL
@@ -1159,6 +1211,7 @@ TEXT_QUERIES = {
     "doc_redact": q_doc_redact,
     "doc_dsir_weight": q_doc_dsir_weight,
     "doc_sample_temperature": partial(q_doc_sample_temperature, hash_mode="md5"),
+    "doc_sample_weighted": partial(q_doc_sample_weighted, hash_mode="md5"),
 }
 
 TEXT_ORACLES = {
@@ -1341,6 +1394,20 @@ r AS (SELECT lang,
       FROM c, m)
 SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
 WHERE r.thr >= 4294967296 OR substr(md5(d.text), 1, 8) < printf('%08x', r.thr)
+"""
+
+TEXT_ORACLES["doc_sample_weighted"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS weight,
+         ln((CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0)
+           / greatest(CAST(n_chars AS DOUBLE), 1.0) AS lnkey
+  FROM documents
+)
+SELECT doc_id, weight, lnkey FROM s
+ORDER BY lnkey DESC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 

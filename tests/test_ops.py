@@ -1580,6 +1580,43 @@ def test_bigram_logprob_matches_duckdb_and_orders_fluency(ray_session, tmp_path)
     assert (out.avg_neg_logprob > 0).all()
 
 
+def test_weighted_sample_aes(ray_session):
+    """A-ES weighted sampling: the distributed partial-top-k result in
+    md5 mode equals an exact serial twin; the sample is length-biased
+    (that's the point of weighting by n_chars); fast mode returns the
+    same count with the same bias."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.text import WEIGHTED_SAMPLE_K, q_doc_sample_weighted
+
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    ids = t["doc_id"].to_numpy()
+    w = np.maximum(t["n_chars"].to_numpy().astype(np.float64), 1.0)
+    u32 = np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in t["text"].to_pylist()],
+        dtype=np.float64,
+    )
+    lnkey = np.log((u32 + 0.5) / 2**32) / w
+    order = np.lexsort((ids, -lnkey))[:WEIGHTED_SAMPLE_K]
+    expect = set(ids[order])
+
+    got = q_doc_sample_weighted(SF, hash_mode="md5").to_pandas()
+    assert len(got) == WEIGHTED_SAMPLE_K
+    assert set(got.doc_id) == expect  # serial twin, exact
+
+    # weight bias: the sampled docs are longer than the corpus average
+    corpus_mean = w.mean()
+    assert got.weight.mean() > corpus_mean, (got.weight.mean(), corpus_mean)
+    fast = q_doc_sample_weighted(SF).to_pandas()
+    assert len(fast) == WEIGHTED_SAMPLE_K
+    assert fast.weight.mean() > corpus_mean
+
+
 def test_sampling_hash_modes_agree_on_rates(ray_session):
     """The vectorized default hash and the md5 oracle mode must select
     DIFFERENT individual docs but statistically equivalent samples —

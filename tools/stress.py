@@ -185,7 +185,7 @@ def main() -> None:
     from gcflow.ops.linalg import q_emb_diversity, q_emb_outliers
     from gcflow.ops.similarity import q_emb_hard_negatives
     from gcflow.ops.text import q_doc_lp_residual, q_doc_source_kl
-    from gcflow.ops.text import q_doc_ccnet_bucket
+    from gcflow.ops.text import q_doc_ccnet_bucket, q_doc_sample_weighted
     from gcflow.ops.windows import (
         q_evt_cube,
         q_evt_top_users_per_type,
@@ -255,6 +255,7 @@ def main() -> None:
         "doc_curation_funnel": (q_doc_curation_funnel, "documents"),
         "doc_data_card": (q_doc_data_card, "documents"),
         "mm_png_meta": (q_mm_png_meta, "documents"),
+        "doc_sample_weighted": (q_doc_sample_weighted, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
