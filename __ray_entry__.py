@@ -175,6 +175,9 @@ _DRIVER_OMIT = (
     "doc_sample_weighted",    # sampling family (A-ES weighted top-k);
                               # driver-covered by doc_sample +
                               # doc_sample_temperature; post-pin
+    "evt_user_ewma",          # windows family (linear-recurrence scan
+                              # over the lag/cumsum bucket sweep);
+                              # post-pin, oracle + serial-twin pytest
 )
 
 

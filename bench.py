@@ -324,7 +324,7 @@ def main():
     from gcflow.ops.text import q_doc_char_entropy
     from gcflow.ops.multimodal import q_mm_png_meta
     from gcflow.ops.valuation import q_emb_knn_shapley
-    from gcflow.ops.windows import q_evt_funnel, q_evt_resample
+    from gcflow.ops.windows import q_evt_funnel, q_evt_resample, q_evt_user_ewma
 
     for name, fn in [
         ("rel_q1", q_rel_q1),
@@ -387,6 +387,7 @@ def main():
         ("doc_data_card", q_doc_data_card),
         ("mm_png_meta", q_mm_png_meta),
         ("doc_sample_weighted", q_doc_sample_weighted),
+        ("evt_user_ewma", q_evt_user_ewma),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -1580,6 +1580,58 @@ def test_bigram_logprob_matches_duckdb_and_orders_fluency(ray_session, tmp_path)
     assert (out.avg_neg_logprob > 0).all()
 
 
+def test_user_ewma_matches_serial(ray_session, tmp_path):
+    """The depth-synchronous EWMA sweep equals the serial per-user
+    recurrence on a planted deep/ragged corpus (one 3000-event user —
+    deeper than any closed-form power trick survives — plus short and
+    single-event users and NaN gaps)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import EWMA_ALPHA, q_evt_user_ewma
+
+    rs = np.random.RandomState(7)
+    rows = []
+    for uid, depth in [(1, 3000), (2, 5), (3, 1), (4, 700)]:
+        for i in range(depth):
+            v = round(float(rs.uniform(1, 200)), 2)
+            if uid == 4 and i % 50 == 3:
+                v = float("nan")  # NaN rows are skipped, not zeroed
+            rows.append((len(rows), uid, np.datetime64("2024-01-01") + i, v))
+    eid, uid, ts, val = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+                "value": pa.array(val, type=pa.float64()),
+                "event_type": pa.array(["x"] * len(eid)),
+                "props": pa.array([""] * len(eid)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = (
+        q_evt_user_ewma(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    a, b = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    expect = {}
+    state: dict = {}
+    for e, u, _, v in rows:
+        if v != v:  # NaN: excluded from the series entirely
+            continue
+        state[u] = v if u not in state else b * state[u] + a * v
+        expect[e] = round(state[u], 6)
+    assert len(got) == len(expect)
+    for e, w in zip(got.event_id, got.ewma):
+        assert abs(w - expect[int(e)]) < 1e-9, (e, w, expect[int(e)])
+
+
 def test_weighted_sample_aes(ray_session):
     """A-ES weighted sampling: the distributed partial-top-k result in
     md5 mode equals an exact serial twin; the sample is length-biased

@@ -196,6 +196,7 @@ def main() -> None:
         q_evt_funnel,
         q_evt_resample,
         q_evt_user_cumsum,
+        q_evt_user_ewma,
         q_evt_user_lag,
     )
     from gcflow.ops.tokenizer import q_doc_bpe_train
@@ -256,6 +257,7 @@ def main() -> None:
         "doc_data_card": (q_doc_data_card, "documents"),
         "mm_png_meta": (q_mm_png_meta, "documents"),
         "doc_sample_weighted": (q_doc_sample_weighted, "documents"),
+        "evt_user_ewma": (q_evt_user_ewma, "events"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
