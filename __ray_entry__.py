@@ -178,6 +178,9 @@ _DRIVER_OMIT = (
     "evt_user_ewma",          # windows family (linear-recurrence scan
                               # over the lag/cumsum bucket sweep);
                               # post-pin, oracle + serial-twin pytest
+    "doc_source_overlap",     # dedup-audit family over the line-dedup
+                              # segment machinery (doc_line_dedup_clean
+                              # stays driver-facing); post-pin
 )
 
 

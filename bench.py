@@ -308,7 +308,7 @@ def main():
         q_evt_transitions,
         q_evt_user_pivot,
     )
-    from gcflow.ops.curation import q_doc_ngram_overlap
+    from gcflow.ops.curation import q_doc_ngram_overlap, q_doc_source_overlap
     from gcflow.ops.text import (
         q_doc_bigram_logprob,
         q_doc_dsir_weight,
@@ -388,6 +388,7 @@ def main():
         ("mm_png_meta", q_mm_png_meta),
         ("doc_sample_weighted", q_doc_sample_weighted),
         ("evt_user_ewma", q_evt_user_ewma),
+        ("doc_source_overlap", q_doc_source_overlap),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

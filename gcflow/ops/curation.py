@@ -1499,3 +1499,150 @@ UNION ALL
 SELECT 4, 'distinct', CAST(count(DISTINCT md5(text)) AS BIGINT)
 FROM f WHERE p_rep
 """
+
+
+# ------------------------------------------------- source overlap matrix
+# How much does source A's content overlap source B's?  The dataset-
+# composition audit run before mixing crawls/dumps into one training
+# corpus (near-identical sources waste epochs and skew dedup budgets).
+
+_OVERLAP_MAX_SOURCES = 63  # source-presence bitmask must fit one int64
+
+
+def q_doc_source_overlap(sf_dir: str):
+    """(source_a, source_b, n_a, n_b, n_common, jaccard): pairwise
+    segment-level Jaccard overlap between every pair of corpus sources —
+    |distinct segments of A ∩ B| / |A ∪ B| over the same fixed
+    SEG_WORDS-word segmentation the CCNet line-dedup family uses.
+
+    Distributed shape: per-batch distinct (seg_hash, source-bit) pairs
+    collapse to one int64 PRESENCE BITMASK per segment hash (sources are
+    few — ceiling-enforced at 63 so the mask fits int64; beyond that use
+    multi-word masks); a seg-hash bucket sweep ORs the masks per hash and
+    emits only a (mask → count) HISTOGRAM per bucket, so the final
+    reduce and the driver-side pair arithmetic see ≤ buckets × 2^used
+    rows — never the segment table.  All pair counts derive from the one
+    histogram: n_i = Σ count[mask has bit i], n_common = Σ count[mask
+    has both].  Segment identity is the 64-bit polynomial hash (the
+    line-dedup convention — collision odds documented there); the SQL
+    oracle mirrors with exact segment strings."""
+    srcs = sorted(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["source"])
+        .unique("source")
+    )
+    if len(srcs) > _OVERLAP_MAX_SOURCES:
+        raise ValueError(
+            f"{len(srcs)} sources exceed the {_OVERLAP_MAX_SOURCES}-bit "
+            "presence mask; shard the overlap matrix by source group"
+        )
+    bit = {s: 1 << i for i, s in enumerate(srcs)}
+
+    part_schema = pa.schema(
+        [("seg_hash", pa.int64()), ("mask", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        _, nseg, acc = _segment_hashes(t)
+        m = np.repeat(
+            np.fromiter((bit[s] for s in t["source"].to_pylist()),
+                        dtype=np.int64, count=len(t)),
+            nseg,
+        )
+        order = np.argsort(acc, kind="stable")
+        h, mm = acc[order], m[order]
+        new = np.concatenate(([True], h[1:] != h[:-1]))
+        first = np.flatnonzero(new)
+        mask = np.bitwise_or.reduceat(mm, first)
+        hh = h[first].view(np.int64)
+        return pa.table(
+            {
+                "seg_hash": pa.array(hh, type=pa.int64()),
+                "mask": pa.array(mask, type=pa.int64()),
+                "bucket": pa.array(hh % 64, type=pa.int64()),
+            }
+        )
+
+    hist_schema = pa.schema([("mask", pa.int64()), ("cnt", pa.int64())])
+
+    def bucket_hist(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return hist_schema.empty_table()
+        h = g["seg_hash"].to_numpy(zero_copy_only=False)
+        m = g["mask"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, m = h[order], m[order]
+        first = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        seg_mask = np.bitwise_or.reduceat(m, first)
+        masks, cnts = np.unique(seg_mask, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(masks, type=pa.int64()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_hist, batch_format="pyarrow")
+        .groupby("mask")
+        .sum("cnt")
+        .to_pandas()
+    )
+    masks = hist["mask"].to_numpy()
+    cnts = hist["sum(cnt)"].to_numpy()
+    rows = {k: [] for k in ("source_a", "source_b", "n_a", "n_b",
+                            "n_common", "jaccard")}
+    per_src = {
+        s: int(cnts[(masks >> i) & 1 == 1].sum()) for i, s in enumerate(srcs)
+    }
+    for i, sa in enumerate(srcs):
+        for jj in range(i + 1, len(srcs)):
+            sb = srcs[jj]
+            both = int(cnts[((masks >> i) & 1 == 1) & ((masks >> jj) & 1 == 1)].sum())
+            union = per_src[sa] + per_src[sb] - both
+            rows["source_a"].append(sa)
+            rows["source_b"].append(sb)
+            rows["n_a"].append(per_src[sa])
+            rows["n_b"].append(per_src[sb])
+            rows["n_common"].append(both)
+            rows["jaccard"].append(both / union if union else 0.0)
+    return pa.table(
+        {
+            "source_a": pa.array(rows["source_a"], type=pa.string()),
+            "source_b": pa.array(rows["source_b"], type=pa.string()),
+            "n_a": pa.array(rows["n_a"], type=pa.int64()),
+            "n_b": pa.array(rows["n_b"], type=pa.int64()),
+            "n_common": pa.array(rows["n_common"], type=pa.int64()),
+            "jaccard": pa.array(rows["jaccard"], type=pa.float64()),
+        }
+    )
+
+
+CURATION_QUERIES["doc_source_overlap"] = q_doc_source_overlap
+
+CURATION_ORACLES["doc_source_overlap"] = f"""
+WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT DISTINCT source,
+         array_to_string(ws[s + 1 : s + {SEG_WORDS}], ' ') AS seg
+  FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - 1, {SEG_WORDS})) AS s) t
+),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM seg GROUP BY 1),
+p AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_common
+  FROM seg a JOIN seg b ON a.seg = b.seg AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ca.source AS source_a, cb.source AS source_b,
+       ca.n AS n_a, cb.n AS n_b,
+       COALESCE(p.n_common, 0) AS n_common,
+       CAST(COALESCE(p.n_common, 0) AS DOUBLE)
+         / (ca.n + cb.n - COALESCE(p.n_common, 0)) AS jaccard
+FROM c ca
+JOIN c cb ON ca.source < cb.source
+LEFT JOIN p ON p.sa = ca.source AND p.sb = cb.source
+"""

@@ -1580,6 +1580,47 @@ def test_bigram_logprob_matches_duckdb_and_orders_fluency(ray_session, tmp_path)
     assert (out.avg_neg_logprob > 0).all()
 
 
+def test_source_overlap_planted(ray_session, tmp_path):
+    """Planted two-source corpus: source X and Y share exactly one of
+    two distinct 8-word segments per doc, so jaccard(X, Y) is known in
+    closed form; a third disjoint source has zero overlap with both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.curation import q_doc_source_overlap
+
+    shared = " ".join(f"s{i}" for i in range(8))          # one shared segment
+    only_x = " ".join(f"x{i}" for i in range(8))
+    only_y = " ".join(f"y{i}" for i in range(8))
+    only_z = " ".join(f"z{i}" for i in range(8))
+    docs = [
+        (0, shared + " " + only_x, "X"),
+        (1, shared + " " + only_y, "Y"),
+        (2, only_z, "Z"),
+    ]
+    ids, texts, srcs = zip(*docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(srcs, type=pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q_doc_source_overlap(str(tmp_path)).to_pandas()
+    assert len(out) == 3  # all pairs, including zero-overlap ones
+    m = {(r.source_a, r.source_b): r for r in out.itertuples()}
+    xy = m[("X", "Y")]
+    # X = {shared, only_x}, Y = {shared, only_y}: jaccard = 1/3
+    assert (xy.n_a, xy.n_b, xy.n_common) == (2, 2, 1)
+    assert abs(xy.jaccard - 1 / 3) < 1e-12
+    assert m[("X", "Z")].n_common == 0 and m[("Y", "Z")].jaccard == 0.0
+
+
 def test_user_ewma_matches_serial(ray_session, tmp_path):
     """The depth-synchronous EWMA sweep equals the serial per-user
     recurrence on a planted deep/ragged corpus (one 3000-event user —

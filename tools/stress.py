@@ -158,6 +158,7 @@ def main() -> None:
         q_doc_epoch_shuffle,
         q_doc_mix_schedule,
         q_doc_ngram_overlap,
+        q_doc_source_overlap,
     )
     from gcflow.ops.quantile import (
         q_evt_mad,
@@ -258,6 +259,7 @@ def main() -> None:
         "mm_png_meta": (q_mm_png_meta, "documents"),
         "doc_sample_weighted": (q_doc_sample_weighted, "documents"),
         "evt_user_ewma": (q_evt_user_ewma, "events"),
+        "doc_source_overlap": (q_doc_source_overlap, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
