@@ -172,6 +172,9 @@ _DRIVER_OMIT = (
     "mm_png_meta",            # typed real-decode family driver-covered by
                               # mm_audio_meta/mm_image_meta/mm_video_frames;
                               # post-pin, oracle + pytest roundtrip
+    "mm_jpeg_meta",           # same family rationale (baseline-JPEG
+                              # Huffman+IDCT kernel); post-pin, oracle +
+                              # pytest coefficient-level roundtrip
     "doc_sample_weighted",    # sampling family (A-ES weighted top-k);
                               # driver-covered by doc_sample +
                               # doc_sample_temperature; post-pin

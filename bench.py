@@ -322,7 +322,7 @@ def main():
     from gcflow.ops.tokenizer import q_doc_bpe_train
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
     from gcflow.ops.text import q_doc_char_entropy
-    from gcflow.ops.multimodal import q_mm_png_meta
+    from gcflow.ops.multimodal import q_mm_jpeg_meta, q_mm_png_meta
     from gcflow.ops.valuation import q_emb_knn_shapley
     from gcflow.ops.windows import q_evt_funnel, q_evt_resample, q_evt_user_ewma
 
@@ -386,6 +386,7 @@ def main():
         ("doc_curation_funnel", q_doc_curation_funnel),
         ("doc_data_card", q_doc_data_card),
         ("mm_png_meta", q_mm_png_meta),
+        ("mm_jpeg_meta", q_mm_jpeg_meta),
         ("doc_sample_weighted", q_doc_sample_weighted),
         ("evt_user_ewma", q_evt_user_ewma),
         ("doc_source_overlap", q_doc_source_overlap),

@@ -12,8 +12,12 @@ of doc_id (the kernel must recover them from the bytes):
   (``VideoFrameSampleStage`` — dims, frame counts, strided frame
   sampling, sampled-luma sum).
 
-COMPRESSED containers (JPEG/PNG/MP4…) need codec libraries absent from
-this environment; the generic ``DecodeStage``/``ResizeStage``/
+COMPRESSED formats: PNG (zlib DEFLATE + prediction filters) and
+baseline JPEG (Huffman-coded DCT) are decoded for REAL with stdlib +
+numpy alone (``PngDecodeStage`` / ``JpegDecodeStage`` below — the two
+codec families reachable without an imaging library).  MP4-class
+containers and the remaining codecs need libraries absent from this
+environment; the generic ``DecodeStage``/``ResizeStage``/
 ``FrameSampleStage``/``FeatureExtractStage`` chain keeps those behind
 clearly-marked ``NotImplementedError`` gates with deterministic fake
 kernels so the Ray-side plumbing — binary schema, actor-pool signature,
@@ -825,12 +829,449 @@ def q_mm_png_meta(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- jpeg
+# Baseline sequential JPEG (ITU-T T.81): a REAL entropy-coded DCT codec,
+# en/decodable here with numpy + stdlib alone.  The synthesized images
+# are grids of FLAT 8x8 blocks and the DC quant step is 8, so the DC
+# coefficient 8*(v-128) quantizes with zero rounding error and the lossy
+# codec becomes bit-exact on this fixture — every output column stays a
+# closed form of doc_id.  The decoder nevertheless implements the general
+# baseline path (marker walk, canonical DHT Huffman with byte-unstuffing,
+# DC prediction + restart-marker resync, run-length AC with ZRL/EOB,
+# zigzag dequantization, real 2-D IDCT); pytest drives the AC machinery
+# with random coefficient blocks the fixture never emits.
+
+def _zigzag_order() -> list[int]:
+    """Raster index for each zigzag position (T.81 Figure 5), generated
+    by diagonal traversal rather than transcribed."""
+    out = []
+    for s in range(15):
+        ys = (
+            range(min(s, 7), max(-1, s - 8), -1)
+            if s % 2 == 0
+            else range(max(0, s - 7), min(s, 7) + 1)
+        )
+        out.extend(y * 8 + (s - y) for y in ys)
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+
+# Annex K luminance DC table (code lengths 2..9 — exercises real
+# variable-length canonical decoding).
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+
+# Custom AC table covering the full baseline symbol set (EOB, ZRL, and
+# every RRRRSSSS with S in 1..10): short codes for the common symbols,
+# 10-bit codes for the tail.  Kraft sum 0.775 < 1 keeps the all-ones
+# codeword unassigned as T.81 C.2 requires.
+_AC_SHORT3 = (0x00, 0x01, 0x02, 0x11)          # EOB + tiny coeffs: 3 bits
+_AC_SHORT5 = (0xF0, 0x03, 0x21, 0x12)          # ZRL + next tier: 5 bits
+_AC_VALS = _AC_SHORT3 + _AC_SHORT5 + tuple(
+    rs
+    for rs in ([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    if rs not in _AC_SHORT3 + _AC_SHORT5
+)
+_AC_BITS = tuple(
+    {3: len(_AC_SHORT3), 5: len(_AC_SHORT5), 10: len(_AC_VALS) - 8}.get(n, 0)
+    for n in range(1, 17)
+)
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) via T.81 Annex C code assignment."""
+    table, code, idx = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return table
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+def _jpeg_params(doc_id: int) -> dict:
+    wb = 2 * (1 + doc_id % 3)                  # block columns: even → exact
+    hb = 1 + doc_id % 2                        # half-and-half checker rows
+    a = (5 * doc_id + 11) % 256
+    b = (13 * doc_id + 17) % 256
+    return {
+        "width": 8 * wb,
+        "height": 8 * hb,
+        "n_blocks": wb * hb,
+        "restart_interval": wb if doc_id % 2 == 1 else 0,
+        "a": a,
+        "b": b,
+        "pixel_sum": 64 * (a + b) * (wb * hb // 2),
+    }
+
+
+# quant table, ZIGZAG order: DC step 8 (exact for integer flat blocks),
+# AC step 16
+_JPEG_QTAB = (8,) + (16,) * 63
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category S, S-bit magnitude code) per T.81 F.1.2.1/F.1.2.2."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_blocks(blocks, restart_interval: int = 0) -> bytes:
+    """Entropy-code quantized zigzag-ordered coefficient blocks into a
+    JPEG scan (Huffman + stuffing + restart markers + DC prediction)."""
+    w = _BitWriter()
+    pred = 0
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            w.pad_to_byte()
+            w.out += bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
+            pred = 0
+        s, mag = _magnitude(int(blk[0]) - pred)
+        pred = int(blk[0])
+        w.write(*_DC_ENC[s])
+        if s:
+            w.write(mag, s)
+        run = 0
+        for zz in range(1, 64):
+            v = int(blk[zz])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                w.write(*_AC_ENC[0xF0])        # ZRL: 16 zeros
+                run -= 16
+            s, mag = _magnitude(v)
+            w.write(*_AC_ENC[(run << 4) | s])
+            w.write(mag, s)
+            run = 0
+        if run:
+            w.write(*_AC_ENC[0x00])            # EOB
+    w.pad_to_byte()
+    return bytes(w.out)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _dht_payload(tc: int, th: int, bits, vals) -> bytes:
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Real baseline JPEG (grayscale, 1 component, 8-bit): flat 8x8
+    checker blocks, Annex-K DC + full-coverage custom AC Huffman tables,
+    DC-exact quantization, restart markers on odd doc_ids."""
+    import struct
+
+    import numpy as np
+
+    p = _jpeg_params(doc_id)
+    wb, hb = p["width"] // 8, p["height"] // 8
+    blocks = []
+    for bi in range(hb):
+        for bj in range(wb):
+            v = p["a"] if (bi + bj) % 2 == 0 else p["b"]
+            blk = np.zeros(64, dtype=np.int32)
+            blk[0] = v - 128                   # DC = 8*(v-128) / qDC(=8)
+            blocks.append(blk)
+    scan = _encode_blocks(blocks, p["restart_interval"])
+    parts = [
+        b"\xff\xd8",                           # SOI
+        _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        _seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTAB)),
+        _seg(
+            0xC0,                              # SOF0: baseline sequential
+            struct.pack(">BHHB", 8, p["height"], p["width"], 1)
+            + bytes([1, 0x11, 0]),             # comp 1, no subsampling, qtab 0
+        ),
+        _seg(0xC4, _dht_payload(0, 0, _DC_BITS, _DC_VALS)),
+        _seg(0xC4, _dht_payload(1, 0, _AC_BITS, _AC_VALS)),
+    ]
+    if p["restart_interval"]:
+        parts.append(_seg(0xDD, struct.pack(">H", p["restart_interval"])))
+    parts.append(_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))
+    parts.append(scan)
+    parts.append(b"\xff\xd9")                  # EOI
+    return b"".join(parts)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF 0x00
+    and byte-aligns across restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        byte = self.d[self.pos]
+        if byte == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt != 0x00:
+                raise ValueError(
+                    f"marker 0xFF{nxt:02X} inside entropy data"
+                )
+            self.pos += 2
+        else:
+            self.pos += 1
+        return byte
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, n: int) -> None:
+        self.nbits = 0                         # discard pad bits
+        if self.d[self.pos] != 0xFF or self.d[self.pos + 1] != 0xD0 + (n % 8):
+            raise ValueError("missing or out-of-order restart marker")
+        self.pos += 2
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_blocks(data, pos, n_blocks, dc_dec, ac_dec, restart_interval):
+    """Entropy-decode n_blocks quantized zigzag blocks (inverse of
+    _encode_blocks); returns (blocks, end_pos)."""
+    import numpy as np
+
+    r = _BitReader(data, pos)
+    blocks, pred = [], 0
+    for i in range(n_blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            r.sync_restart(i // restart_interval - 1)
+            pred = 0
+        blk = np.zeros(64, dtype=np.int32)
+        s = _huff_decode(r, dc_dec)
+        pred += _extend(r.read_bits(s), s) if s else 0
+        blk[0] = pred
+        zz = 1
+        while zz < 64:
+            rs = _huff_decode(r, ac_dec)
+            if rs == 0x00:                     # EOB
+                break
+            if rs == 0xF0:                     # ZRL
+                zz += 16
+                continue
+            zz += rs >> 4
+            if zz > 63:
+                raise ValueError("AC run overflows block")
+            s = rs & 0x0F
+            blk[zz] = _extend(r.read_bits(s), s)
+            zz += 1
+        blocks.append(blk)
+    return blocks, r.pos
+
+
+def _idct_matrix():
+    import numpy as np
+
+    u = np.arange(8)
+    m = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    m[0] /= np.sqrt(2)
+    return m                                   # m[u, x]
+
+
+def parse_jpeg(b: bytes):
+    """Real baseline JPEG decode (numpy + stdlib struct): marker walk,
+    canonical DHT Huffman with byte-unstuffing, DC prediction with
+    restart-marker resync, run-length AC, zigzag dequantization, 2-D
+    IDCT.  Supports the grayscale single-component non-subsampled subset
+    this repo emits (the general multi-component/subsampled paths stay
+    behind the DecodeStage env gates).
+    Returns (width, height, n_blocks, restart_interval, pixels[h, w])."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qtabs, dc_dec, ac_dec = {}, None, None
+    w = h = None
+    restart_interval = 0
+    comp_q = 0
+    i = 2
+    while i < len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        marker = b[i + 1]
+        if marker == 0xD9:                     # EOI
+            raise ValueError("reached EOI before SOS")
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        payload = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:                     # DQT (8-bit tables only)
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = np.frombuffer(
+                    payload[j + 1 : j + 65], np.uint8
+                ).astype(np.int32)
+                j += 65
+        elif marker == 0xC0:                   # SOF0
+            prec, h, w, nf = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nf != 1 or payload[7] != 0x11:
+                raise ValueError(
+                    "unsupported JPEG variant (8-bit single-component "
+                    "non-subsampled baseline only)"
+                )
+            comp_q = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xC4:                   # DHT
+            j = 0
+            while j < len(payload):
+                tc = payload[j] >> 4
+                bits = tuple(payload[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = tuple(payload[j + 17 : j + 17 + nv])
+                dec = {
+                    (length, code): sym
+                    for sym, (code, length) in _canonical_codes(bits, vals).items()
+                }
+                if tc == 0:
+                    dc_dec = dec
+                else:
+                    ac_dec = dec
+                j += 17 + nv
+        elif marker == 0xDD:                   # DRI
+            (restart_interval,) = struct.unpack(">H", payload)
+        elif marker == 0xDA:                   # SOS → entropy data follows
+            if w is None or dc_dec is None or ac_dec is None:
+                raise ValueError("SOS before SOF0/DHT")
+            i += 2 + seglen
+            break
+        i += 2 + seglen
+    else:
+        raise ValueError("no SOS marker")
+    wb, hb = (w + 7) // 8, (h + 7) // 8
+    blocks, _ = _decode_blocks(b, i, wb * hb, dc_dec, ac_dec, restart_interval)
+    q = qtabs[comp_q]
+    m = _idct_matrix()
+    inv_zz = np.argsort(np.asarray(_ZIGZAG))   # raster idx -> zigzag pos
+    img = np.empty((hb * 8, wb * 8), dtype=np.uint8)
+    for k, blk in enumerate(blocks):
+        coef = (blk * q)[inv_zz].reshape(8, 8).astype(np.float64)
+        pix = m.T @ coef @ m + 128.0
+        bi, bj = divmod(k, wb)
+        img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = np.clip(
+            np.rint(pix), 0, 255
+        ).astype(np.uint8)
+    return w, h, wb * hb, restart_interval, img[:h, :w]
+
+
+class JpegDecodeStage:
+    """REAL entropy-coded DCT decode kernel (baseline JPEG via numpy +
+    stdlib): payload bytes → header params + exact pixel sum.  Same
+    actor-pool shape as the other typed kernels; with PNG this closes
+    the compressed-media gap for both codec families reachable without
+    an imaging library (DEFLATE-predictive and Huffman-DCT)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = {k: [] for k in ("width", "height", "n_blocks",
+                                "restart_interval", "pixel_sum")}
+        for b in batch["payload"].to_pylist():
+            w, h, nb, ri, px = parse_jpeg(b)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_blocks"].append(nb)
+            rows["restart_interval"].append(ri)
+            rows["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+        out = batch.drop_columns(["payload"])
+        for k, v in rows.items():
+            out = out.append_column(k, pa.array(v, type=pa.int64()))
+        return out
+
+
+def q_mm_jpeg_meta(sf_dir: str):
+    """Synthesized baseline JPEGs → REAL Huffman+IDCT decode in an actor
+    pool.  Oracled: the DC-exact flat-block fixture makes the lossy codec
+    bit-exact, so every output column is a closed form of doc_id the
+    kernel must recover from the entropy-coded bytes."""
+
+    def to_jpeg(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array([synth_jpeg(i) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(to_jpeg, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        JpegDecodeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 MULTIMODAL_QUERIES = {
     "mm_payload_meta": q_mm_payload_meta,
     "mm_audio_meta": q_mm_audio_meta,
     "mm_image_meta": q_mm_image_meta,
     "mm_video_frames": q_mm_video_frames,
     "mm_png_meta": q_mm_png_meta,
+    "mm_jpeg_meta": q_mm_jpeg_meta,
 }
 
 MULTIMODAL_ORACLES = {
@@ -897,5 +1338,26 @@ SELECT doc_id,
             * ((10 + 2 * (doc_id % 6)) * (6 + doc_id % 5) // 2)
             * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END) AS BIGINT) AS pixel_sum
 FROM documents
+""",
+    # closed-form twin of _jpeg_params — recovered from the Huffman
+    # entropy-coded DCT bytes (the DC-exact fixture makes the lossy
+    # codec bit-exact, so pixel_sum is exactly the checker closed form)
+    "mm_jpeg_meta": """
+WITH p AS (
+  SELECT doc_id,
+         2 * (1 + doc_id % 3) AS wb,
+         1 + doc_id % 2 AS hb,
+         (5 * doc_id + 11) % 256 AS a,
+         (13 * doc_id + 17) % 256 AS b
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 * wb AS BIGINT) AS width,
+       CAST(8 * hb AS BIGINT) AS height,
+       CAST(wb * hb AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN wb ELSE 0 END AS BIGINT)
+           AS restart_interval,
+       CAST(64 * (a + b) * (wb * hb // 2) AS BIGINT) AS pixel_sum
+FROM p
 """,
 }

@@ -754,6 +754,107 @@ def test_png_decode_real_kernel():
         assert "CRC" in str(e) or "unsupported" in str(e)
 
 
+def test_jpeg_decode_real_kernel():
+    """The REAL baseline-JPEG kernel: marker walk, canonical DHT Huffman,
+    DC prediction with restart resync, and 2-D IDCT recover the exact
+    flat-block checker raster and the closed-form header params (the
+    DC-exact fixture makes the lossy codec bit-exact)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gcflow.ops.multimodal import (
+        JpegDecodeStage, _jpeg_params, parse_jpeg, synth_jpeg,
+    )
+
+    ids = [0, 1, 2, 3, 4, 5, 11, 37, 255, 999]
+    for i in ids:
+        p = _jpeg_params(i)
+        raw = synth_jpeg(i)
+        w, h, nb, ri, px = parse_jpeg(raw)
+        assert (w, h, nb, ri) == (
+            p["width"], p["height"], p["n_blocks"], p["restart_interval"],
+        )
+        if i % 2 == 1:
+            assert ri > 0  # restart-marker resync path exercised
+        bi, bj = np.mgrid[0 : h // 8, 0 : w // 8]
+        vals = np.where((bi + bj) % 2 == 0, p["a"], p["b"])
+        expect = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        np.testing.assert_array_equal(px, expect)
+        assert int(px.sum(dtype=np.int64)) == p["pixel_sum"]
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([synth_jpeg(i) for i in ids], type=pa.binary()),
+        }
+    )
+    out = JpegDecodeStage()(batch).to_pandas()
+    for _, row in out.iterrows():
+        p = _jpeg_params(int(row.doc_id))
+        for k in ("width", "height", "n_blocks", "restart_interval",
+                  "pixel_sum"):
+            assert int(row[k]) == p[k], (row.doc_id, k, int(row[k]), p[k])
+
+    # integrity: truncating the entropy-coded stream must fail, as must
+    # a non-JPEG prefix
+    raw = synth_jpeg(3)
+    try:
+        parse_jpeg(raw[:-10])
+        raise AssertionError("truncated JPEG decoded without an error")
+    except (ValueError, IndexError):
+        pass
+    try:
+        parse_jpeg(b"\x00" + raw)
+        raise AssertionError("non-JPEG prefix accepted")
+    except ValueError:
+        pass
+
+
+def test_jpeg_entropy_coder_general_path():
+    """The AC machinery the flat fixture never emits: random quantized
+    coefficient blocks (long zero runs → ZRL, early EOB, max-category
+    magnitudes, negative extends, restart intervals) roundtrip exactly
+    through _encode_blocks/_decode_blocks, and dense blocks exercise the
+    0xFF byte-stuffing path."""
+    import numpy as np
+
+    from gcflow.ops.multimodal import (
+        _AC_BITS, _AC_VALS, _DC_BITS, _DC_VALS, _canonical_codes,
+        _decode_blocks, _encode_blocks,
+    )
+
+    dc_dec = {(ln, c): s
+              for s, (c, ln) in _canonical_codes(_DC_BITS, _DC_VALS).items()}
+    ac_dec = {(ln, c): s
+              for s, (c, ln) in _canonical_codes(_AC_BITS, _AC_VALS).items()}
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        nb = int(rng.integers(1, 9))
+        ri = int(rng.integers(0, 4))
+        blocks = []
+        for _ in range(nb):
+            blk = np.zeros(64, dtype=np.int32)
+            blk[0] = int(rng.integers(-128, 128))
+            nnz = int(rng.integers(0, 12))
+            pos = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+            blk[pos] = rng.integers(-1023, 1024, size=nnz)
+            blocks.append(blk)
+        scan = _encode_blocks(blocks, ri)
+        out, _ = _decode_blocks(scan, 0, nb, dc_dec, ac_dec, ri)
+        for want, got in zip(blocks, out):
+            np.testing.assert_array_equal(want, got)
+
+    # a dense max-magnitude block guarantees stuffed 0xFF bytes
+    blk = np.zeros(64, dtype=np.int32)
+    blk[0], blk[1], blk[63] = 127, 1023, -1023
+    scan = _encode_blocks([blk] * 4, 0)
+    assert b"\xff\x00" in scan
+    out, _ = _decode_blocks(scan, 0, 4, dc_dec, ac_dec, 0)
+    for got in out:
+        np.testing.assert_array_equal(blk, got)
+
+
 def test_video_frame_sample_real_kernel():
     """The REAL y4m frame-sampling kernel: dims / frame counts / sampled
     luma recovered from the container match the synthesis closed form,

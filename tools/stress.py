@@ -201,7 +201,7 @@ def main() -> None:
         q_evt_user_lag,
     )
     from gcflow.ops.tokenizer import q_doc_bpe_train
-    from gcflow.ops.multimodal import q_mm_png_meta
+    from gcflow.ops.multimodal import q_mm_jpeg_meta, q_mm_png_meta
     from gcflow.ops.text import q_doc_char_entropy
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
     from gcflow.ops.valuation import q_emb_knn_shapley
@@ -257,6 +257,7 @@ def main() -> None:
         "doc_curation_funnel": (q_doc_curation_funnel, "documents"),
         "doc_data_card": (q_doc_data_card, "documents"),
         "mm_png_meta": (q_mm_png_meta, "documents"),
+        "mm_jpeg_meta": (q_mm_jpeg_meta, "documents"),
         "doc_sample_weighted": (q_doc_sample_weighted, "documents"),
         "evt_user_ewma": (q_evt_user_ewma, "events"),
         "doc_source_overlap": (q_doc_source_overlap, "documents"),
