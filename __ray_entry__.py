@@ -184,6 +184,14 @@ _DRIVER_OMIT = (
     "doc_source_overlap",     # dedup-audit family over the line-dedup
                               # segment machinery (doc_line_dedup_clean
                               # stays driver-facing); post-pin
+    "evt_regression",         # grouped streaming OLS (mergeable-moments
+                              # family, PCA/diversity machinery);
+                              # post-pin, regr_* oracle + serial twin
+    "evt_user_interarrival",  # windows family (aggregated lag over the
+                              # same bucket sweep); post-pin
+    "doc_feature_corr",       # one-pass moments family (profiler /
+                              # diversity rationale); post-pin, corr()
+                              # oracle per pair
 )
 
 

@@ -317,3 +317,84 @@ UNION ALL SELECT 4, 'max_tokens', CAST(max(ntok) AS DOUBLE) FROM s
 UNION ALL SELECT 5, 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM s
 UNION ALL SELECT 6, 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM s
 """
+
+
+# ---------------------------------------------- feature correlation matrix
+# Pairwise Pearson correlation between per-document surface features —
+# the redundancy screen run before feeding signals to a quality
+# classifier (highly-correlated features add cost, not information).
+# ONE streaming pass emits a single tiny moments row per batch
+# (n, Σf, Σf², Σf·g per pair — 15 doubles for K=4 features); the
+# driver sums the #batches partials and evaluates the K×K matrix, so
+# grouped state is data-size independent (the PCA/regression shape).
+# Features are closed forms both engines compute identically on the raw
+# text: chars (the n_chars column), whitespace tokens, and the counts of
+# the two most common letters — enough spread to make the matrix
+# non-trivial.  Output: the 6 upper-triangle pairs, long form.
+
+CORR_FEATURES = ("f_chars", "f_tokens", "f_e", "f_a")
+
+
+def q_doc_feature_corr(sf_dir: str):
+    """(feat_a, feat_b, r): Pearson correlation for each unordered
+    feature pair (upper triangle, K=4 → 6 rows)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "n_chars"]
+    )
+    k = len(CORR_FEATURES)
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        F = np.empty((len(t), k), dtype=np.float64)
+        F[:, 0] = t["n_chars"].to_numpy().astype(np.float64)
+        F[:, 1] = pc.list_value_length(pc.split_pattern(text, " ")).to_numpy()
+        F[:, 2] = pc.count_substring(text, "e").to_numpy()
+        F[:, 3] = pc.count_substring(text, "a").to_numpy()
+        row = {"n": pa.array([len(t)], type=pa.int64())}
+        for i, name in enumerate(CORR_FEATURES):
+            row[f"s_{name}"] = pa.array([float(F[:, i].sum())])
+            row[f"ss_{name}"] = pa.array([float((F[:, i] * F[:, i]).sum())])
+        for i, j in pairs:
+            row[f"sp_{i}_{j}"] = pa.array([float((F[:, i] * F[:, j]).sum())])
+        return pa.table(row)
+
+    mp = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = float(mp["n"])
+    s = np.array([mp[f"s_{f}"] for f in CORR_FEATURES])
+    ss = np.array([mp[f"ss_{f}"] for f in CORR_FEATURES])
+    var = ss - s * s / n
+    fa, fb, r = [], [], []
+    for i, j in pairs:
+        cov = float(mp[f"sp_{i}_{j}"]) - s[i] * s[j] / n
+        fa.append(CORR_FEATURES[i])
+        fb.append(CORR_FEATURES[j])
+        r.append(cov / np.sqrt(var[i] * var[j]) if var[i] > 0 and var[j] > 0 else None)
+    return pa.table(
+        {
+            "feat_a": pa.array(fa, type=pa.string()),
+            "feat_b": pa.array(fb, type=pa.string()),
+            "r": pa.array(r, type=pa.float64()),
+        }
+    )
+
+
+CORPUS_STATS_QUERIES["doc_feature_corr"] = q_doc_feature_corr
+
+CORPUS_STATS_ORACLES["doc_feature_corr"] = """
+WITH f AS (
+  SELECT CAST(n_chars AS DOUBLE) AS f_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS f_tokens,
+         CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS f_e,
+         CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) AS f_a
+  FROM documents
+)
+SELECT 'f_chars' AS feat_a, 'f_tokens' AS feat_b, corr(f_chars, f_tokens) AS r FROM f
+UNION ALL SELECT 'f_chars', 'f_e', corr(f_chars, f_e) FROM f
+UNION ALL SELECT 'f_chars', 'f_a', corr(f_chars, f_a) FROM f
+UNION ALL SELECT 'f_tokens', 'f_e', corr(f_tokens, f_e) FROM f
+UNION ALL SELECT 'f_tokens', 'f_a', corr(f_tokens, f_a) FROM f
+UNION ALL SELECT 'f_e', 'f_a', corr(f_e, f_a) FROM f
+"""

@@ -521,3 +521,98 @@ SELECT CAST(n AS BIGINT) AS n,
        2.0 * n / (n - 1.0) * (s2 / n - mm) AS mean_pair_dist2
 FROM agg, nn
 """
+
+
+# --------------------------------------------- grouped streaming OLS
+# Per-group least-squares trend fit (value ~ time) — the drift-monitor /
+# feature-trend operator of a telemetry pipeline ("is the error-event
+# value creeping up over the month?").  Mirrors SQL's regr_slope /
+# regr_intercept / regr_r2 aggregate family.
+#
+# Scale contract: ONE streaming pass; each batch emits a per-group
+# moments row (n, Σx, Σy, Σxx, Σxy, Σyy) via bincount on the
+# dictionary-encoded group codes — six float64 accumulators per group
+# per batch, merged driver-side over the tiny (#groups × #batches)
+# partial table.  Nothing corpus-sized is shuffled or collected; the
+# grouped-regression state is data-size independent, the same
+# mergeable-moments shape as PCA above.
+#
+# Numerics: x is epoch-microseconds RE-ORIGINED at 2024-01-01 (a fixed
+# constant mirrored in the oracle) then scaled to seconds, so Σxx stays
+# ~1e17 over sf0.01 and the Sxx = Σxx − (Σx)²/n cancellation costs ≤ 2
+# digits of the 15 available — comfortably inside the 6-significant-digit
+# driver hash.  NaN/NULL values are masked exactly like regr_*.
+
+REGR_ORIGIN_US = 1_704_067_200_000_000  # TIMESTAMP '2024-01-01' in epoch µs
+
+
+def q_evt_regression(sf_dir: str):
+    """(event_type, n, slope, intercept, r2): per-type OLS of value on
+    event time (seconds since 2024-01-01)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        x = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            - REGR_ORIGIN_US
+        ).astype(np.float64) / 1e6
+        y = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(y) & ~np.isnan(x)
+        c, x, y = codes[ok], x[ok], y[ok]
+        return pa.table(
+            {
+                "event_type": enc.dictionary,
+                "n": pa.array(np.bincount(c, minlength=k), type=pa.int64()),
+                "sx": pa.array(np.bincount(c, weights=x, minlength=k)),
+                "sy": pa.array(np.bincount(c, weights=y, minlength=k)),
+                "sxx": pa.array(np.bincount(c, weights=x * x, minlength=k)),
+                "sxy": pa.array(np.bincount(c, weights=x * y, minlength=k)),
+                "syy": pa.array(np.bincount(c, weights=y * y, minlength=k)),
+            }
+        )
+
+    mp = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = mp.groupby("event_type", sort=True).sum()
+    n = agg["n"].to_numpy().astype(np.float64)
+    sxx = agg["sxx"].to_numpy() - agg["sx"].to_numpy() ** 2 / n
+    syy = agg["syy"].to_numpy() - agg["sy"].to_numpy() ** 2 / n
+    sxy = agg["sxy"].to_numpy() - agg["sx"].to_numpy() * agg["sy"].to_numpy() / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = sxy / sxx
+        intercept = agg["sy"].to_numpy() / n - slope * agg["sx"].to_numpy() / n
+        r2 = (sxy * sxy) / (sxx * syy)
+    return pa.table(
+        {
+            "event_type": pa.array(agg.index.to_numpy(), type=pa.string()),
+            "n": pa.array(agg["n"].to_numpy(), type=pa.int64()),
+            "slope": pa.array(slope, type=pa.float64()),
+            "intercept": pa.array(intercept, type=pa.float64()),
+            "r2": pa.array(r2, type=pa.float64()),
+        }
+    )
+
+
+LINALG_QUERIES["evt_regression"] = q_evt_regression
+
+LINALG_ORACLES["evt_regression"] = """
+WITH f AS (
+  SELECT event_type, value,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS DOUBLE)
+           / 1000000.0 AS x
+  FROM events
+)
+SELECT event_type,
+       CAST(regr_count(value, x) AS BIGINT) AS n,
+       regr_slope(value, x) AS slope,
+       regr_intercept(value, x) AS intercept,
+       regr_r2(value, x) AS r2
+FROM f GROUP BY 1
+"""

@@ -1448,3 +1448,105 @@ SELECT prev_type AS from_type, event_type AS to_type,
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------ per-user inter-arrival stats
+# The cadence profile of a user/session stream: per user, how many
+# events, and the mean / max gap between consecutive ones — the
+# engagement-frequency feature (and the input to activity-based session
+# timeout tuning).  The AGGREGATED twin of ``q_evt_user_lag``: same
+# hash-bucketed lexsort sweep, but each bucket reduces its users' gap
+# runs to one row per user via segment-offset reduceat — so the output
+# (and the shuffle after the sweep: none) is O(users), not O(events).
+#
+# Cross-engine float parity: gaps are summed as exact int64 µs and only
+# then pushed through the identical double ops (÷1e6, ÷n_gaps) the
+# oracle applies, so mean_gap_s hashes bitwise.
+
+
+def q_evt_user_interarrival(sf_dir: str):
+    """(user_id, n_events, max_gap_us, mean_gap_s): per-user event count
+    and consecutive-event gap stats ordered by (ts, event_id); gap
+    columns are NULL for single-event users."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        tsi = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        n = len(uid)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "max_gap_us": pa.array([], type=pa.int64()),
+                "mean_gap_s": pa.array([], type=pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        order = np.lexsort((eid, tsi, uid))
+        u, s = uid[order], tsi[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = s[1:] - s[:-1]
+        gap[starts] = 0  # first event of each user contributes no gap
+        gsum = np.add.reduceat(gap, starts)
+        gmax = np.maximum.reduceat(gap, starts)
+        n_gaps = counts - 1
+        has = n_gaps > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_s = (gsum.astype(np.float64) / 1e6) / n_gaps
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], type=pa.int64()),
+                "n_events": pa.array(counts, type=pa.int64()),
+                "max_gap_us": pa.array(
+                    np.ma.masked_array(gmax, mask=~has), type=pa.int64()
+                ),
+                "mean_gap_s": pa.array(
+                    np.ma.masked_array(mean_s, mask=~has), type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_interarrival"] = q_evt_user_interarrival
+WINDOW_ORACLES["evt_user_interarrival"] = """
+WITH g AS (
+  SELECT user_id,
+         date_diff(
+           'microsecond',
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           ts
+         ) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       CASE WHEN count(gap) > 0
+            THEN (CAST(sum(gap) AS DOUBLE) / 1000000.0) / count(gap)
+       END AS mean_gap_s
+FROM g GROUP BY 1
+"""

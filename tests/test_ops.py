@@ -4261,3 +4261,119 @@ def test_data_card_matches_pandas_twin(ray_session):
     assert got["max_tokens"] == ntok.max()
     assert got["n_langs"] == df.lang.nunique()
     assert got["n_sources"] == df.source.nunique()
+
+
+def test_user_interarrival_matches_duckdb(ray_session):
+    """Per-user inter-arrival aggregates equal the SQL lag-window mirror:
+    single-event users get NULL gap stats, the int64-µs sum → double
+    mean path hashes bitwise."""
+    import duckdb
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_user_interarrival
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_user_interarrival(sf)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_user_interarrival"])
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got.user_id.tolist() == want.user_id.tolist()
+    assert got.n_events.tolist() == want.n_events.tolist()
+    assert got.max_gap_us.astype("Int64").equals(want.max_gap_us.astype("Int64"))
+    import numpy as np
+
+    a, b = got.mean_gap_s.to_numpy(), want.mean_gap_s.to_numpy()
+    assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()  # bitwise parity
+    # n_events sums to the corpus row count (a partition-loss guard)
+    assert int(got.n_events.sum()) == con.execute("SELECT count(*) FROM events").fetchone()[0]
+
+
+def test_regression_matches_duckdb(ray_session):
+    """Grouped streaming OLS equals regr_slope/intercept/r2 to well
+    inside the 6-significant-digit driver hash."""
+    import duckdb
+    import numpy as np
+
+    from gcflow.ops.linalg import LINALG_ORACLES, q_evt_regression
+
+    sf = "/root/testdata/sf0.001"
+    got = q_evt_regression(sf).to_pandas().sort_values("event_type").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(LINALG_ORACLES["evt_regression"])
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got.event_type.tolist() == want.event_type.tolist()
+    assert got.n.tolist() == want.n.tolist()
+    for c in ("slope", "intercept", "r2"):
+        rel = np.max(np.abs(got[c].to_numpy() / want[c].to_numpy() - 1.0))
+        assert rel < 1e-9, (c, rel)
+
+
+def test_regression_moments_merge_associative(ray_session):
+    """The per-batch moments are mergeable: a serial numpy OLS over the
+    whole column equals the distributed result exactly (same algebra)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.linalg import REGR_ORIGIN_US, q_evt_regression
+
+    sf = "/root/testdata/sf0.001"
+    got = q_evt_regression(sf).to_pandas().set_index("event_type")
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "ts", "value"])
+    et = t["event_type"].to_pylist()
+    x = (t["ts"].cast("int64").to_numpy() - REGR_ORIGIN_US) / 1e6
+    y = t["value"].to_numpy()
+    for g in sorted(set(et)):
+        m = np.array([e == g for e in et])
+        slope, intercept = np.polyfit(x[m], y[m], 1)
+        assert abs(got.loc[g, "slope"] / slope - 1) < 1e-6
+        assert abs(got.loc[g, "intercept"] / intercept - 1) < 1e-6
+
+
+def test_feature_corr_matches_duckdb(ray_session):
+    """One-pass feature correlation matrix equals DuckDB corr() per pair."""
+    import duckdb
+    import numpy as np
+
+    from gcflow.ops.corpus_stats import CORPUS_STATS_ORACLES, q_doc_feature_corr
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_feature_corr(sf)
+        .to_pandas()
+        .sort_values(["feat_a", "feat_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(CORPUS_STATS_ORACLES["doc_feature_corr"])
+        .df()
+        .sort_values(["feat_a", "feat_b"])
+        .reset_index(drop=True)
+    )
+    assert got.feat_a.tolist() == want.feat_a.tolist()
+    assert len(got) == 6
+    rel = np.max(np.abs(got.r.to_numpy() / want.r.to_numpy() - 1.0))
+    assert rel < 1e-9
+    assert (got.r.abs() <= 1.0 + 1e-12).all()

@@ -183,7 +183,8 @@ def main() -> None:
         q_doc_sample_unimax,
         q_doc_unigram_logprob,
     )
-    from gcflow.ops.linalg import q_emb_diversity, q_emb_outliers
+    from gcflow.ops.corpus_stats import q_doc_feature_corr
+    from gcflow.ops.linalg import q_emb_diversity, q_emb_outliers, q_evt_regression
     from gcflow.ops.similarity import q_emb_hard_negatives
     from gcflow.ops.text import q_doc_lp_residual, q_doc_source_kl
     from gcflow.ops.text import q_doc_ccnet_bucket, q_doc_sample_weighted
@@ -198,6 +199,7 @@ def main() -> None:
         q_evt_resample,
         q_evt_user_cumsum,
         q_evt_user_ewma,
+        q_evt_user_interarrival,
         q_evt_user_lag,
     )
     from gcflow.ops.tokenizer import q_doc_bpe_train
@@ -261,6 +263,9 @@ def main() -> None:
         "doc_sample_weighted": (q_doc_sample_weighted, "documents"),
         "evt_user_ewma": (q_evt_user_ewma, "events"),
         "doc_source_overlap": (q_doc_source_overlap, "documents"),
+        "evt_regression": (q_evt_regression, "events"),
+        "evt_user_interarrival": (q_evt_user_interarrival, "events"),
+        "doc_feature_corr": (q_doc_feature_corr, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
