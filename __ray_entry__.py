@@ -192,6 +192,9 @@ _DRIVER_OMIT = (
     "doc_feature_corr",       # one-pass moments family (profiler /
                               # diversity rationale); post-pin, corr()
                               # oracle per pair
+    "doc_pmi",                # collocation scoring over the bigram
+                              # bucket sweep (doc_bigrams family);
+                              # post-pin, exact SQL mirror
 )
 
 

@@ -322,7 +322,7 @@ def main():
     from gcflow.ops.tokenizer import q_doc_bpe_train
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
     from gcflow.ops.text import q_doc_char_entropy
-    from gcflow.ops.corpus_stats import q_doc_feature_corr
+    from gcflow.ops.corpus_stats import q_doc_feature_corr, q_doc_pmi
     from gcflow.ops.linalg import q_evt_regression
     from gcflow.ops.multimodal import q_mm_jpeg_meta, q_mm_png_meta
     from gcflow.ops.valuation import q_emb_knn_shapley
@@ -400,6 +400,7 @@ def main():
         ("evt_regression", q_evt_regression),
         ("evt_user_interarrival", q_evt_user_interarrival),
         ("doc_feature_corr", q_doc_feature_corr),
+        ("doc_pmi", q_doc_pmi),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

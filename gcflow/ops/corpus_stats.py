@@ -398,3 +398,130 @@ UNION ALL SELECT 'f_tokens', 'f_e', corr(f_tokens, f_e) FROM f
 UNION ALL SELECT 'f_tokens', 'f_a', corr(f_tokens, f_a) FROM f
 UNION ALL SELECT 'f_e', 'f_a', corr(f_e, f_a) FROM f
 """
+
+
+# ------------------------------------------------- PMI collocations
+# Pointwise mutual information over the corpus's FREQUENT bigrams — the
+# collocation-extraction step (multi-word expressions for tokenizer /
+# phrase-mining work).  Raw PMI degenerates on rare pairs, so the
+# standard recipe scores only pairs above a frequency floor; here the
+# candidate set is the exact top-PMI_CANDIDATES pairs by count (ties by
+# pair ascending), which the bucketed pair sweep above already computes
+# exactly (a pair lives wholly in one bucket).
+#
+# Scale shape: ONE pair-bucket shuffle (the q_doc_bigrams machinery)
+# yields the candidates; their ≤2·P distinct words are then a
+# DRIVER-SMALL set, so the unigram counts come from one streaming
+# filtered-count pass against the broadcast word list — no term-keyed
+# join, no second shuffle, no vocabulary-sized state anywhere.  The
+# corpus totals (U words, B bigrams) fall out of the same pass.
+
+PMI_CANDIDATES = 200
+PMI_K = 30
+
+
+def q_doc_pmi(sf_dir: str, k: int = PMI_K, p: int = PMI_CANDIDATES):
+    """(pair, n_pair, n_w1, n_w2, pmi): top-k collocations by PMI among
+    the corpus's top-p bigrams by count.  pmi = ln(n_pair·U²/(B·c₁·c₂))
+    with U = total tokens, B = total adjacent pairs."""
+    cand = q_doc_bigrams(sf_dir, k=p).to_pandas()
+    words = sorted({w for pair in cand["pair"] for w in pair.split(" ")})
+    word_arr = pa.array(words, type=pa.string())
+
+    def count_pass(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        n_tok = len(flat)
+        n_docs = len(t)
+        hit = flat.filter(pc.is_in(flat, value_set=word_arr))
+        vc = hit.value_counts()
+        vc = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+        # total sentinels carry a SPACE, which no split-on-space token can
+        # contain (NUL sentinels are unusable: pandas' object-string hash
+        # table is NUL-terminated, so '\x00U' == '\x00B' under groupby)
+        return pa.table(
+            {
+                "word": pa.concat_arrays(
+                    [
+                        vc.field("values"),
+                        pa.array(["TOTAL U", "TOTAL B"], type=pa.string()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        pc.cast(vc.field("counts"), pa.int64()),
+                        pa.array([n_tok, n_tok - n_docs], type=pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        .map_batches(count_pass, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("word")["n"]
+        .sum()
+    )
+    U = float(counts["TOTAL U"])
+    B = float(counts["TOTAL B"])
+    w12 = cand["pair"].str.split(" ", n=1, expand=True)
+    c1 = w12[0].map(counts).astype(np.int64)
+    c2 = w12[1].map(counts).astype(np.int64)
+    n_ab = cand["n"].astype(np.int64)
+    pmi = np.log(
+        n_ab.to_numpy().astype(np.float64)
+        * U
+        * U
+        / (B * c1.to_numpy().astype(np.float64) * c2.to_numpy().astype(np.float64))
+    )
+    out = pa.table(
+        {
+            "pair": pa.array(cand["pair"], type=pa.string()),
+            "n_pair": pa.array(n_ab, type=pa.int64()),
+            "n_w1": pa.array(c1, type=pa.int64()),
+            "n_w2": pa.array(c2, type=pa.int64()),
+            "pmi": pa.array(pmi, type=pa.float64()),
+        }
+    )
+    order = pc.sort_indices(
+        out, sort_keys=[("pmi", "descending"), ("pair", "ascending")]
+    )[: min(k, len(out))]
+    return out.take(order)
+
+
+CORPUS_STATS_QUERIES["doc_pmi"] = q_doc_pmi
+
+CORPUS_STATS_ORACLES["doc_pmi"] = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), zipped AS (
+  SELECT unnest(list_zip(l, l[2:])) AS p FROM toks
+), pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2, p[1] || ' ' || p[2] AS pair
+  FROM zipped WHERE p[2] IS NOT NULL
+), cand AS (
+  SELECT pair, min(w1) AS w1, min(w2) AS w2, count(*) AS n_pair
+  FROM pairs GROUP BY pair
+  ORDER BY n_pair DESC, pair ASC LIMIT {PMI_CANDIDATES}
+), uni AS (
+  SELECT unnest(l) AS w FROM toks
+), wc AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS u FROM uni
+), btot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM pairs
+)
+SELECT cand.pair,
+       CAST(cand.n_pair AS BIGINT) AS n_pair,
+       CAST(w1c.c AS BIGINT) AS n_w1,
+       CAST(w2c.c AS BIGINT) AS n_w2,
+       ln(CAST(cand.n_pair AS DOUBLE) * u * u / (b * w1c.c * w2c.c)) AS pmi
+FROM cand
+JOIN wc w1c ON w1c.w = cand.w1
+JOIN wc w2c ON w2c.w = cand.w2, tot, btot
+ORDER BY pmi DESC, cand.pair ASC LIMIT {PMI_K}
+"""

@@ -4377,3 +4377,55 @@ def test_feature_corr_matches_duckdb(ray_session):
     rel = np.max(np.abs(got.r.to_numpy() / want.r.to_numpy() - 1.0))
     assert rel < 1e-9
     assert (got.r.abs() <= 1.0 + 1e-12).all()
+
+
+def test_pmi_matches_duckdb(ray_session):
+    """Top-k PMI collocations equal the SQL mirror at sf0.001 (candidate
+    set, counts, and the log expression all spelled identically)."""
+    import duckdb
+    import numpy as np
+
+    from gcflow.ops.corpus_stats import CORPUS_STATS_ORACLES, q_doc_pmi
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_pmi(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(CORPUS_STATS_ORACLES["doc_pmi"]).df()
+    assert got.pair.tolist() == want.pair.tolist()
+    assert got.n_pair.tolist() == want.n_pair.tolist()
+    assert got.n_w1.tolist() == want.n_w1.tolist()
+    assert np.max(np.abs(got.pmi.to_numpy() - want.pmi.to_numpy())) < 1e-9
+
+
+def test_pmi_planted_collocation(ray_session, tmp_path):
+    """A pair of words that ONLY ever occur adjacent to each other gets
+    the highest PMI among frequent pairs; a pair of independent fillers
+    scores near zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.corpus_stats import q_doc_pmi
+
+    rows = []
+    for i in range(40):
+        # 'aaa bbb' always adjacent; fillers 'xx'/'yy' shuffled independently
+        fill = ("xx yy " if i % 2 == 0 else "yy xx ") * 3
+        rows.append(fill + "aaa bbb " + fill.strip())
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+            "text": pa.array(rows, type=pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = q_doc_pmi(str(tmp_path), k=50).to_pandas()
+    assert got.iloc[0]["pair"] == "aaa bbb"
+    planted = got[got.pair == "aaa bbb"].pmi.iloc[0]
+    indep = got[got.pair.isin(["xx yy", "yy xx"])].pmi
+    assert len(indep) > 0 and planted > indep.max() + 1.0

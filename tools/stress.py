@@ -183,7 +183,7 @@ def main() -> None:
         q_doc_sample_unimax,
         q_doc_unigram_logprob,
     )
-    from gcflow.ops.corpus_stats import q_doc_feature_corr
+    from gcflow.ops.corpus_stats import q_doc_feature_corr, q_doc_pmi
     from gcflow.ops.linalg import q_emb_diversity, q_emb_outliers, q_evt_regression
     from gcflow.ops.similarity import q_emb_hard_negatives
     from gcflow.ops.text import q_doc_lp_residual, q_doc_source_kl
@@ -266,6 +266,7 @@ def main() -> None:
         "evt_regression": (q_evt_regression, "events"),
         "evt_user_interarrival": (q_evt_user_interarrival, "events"),
         "doc_feature_corr": (q_doc_feature_corr, "documents"),
+        "doc_pmi": (q_doc_pmi, "documents"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
