@@ -195,6 +195,11 @@ _DRIVER_OMIT = (
     "doc_pmi",                # collocation scoring over the bigram
                               # bucket sweep (doc_bigrams family);
                               # post-pin, exact SQL mirror
+    "evt_burst",              # halo-partitioned sliding-window max
+                              # (windows family); post-pin, RANGE-window
+                              # oracle + boundary-straddle pytest
+    "evt_user_streak",        # gaps-and-islands longest run over the
+                              # session bucket sweep; post-pin
 )
 
 

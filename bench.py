@@ -327,10 +327,12 @@ def main():
     from gcflow.ops.multimodal import q_mm_jpeg_meta, q_mm_png_meta
     from gcflow.ops.valuation import q_emb_knn_shapley
     from gcflow.ops.windows import (
+        q_evt_burst,
         q_evt_funnel,
         q_evt_resample,
         q_evt_user_ewma,
         q_evt_user_interarrival,
+        q_evt_user_streak,
     )
 
     for name, fn in [
@@ -401,6 +403,8 @@ def main():
         ("evt_user_interarrival", q_evt_user_interarrival),
         ("doc_feature_corr", q_doc_feature_corr),
         ("doc_pmi", q_doc_pmi),
+        ("evt_burst", q_evt_burst),
+        ("evt_user_streak", q_evt_user_streak),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

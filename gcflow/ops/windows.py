@@ -1550,3 +1550,220 @@ SELECT user_id,
        END AS mean_gap_s
 FROM g GROUP BY 1
 """
+
+
+# --------------------------------------------- sliding-window burst max
+# Peak event rate per type: the maximum number of events falling in any
+# 5-minute sliding window anchored at an event — the burst/alerting
+# statistic ("did this error type ever exceed N in 5 minutes?").
+#
+# Scale shape — HALO (ghost-cell) time partitioning, new to this repo:
+# a naive per-type groupby puts an entire type's 10^12-row history in
+# one group.  Instead events land in (type, UTC-hour) cells, and —
+# because windows look FORWARD — every event within WINDOW of an
+# hour's START is DUPLICATED into the PREVIOUS hour's cell flagged
+# halo=1: a halo row is counted as a window MEMBER but never STARTS a
+# window, so each cell resolves every window that starts inside it
+# locally and exactly (windows anchored late in hour h see their
+# members from early hour h+1 via the halo).  Per-cell work is one
+# sort + one vectorized searchsorted two-pointer; the final reduce is
+# a tiny per-type max.  Shuffle volume = rows × (1 + window/hour).
+
+BURST_WINDOW_US = 5 * 60 * 1_000_000
+BURST_CELL_US = 3_600 * 1_000_000
+
+
+def q_evt_burst(sf_dir: str):
+    """(event_type, burst): max events in any closed [t, t+5min] window
+    anchored at an event of that type."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def cellize(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        tsi = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cell = tsi // BURST_CELL_US
+        base = pa.table(
+            {
+                "event_type": et,
+                "ts_us": pa.array(tsi, type=pa.int64()),
+                "cell": pa.array(cell, type=pa.int64()),
+                "halo": pa.array(np.zeros(len(tsi), dtype=bool)),
+            }
+        )
+        # closed window [t, t+W]: an event at exactly cell_start + W can
+        # still close a window anchored at the previous cell's end, so
+        # the halo condition is <= (not <)
+        spill = tsi <= cell * BURST_CELL_US + BURST_WINDOW_US
+        if not spill.any():
+            return base
+        ghost = pa.table(
+            {
+                "event_type": et.filter(pa.array(spill)),
+                "ts_us": pa.array(tsi[spill], type=pa.int64()),
+                "cell": pa.array(cell[spill] - 1, type=pa.int64()),
+                "halo": pa.array(np.ones(int(spill.sum()), dtype=bool)),
+            }
+        )
+        return pa.concat_tables([base, ghost])
+
+    def cell_max(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("burst_partial", pa.int64())]
+            ).empty_table()
+        ts = g["ts_us"].to_numpy()
+        halo = g["halo"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        starts = np.flatnonzero(~halo[order])
+        if len(starts) == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("burst_partial", pa.int64())]
+            ).empty_table()
+        # closed window [t, t+W]: side='right' includes the endpoint
+        hi = np.searchsorted(ts, ts[starts] + BURST_WINDOW_US, side="right")
+        best = int((hi - starts).max())
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()], type=pa.string()),
+                "burst_partial": pa.array([best], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    out = (
+        ds.map_batches(cellize, batch_format="pyarrow")
+        .groupby(["event_type", "cell"])
+        .map_groups(cell_max, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Max("burst_partial", alias_name="burst"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "burst": pa.array(out["burst"], type=pa.int64()),
+        }
+    )
+
+
+WINDOW_QUERIES["evt_burst"] = q_evt_burst
+WINDOW_ORACLES["evt_burst"] = """
+WITH w AS (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY event_type ORDER BY ts
+                        RANGE BETWEEN CURRENT ROW AND INTERVAL 5 MINUTE FOLLOWING) AS c
+  FROM events
+)
+SELECT event_type, CAST(max(c) AS BIGINT) AS burst FROM w GROUP BY 1
+"""
+
+
+# --------------------------------------------- longest activity streak
+# Gaps-and-islands: per user, the longest run of CONSECUTIVE active
+# days — the retention/engagement streak feature.  One user-bucket
+# sweep (the sessions machinery) resolves every user's streak in a
+# single vectorized pass: lexsort (day, user), in-bucket (user, day)
+# dedup, then run detection on day diffs with user-boundary masking —
+# never a per-user group, nothing driver-side.  The SQL mirror is the
+# classic row_number islands construction.
+
+
+def q_evt_user_streak(sf_dir: str):
+    """(user_id, n_active_days, streak_days): distinct active days and
+    the longest consecutive-day run per user (UTC days)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        day = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        ) // 86_400_000_000
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        # in-batch (user, day) dedup — the combiner that keeps shuffle
+        # volume at O(distinct user-days), never O(events)
+        tt = pa.table(
+            {
+                "user_id": pa.array(uid.astype(np.int64)),
+                "day": pa.array(day, type=pa.int64()),
+                "bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+        return tt.group_by(["user_id", "day", "bucket"]).aggregate([])
+
+    def sweep(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_active_days": pa.array([], type=pa.int64()),
+                "streak_days": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(uid) == 0:
+            return empty
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        # cross-batch dedup of (user, day)
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        n = len(u)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # a row CONTINUES a streak iff same user and day == prev day + 1
+        cont = np.r_[False, (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)]
+        # run id = cumulative count of run starts; run start = ~cont
+        run_id = np.cumsum(~cont) - 1
+        run_len = np.bincount(run_id)
+        # per-user max run: runs are contiguous in user order
+        run_user_start = np.flatnonzero(~cont)
+        run_uid = u[run_user_start]
+        user_starts_in_runs = np.flatnonzero(np.r_[True, run_uid[1:] != run_uid[:-1]])
+        streak = np.maximum.reduceat(run_len, user_starts_in_runs)
+        starts = np.flatnonzero(new_user)
+        n_days = np.diff(np.r_[starts, n])
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], type=pa.int64()),
+                "n_active_days": pa.array(n_days, type=pa.int64()),
+                "streak_days": pa.array(streak, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_streak"] = q_evt_user_streak
+WINDOW_ORACLES["evt_user_streak"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+), i AS (
+  SELECT user_id, day, day - CAST(rn AS INTEGER) AS grp FROM r
+), runs AS (
+  SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS streak_days
+FROM runs GROUP BY 1
+"""

@@ -4429,3 +4429,119 @@ def test_pmi_planted_collocation(ray_session, tmp_path):
     planted = got[got.pair == "aaa bbb"].pmi.iloc[0]
     indep = got[got.pair.isin(["xx yy", "yy xx"])].pmi
     assert len(indep) > 0 and planted > indep.max() + 1.0
+
+
+def test_burst_matches_duckdb(ray_session):
+    """Sliding-window burst max equals the SQL RANGE-window mirror."""
+    import duckdb
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_burst
+
+    sf = "/root/testdata/sf0.001"
+    got = q_evt_burst(sf).to_pandas().sort_values("event_type").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_burst"])
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got.event_type.tolist() == want.event_type.tolist()
+    assert got.burst.tolist() == want.burst.tolist()
+
+
+def test_burst_halo_crosses_hour_boundary(ray_session, tmp_path):
+    """A burst straddling an hour boundary is counted exactly: windows
+    anchored late in hour h must see early-hour-h+1 members via the
+    halo (the regression this test pins: a forward halo misses them)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_burst
+
+    base = np.datetime64("2024-01-05T00:58:00", "us")
+    # 6 events from 00:58 to 01:02, one per minute — all inside one
+    # 5-minute window anchored at 00:58, straddling the 01:00 boundary;
+    # plus a lone far-away event that can never join a burst
+    ts = [base + np.timedelta64(m, "m") for m in range(6)]
+    ts.append(np.datetime64("2024-01-05T10:00:00", "us"))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts), type=pa.int64()),
+            "event_type": pa.array(["click"] * len(ts)),
+            "value": pa.array([1.0] * len(ts)),
+            "props": pa.array(["{}"] * len(ts)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_evt_burst(str(tmp_path)).to_pandas()
+    assert got.burst.tolist() == [6]
+
+
+def test_user_streak_matches_duckdb(ray_session):
+    """Gaps-and-islands longest streak equals the row_number islands SQL."""
+    import duckdb
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_user_streak
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_user_streak(sf)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_user_streak"])
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.user_id.tolist() == want.user_id.tolist()
+    assert got.n_active_days.tolist() == want.n_active_days.tolist()
+    assert got.streak_days.tolist() == want.streak_days.tolist()
+
+
+def test_user_streak_planted_runs(ray_session, tmp_path):
+    """Planted day patterns: a 4-day run split by one gap, a singleton,
+    and duplicate same-day events that must not inflate the streak."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_user_streak
+
+    def day(d):
+        return np.datetime64(f"2024-02-{d:02d}T12:00:00", "us")
+
+    rows = []
+    # user 1: days 1,2,3,4 then 10,11 → streak 4, active 6
+    for d in (1, 2, 3, 4, 10, 11):
+        rows.append((1, day(d)))
+    # user 2: day 5 twice (same day, different hours) → streak 1, active 1
+    rows.append((2, day(5)))
+    rows.append((2, day(5) + np.timedelta64(3, "h")))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_evt_user_streak(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "streak_days"] == 4 and got.loc[1, "n_active_days"] == 6
+    assert got.loc[2, "streak_days"] == 1 and got.loc[2, "n_active_days"] == 1

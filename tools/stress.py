@@ -199,8 +199,10 @@ def main() -> None:
         q_evt_resample,
         q_evt_user_cumsum,
         q_evt_user_ewma,
+        q_evt_burst,
         q_evt_user_interarrival,
         q_evt_user_lag,
+        q_evt_user_streak,
     )
     from gcflow.ops.tokenizer import q_doc_bpe_train
     from gcflow.ops.multimodal import q_mm_jpeg_meta, q_mm_png_meta
@@ -267,6 +269,8 @@ def main() -> None:
         "evt_user_interarrival": (q_evt_user_interarrival, "events"),
         "doc_feature_corr": (q_doc_feature_corr, "documents"),
         "doc_pmi": (q_doc_pmi, "documents"),
+        "evt_burst": (q_evt_burst, "events"),
+        "evt_user_streak": (q_evt_user_streak, "events"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
