@@ -200,6 +200,11 @@ _DRIVER_OMIT = (
                               # oracle + boundary-straddle pytest
     "evt_user_streak",        # gaps-and-islands longest run over the
                               # session bucket sweep; post-pin
+    "evt_user_entropy",       # behavioral-diversity entropy over the
+                              # same bucket sweep; post-pin
+    "evt_type_lift",          # market-basket association lift via the
+                              # source-overlap bitmask-histogram trick;
+                              # post-pin, scaffolded-pair oracle
 )
 
 

@@ -330,6 +330,8 @@ def main():
         q_evt_burst,
         q_evt_funnel,
         q_evt_resample,
+        q_evt_type_lift,
+        q_evt_user_entropy,
         q_evt_user_ewma,
         q_evt_user_interarrival,
         q_evt_user_streak,
@@ -405,6 +407,8 @@ def main():
         ("doc_pmi", q_doc_pmi),
         ("evt_burst", q_evt_burst),
         ("evt_user_streak", q_evt_user_streak),
+        ("evt_user_entropy", q_evt_user_entropy),
+        ("evt_type_lift", q_evt_type_lift),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

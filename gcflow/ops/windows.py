@@ -15,6 +15,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -1766,4 +1767,237 @@ SELECT user_id,
        CAST(sum(len) AS BIGINT) AS n_active_days,
        CAST(max(len) AS BIGINT) AS streak_days
 FROM runs GROUP BY 1
+"""
+
+
+# ------------------------------------------ per-user behavioral entropy
+# Shannon entropy of each user's event-type distribution — the
+# behavioral-diversity feature (bots and single-purpose scripts sit
+# near 0; broad organic users near ln(n_types)).  In-batch (user, type)
+# count partials compress the shuffle to O(users × types); one
+# user-bucket sweep merges partials and evaluates the entropy per user
+# vectorized (segment-offset reduceat over p·ln p terms).
+
+
+def q_evt_user_entropy(sf_dir: str):
+    """(user_id, n_types, entropy): distinct event types and Shannon
+    entropy (nats) of the user's type distribution."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        uid = g["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % N_SESSION_BUCKETS
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_types": pa.array([], type=pa.int64()),
+                "entropy": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy()
+        order = np.lexsort((codes, uid))
+        u, c, n = uid[order], codes[order], n[order]
+        # merge same (user, type) partials from different batches
+        first = np.r_[True, (u[1:] != u[:-1]) | (c[1:] != c[:-1])]
+        seg = np.cumsum(first) - 1
+        n_m = np.bincount(seg, weights=n).astype(np.int64)
+        u_m = u[first]
+        user_first = np.r_[True, u_m[1:] != u_m[:-1]]
+        starts = np.flatnonzero(user_first)
+        n_types = np.diff(np.r_[starts, len(u_m)])
+        tot = np.add.reduceat(n_m, starts).astype(np.float64)
+        p = n_m.astype(np.float64) / np.repeat(tot, n_types)
+        ent = -np.add.reduceat(p * np.log(p), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u_m[starts], type=pa.int64()),
+                "n_types": pa.array(n_types, type=pa.int64()),
+                "entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+WINDOW_QUERIES["evt_user_entropy"] = q_evt_user_entropy
+WINDOW_ORACLES["evt_user_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, sum(n) AS tot FROM c GROUP BY 1
+)
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       -sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)) AS entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY 1
+"""
+
+
+# ----------------------------------------------- market-basket type lift
+# Association lift between event types over (user, UTC-day) baskets —
+# "users who error also purchase?": lift(a,b) = P(a,b)/(P(a)·P(b)) with
+# probabilities over baskets.  The scale trick is the source-overlap
+# BITMASK reduction (curation.q_doc_source_overlap): the fixed small
+# type taxonomy maps to bits, each basket collapses to ONE int64 mask,
+# a basket-bucket sweep ORs partial masks and emits only a mask→count
+# HISTOGRAM (≤2^|types| rows), and all pair/single counts derive from
+# the histogram driver-side — the pair arithmetic never touches a
+# basket-sized table.  Taxonomy ceiling-enforced at 63 types.
+
+LIFT_MAX_TYPES = 63
+
+
+def q_evt_type_lift(sf_dir: str):
+    """(type_a, type_b, n_ab, lift): co-occurrence count over (user, day)
+    baskets and association lift, for each unordered type pair."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    types = sorted(
+        ds.select_columns(["event_type"]).unique("event_type")
+    )
+    if len(types) > LIFT_MAX_TYPES:
+        raise ValueError(
+            f"{len(types)} event types exceed the {LIFT_MAX_TYPES}-bit basket mask"
+        )
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def to_masks(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        day = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        ) // 86_400_000_000
+        et = t["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        enc = et.dictionary_encode()
+        dict_bits = np.array([bit[v] for v in enc.dictionary.to_pylist()], dtype=np.int64)
+        m = dict_bits[enc.indices.to_numpy(zero_copy_only=False)]
+        # in-batch basket OR: one mask per (user, day) seen in this batch
+        order = np.lexsort((day, uid))
+        u, d, mm = uid[order], day[order], m[order]
+        first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        seg = np.cumsum(first) - 1
+        mask = np.zeros(seg[-1] + 1, dtype=np.int64)
+        np.bitwise_or.at(mask, seg, mm)
+        u_f, d_f = u[first], d[first]
+        b = (
+            (u_f.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(40)
+        ) % N_SESSION_BUCKETS
+        return pa.table(
+            {
+                "user_id": pa.array(u_f, type=pa.int64()),
+                "day": pa.array(d_f, type=pa.int64()),
+                "mask": pa.array(mask, type=pa.int64()),
+                "bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def hist(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema(
+                [("mask", pa.int64()), ("n_baskets", pa.int64())]
+            ).empty_table()
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        m = g["mask"].to_numpy()
+        order = np.lexsort((day, uid))
+        u, d, mm = uid[order], day[order], m[order]
+        first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        seg = np.cumsum(first) - 1
+        full = np.zeros(seg[-1] + 1, dtype=np.int64)
+        np.bitwise_or.at(full, seg, mm)
+        vals, counts = np.unique(full, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(vals, type=pa.int64()),
+                "n_baskets": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    hp = (
+        ds.map_batches(to_masks, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hm = hp.groupby("mask")["n_baskets"].sum()
+    masks = hm.index.to_numpy().astype(np.int64)
+    cnt = hm.to_numpy().astype(np.int64)
+    N = float(cnt.sum())
+    k = len(types)
+    present = [((masks >> i) & 1).astype(bool) for i in range(k)]
+    n_single = [int(cnt[present[i]].sum()) for i in range(k)]
+    ta, tb, n_ab, lift = [], [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            nij = int(cnt[present[i] & present[j]].sum())
+            ta.append(types[i])
+            tb.append(types[j])
+            n_ab.append(nij)
+            lift.append(
+                nij * N / (n_single[i] * n_single[j])
+                if n_single[i] and n_single[j]
+                else None
+            )
+    return pa.table(
+        {
+            "type_a": pa.array(ta, type=pa.string()),
+            "type_b": pa.array(tb, type=pa.string()),
+            "n_ab": pa.array(n_ab, type=pa.int64()),
+            "lift": pa.array(lift, type=pa.float64()),
+        }
+    )
+
+
+WINDOW_QUERIES["evt_type_lift"] = q_evt_type_lift
+WINDOW_ORACLES["evt_type_lift"] = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+  FROM events
+), nb AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT DISTINCT user_id, day FROM b)
+), s AS (
+  SELECT event_type, count(*) AS n FROM b GROUP BY 1
+), co AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_ab
+  FROM b x
+  JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+          AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+       CAST(coalesce(co.n_ab, 0) AS BIGINT) AS n_ab,
+       coalesce(co.n_ab, 0) * nb.n / (sa.n * sb.n) AS lift
+FROM s sa
+JOIN s sb ON sa.event_type < sb.event_type
+LEFT JOIN co ON co.type_a = sa.event_type AND co.type_b = sb.event_type, nb
 """

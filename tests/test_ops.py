@@ -4545,3 +4545,103 @@ def test_user_streak_planted_runs(ray_session, tmp_path):
     got = q_evt_user_streak(str(tmp_path)).to_pandas().set_index("user_id")
     assert got.loc[1, "streak_days"] == 4 and got.loc[1, "n_active_days"] == 6
     assert got.loc[2, "streak_days"] == 1 and got.loc[2, "n_active_days"] == 1
+
+
+def test_user_entropy_matches_duckdb(ray_session):
+    """Per-user type entropy equals the SQL p·ln p mirror."""
+    import duckdb
+    import numpy as np
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_user_entropy
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_user_entropy(sf)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_user_entropy"])
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.user_id.tolist() == want.user_id.tolist()
+    assert got.n_types.tolist() == want.n_types.tolist()
+    assert np.max(np.abs(got.entropy.to_numpy() - want.entropy.to_numpy())) < 1e-12
+    # entropy bounded by ln(n_types); single-type users exactly 0
+    assert (got.entropy <= np.log(got.n_types) + 1e-12).all()
+    assert (got.loc[got.n_types == 1, "entropy"] == 0).all()
+
+
+def test_type_lift_planted_baskets(ray_session, tmp_path):
+    """Planted baskets: a pair that ALWAYS co-occurs gets lift > 1; a
+    pair that never co-occurs gets lift 0; counts are basket-level
+    (duplicate same-day events collapse)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.windows import q_evt_type_lift
+
+    rows = []
+    # 4 baskets with {a, b} (a+b always together, b duplicated in-day),
+    # 4 baskets with {c} alone
+    for u in range(4):
+        d = np.datetime64(f"2024-03-{u+1:02d}T09:00:00", "us")
+        rows += [(u, d, "a"), (u, d, "b"), (u, d + np.timedelta64(1, "h"), "b")]
+    for u in range(4, 8):
+        rows.append((u, np.datetime64(f"2024-03-{u+1:02d}T09:00:00", "us"), "c"))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_evt_type_lift(str(tmp_path)).to_pandas().set_index(["type_a", "type_b"])
+    # N=8 baskets; n_a=n_b=4, n_ab=4 → lift = 4·8/(4·4) = 2
+    assert got.loc[("a", "b"), "n_ab"] == 4
+    assert abs(got.loc[("a", "b"), "lift"] - 2.0) < 1e-12
+    assert got.loc[("a", "c"), "n_ab"] == 0 and got.loc[("a", "c"), "lift"] == 0
+    assert got.loc[("b", "c"), "n_ab"] == 0
+
+
+def test_type_lift_matches_duckdb(ray_session):
+    """Basket lift equals the SQL self-join mirror at sf0.001 (the
+    oracle scaffolds every type pair, so zero-co-occurrence pairs
+    compare too)."""
+    import duckdb
+    import numpy as np
+
+    from gcflow.ops.windows import WINDOW_ORACLES, q_evt_type_lift
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_evt_type_lift(sf)
+        .to_pandas()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(WINDOW_ORACLES["evt_type_lift"])
+        .df()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    assert got.type_a.tolist() == want.type_a.tolist()
+    assert got.n_ab.tolist() == want.n_ab.tolist()
+    assert np.max(np.abs(got.lift.to_numpy() - want.lift.to_numpy())) < 1e-12

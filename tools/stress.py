@@ -200,6 +200,8 @@ def main() -> None:
         q_evt_user_cumsum,
         q_evt_user_ewma,
         q_evt_burst,
+        q_evt_type_lift,
+        q_evt_user_entropy,
         q_evt_user_interarrival,
         q_evt_user_lag,
         q_evt_user_streak,
@@ -271,6 +273,8 @@ def main() -> None:
         "doc_pmi": (q_doc_pmi, "documents"),
         "evt_burst": (q_evt_burst, "events"),
         "evt_user_streak": (q_evt_user_streak, "events"),
+        "evt_user_entropy": (q_evt_user_entropy, "events"),
+        "evt_type_lift": (q_evt_type_lift, "events"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
