@@ -323,6 +323,7 @@ def main():
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
     from gcflow.ops.text import q_doc_char_entropy
     from gcflow.ops.corpus_stats import q_doc_feature_corr, q_doc_pmi
+    from gcflow.ops.sketch import q_evt_value_tdigest_by_type
     from gcflow.ops.linalg import q_evt_regression
     from gcflow.ops.multimodal import q_mm_jpeg_meta, q_mm_png_meta
     from gcflow.ops.valuation import q_emb_knn_shapley
@@ -409,6 +410,7 @@ def main():
         ("evt_user_streak", q_evt_user_streak),
         ("evt_user_entropy", q_evt_user_entropy),
         ("evt_type_lift", q_evt_type_lift),
+        ("evt_value_tdigest_by_type", q_evt_value_tdigest_by_type),
     ]:
         # min over at least 3 repeats: single-shot op timings on this box
         # swing ±50%+ (session worker-pool state; measured 4.7–10.1s for

@@ -409,3 +409,81 @@ def q_evt_value_tdigest(sf_dir: str):
 
 SKETCH_QUERIES["evt_value_tdigest"] = q_evt_value_tdigest
 # approximate → rows-only (pytest bounds rank error vs exact percentiles)
+
+
+def grouped_tdigest_quantiles(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs=TDIGEST_QS,
+    delta: int = TDIGEST_DELTA,
+):
+    """Per-group distributed t-digest: one mergeable ≤δ-centroid digest
+    per (group, batch), merged by a group-keyed groupby — so per-group
+    state is data-size independent and the op scales to group
+    cardinalities where the exact grouped-selection rounds
+    (quantile.q_evt_value_percentiles_by_type) would thrash: the exact
+    path's shared scans cost O(rounds) passes regardless of groups,
+    while this is ONE pass + one tiny shuffle of δ-centroid payloads.
+    Returns (key, q, value_approx) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = t[key]
+        ks = ks.combine_chunks() if isinstance(ks, pa.ChunkedArray) else ks
+        enc = ks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        codes, v = codes[ok], v[ok]
+        order = np.argsort(codes, kind="stable")
+        codes, v = codes[order], v[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        keys, mbs, wbs = [], [], []
+        for s, e in zip(starts, ends):
+            m, w = _td_compress(v[s:e], np.ones(e - s), delta)
+            keys.append(enc.dictionary[codes[s]].as_py())
+            mbs.append(m.tobytes())
+            wbs.append(w.tobytes())
+        return pa.table(
+            {
+                key: pa.array(keys, type=pa.string()),
+                "means": pa.array(mbs, type=pa.binary()),
+                "weights": pa.array(wbs, type=pa.binary()),
+            }
+        )
+
+    def group_merge(g: pa.Table) -> pa.Table:
+        m, w = _td_unpack_concat(g)
+        m, w = _td_compress(m, w, delta)
+        vals = _td_quantile(m, w, qs)
+        return pa.table(
+            {
+                key: pa.array([g[key][0].as_py()] * len(qs), type=pa.string()),
+                "q": pa.array(list(qs), type=pa.float64()),
+                "value_approx": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(group_merge, batch_format="pyarrow")
+    )
+
+
+def q_evt_value_tdigest_by_type(sf_dir: str):
+    """Approximate per-type value quantiles (p50/p95/p99) via grouped
+    t-digests — the sketch twin of the exact
+    ``quantile.q_evt_value_percentiles_by_type`` for group cardinalities
+    where exact refinement rounds are too many passes.
+    Implementation-defined values → rows-only; rank error vs the exact
+    twin asserted in pytest."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return grouped_tdigest_quantiles(ds, "event_type", "value")
+
+
+SKETCH_QUERIES["evt_value_tdigest_by_type"] = q_evt_value_tdigest_by_type
+# approximate → rows-only (no oracle), like evt_value_tdigest

@@ -4645,3 +4645,25 @@ def test_type_lift_matches_duckdb(ray_session):
     assert got.type_a.tolist() == want.type_a.tolist()
     assert got.n_ab.tolist() == want.n_ab.tolist()
     assert np.max(np.abs(got.lift.to_numpy() - want.lift.to_numpy())) < 1e-12
+
+
+def test_grouped_tdigest_rank_error(ray_session):
+    """Per-type t-digest quantiles sit within 1% rank error of the exact
+    per-type distribution at every (type, q)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gcflow.ops.sketch import q_evt_value_tdigest_by_type
+
+    sf = "/root/testdata/sf0.001"
+    got = q_evt_value_tdigest_by_type(sf).to_pandas()
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    v = t["value"].to_numpy(zero_copy_only=False)
+    assert set(got.event_type) == set(et)
+    for _, row in got.iterrows():
+        vals = np.sort(v[et == row.event_type])
+        vals = vals[~np.isnan(vals)]
+        # achieved rank of the sketch's value vs the requested q
+        rank = np.searchsorted(vals, row.value_approx) / len(vals)
+        assert abs(rank - row.q) < 0.01, (row.event_type, row.q, rank)

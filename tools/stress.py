@@ -207,6 +207,7 @@ def main() -> None:
         q_evt_user_streak,
     )
     from gcflow.ops.tokenizer import q_doc_bpe_train
+    from gcflow.ops.sketch import q_evt_value_tdigest_by_type
     from gcflow.ops.multimodal import q_mm_jpeg_meta, q_mm_png_meta
     from gcflow.ops.text import q_doc_char_entropy
     from gcflow.ops.transform import q_doc_fim, q_doc_normalize
@@ -275,6 +276,7 @@ def main() -> None:
         "evt_user_streak": (q_evt_user_streak, "events"),
         "evt_user_entropy": (q_evt_user_entropy, "events"),
         "evt_type_lift": (q_evt_type_lift, "events"),
+        "evt_value_tdigest_by_type": (q_evt_value_tdigest_by_type, "events"),
         # keep V (the benchmark set) CONSTANT across scales — valuation
         # is O(N*V) by design, so the per-row scaling story is N at fixed V
         "emb_knn_shapley": (
